@@ -1,0 +1,71 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vectordb_spark import get_spark
+from vectordb_spark.queries import all_queries
+
+HEADLINE = [
+    "s4_full_scan_filter",
+    "p3_arith_filter",
+    "t7_pagination",
+    "a4_facet_group_sum",
+    "a4_global_agg",
+    "t1_knn_l2",
+    "t1_knn_cosine",
+    "t2_knn_prefilter",
+    "t6_knn_postfilter_distance",
+    "a5_facets_over_search",
+    "dedup_exact_keep_first",
+    "text_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warm up the JVM + parquet footers once; not counted.
+    qs["s11_statistics"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if name.startswith("text_") else len(df.collect())
+        timings[name] = round(time.time() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Vector search surface: exact top-K under all three reference metrics,
+pre-filter and post-filter (@distance) variants (SURVEY.md §2.6 T1/T2/T6).
+
+The query vector is the stored embedding of vec_id=0 — fetched as a
+1-row lookup on the Spark side, a scalar subquery on the DuckDB side —
+so queries work unchanged at every scale factor.
+
+Scale note: distance is a codegen'd Column; orderBy+limit plans as
+TakeOrderedAndProject (per-partition heaps + driver merge of k rows per
+partition — no global sort shuffle), which is exactly the plan you want
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators.knn import knn
+from vectordb_spark.plans import oracle as O
+from vectordb_spark.queries import query
+from vectordb_spark.sources.readers import load_table
+
+_QV_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+K = 10
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "t1_knn_l2",
+    oracle=f"""
+    SELECT vec_id, label, {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+    FROM embeddings
+    ORDER BY distance, vec_id
+    LIMIT {K}
+    """,
+)
+def t1_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact KNN, EUCLIDEAN = squared L2 (reference T1:
+    vec_search_executor.cpp:717-768; squared per space_l2.hpp:9-26)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return knn(emb, "embedding", qv, K, metric="EUCLIDEAN", id_col="vec_id").select(
+        "vec_id", "label", F.col("_distance").alias("distance")
+    )
+
+
+@query(
+    "t1_knn_dot",
+    oracle=f"""
+    SELECT vec_id, label, {O.duck_neg_dot("embedding", _QV_SQL)} AS distance
+    FROM embeddings
+    ORDER BY distance, vec_id
+    LIMIT {K}
+    """,
+)
+def t1_knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOT_PRODUCT distance = -dot, ascending ⇒ best dot first
+    (reference vector.cpp:7-9, index.cpp:10-35)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return knn(emb, "embedding", qv, K, metric="DOT_PRODUCT", id_col="vec_id").select(
+        "vec_id", "label", F.col("_distance").alias("distance")
+    )
+
+
+@query(
+    "t1_knn_cosine",
+    oracle=f"""
+    SELECT vec_id, label,
+           {O.duck_cosine_distance("embedding", _QV_SQL, normalized=False)} AS distance
+    FROM embeddings
+    ORDER BY distance, vec_id
+    LIMIT {K}
+    """,
+)
+def t1_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine distance 1-cos. The engine normalizes COSINE *fields* at
+    ingest (table_segment_mvp.cpp:574-587); the raw testdata embeddings
+    are unnormalized, so this uses the full formula on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    from vectordb_spark.functions.distance import cosine_distance, vector_literal
+
+    out = emb.withColumn(
+        "distance", cosine_distance(F.col("embedding"), vector_literal(qv), normalized=False)
+    )
+    return (
+        out.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(K)
+        .select("vec_id", "label", "distance")
+    )
+
+
+@query(
+    "t2_knn_prefilter",
+    oracle=f"""
+    SELECT vec_id, label, {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+    FROM embeddings
+    WHERE label < 5
+    ORDER BY distance, vec_id
+    LIMIT {K}
+    """,
+)
+def t2_knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filter KNN (reference T2: vec_search_executor.cpp:770-831):
+    scalar filter evaluated before scoring; Catalyst pushes it into the
+    parquet scan below the top-K."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return knn(
+        emb, "embedding", qv, K, metric="EUCLIDEAN",
+        filter=F.col("label") < 5, id_col="vec_id",
+    ).select("vec_id", "label", F.col("_distance").alias("distance"))
+
+
+@query(
+    "t6_knn_postfilter_distance",
+    oracle=f"""
+    SELECT vec_id, label, distance FROM (
+        SELECT vec_id, label, {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+        FROM embeddings
+    ) WHERE distance > 1.5 AND distance < 10.0
+    ORDER BY distance, vec_id
+    LIMIT {K}
+    """,
+)
+def t6_knn_postfilter_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@distance inside the filter — must run post-scoring (reference
+    T6: vec_search_executor.cpp:905-928; pre-filter mode rejects it,
+    :785-786)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return knn(
+        emb, "embedding", qv, K, metric="EUCLIDEAN",
+        post_filter=(F.col("_distance") > 1.5) & (F.col("_distance") < 10.0),
+        id_col="vec_id",
+    ).select("vec_id", "label", F.col("_distance").alias("distance"))
+
+
+@query(
+    "a5_facets_over_search",
+    oracle=f"""
+    SELECT label, COUNT(*) AS count_rows,
+           {O.dec_sum("distance", scale=8)} AS sum_distance
+    FROM (
+        SELECT vec_id, label, {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+        FROM embeddings
+        ORDER BY distance, vec_id
+        LIMIT 100
+    )
+    GROUP BY label
+    """,
+)
+def a5_facets_over_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facets computed over the top-K result set of a vector search
+    (reference A5: table_mvp.cpp:386-400) — including aggregation over
+    @distance itself (aggregation.hpp:272-295)."""
+    from vectordb_spark.functions.agg import dec_sum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    topk = knn(emb, "embedding", qv, 100, metric="EUCLIDEAN", id_col="vec_id")
+    return topk.groupBy("label").agg(
+        F.count(F.lit(1)).alias("count_rows"),
+        dec_sum(F.col("_distance"), scale=8).alias("sum_distance"),
+    )
