@@ -1,0 +1,390 @@
+"""End-to-end engine API tests — the reference gtest suite's shape
+(SURVEY.md §5, FIXTURES.md F1-F7) against Warehouse/Database/Table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_spark.catalog import Warehouse
+from vectordb_spark.embedding import MockEmbedder
+from vectordb_spark.schema import VectorDBError
+
+CITY_VECS = {
+    "Berlin": [0.05, 0.61, 0.76, 0.74],
+    "London": [0.19, 0.81, 0.75, 0.11],
+    "Moscow": [0.36, 0.55, 0.47, 0.94],
+    "San Francisco": [0.18, 0.01, 0.85, 0.80],
+    "Shanghai": [0.24, 0.18, 0.22, 0.44],
+}
+QV = [0.35, 0.55, 0.47, 0.94]
+
+CITIES_SCHEMA = {
+    "name": "cities",
+    "fields": [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "Doc", "dataType": "STRING"},
+        {
+            "name": "EmbeddingEuclidean",
+            "dataType": "VECTOR_FLOAT",
+            "dimensions": 4,
+            "metricType": "EUCLIDEAN",
+        },
+        {
+            "name": "EmbeddingDotProduct",
+            "dataType": "VECTOR_FLOAT",
+            "dimensions": 4,
+            "metricType": "DOT_PRODUCT",
+        },
+        {
+            "name": "EmbeddingCosine",
+            "dataType": "VECTOR_FLOAT",
+            "dimensions": 4,
+            "metricType": "COSINE",
+        },
+    ],
+}
+
+
+def city_records():
+    recs = []
+    for i, (doc, vec) in enumerate(CITY_VECS.items(), start=1):
+        recs.append(
+            {
+                "ID": i,
+                "Doc": doc,
+                "EmbeddingEuclidean": vec,
+                "EmbeddingDotProduct": vec,
+                "EmbeddingCosine": vec,
+            }
+        )
+    return recs
+
+
+@pytest.fixture
+def warehouse(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture
+def cities(warehouse):
+    db = warehouse.load_db("testdb")
+    table = db.create_table(CITIES_SCHEMA)
+    res = table.insert(city_records())
+    assert res == {"inserted": 5, "skipped": 0}
+    return table
+
+
+EXPECTED = {
+    "EmbeddingEuclidean": ["Moscow", "Berlin", "Shanghai", "San Francisco", "London"],
+    "EmbeddingDotProduct": ["Moscow", "Berlin", "San Francisco", "London", "Shanghai"],
+    "EmbeddingCosine": ["Moscow", "Shanghai", "Berlin", "San Francisco", "London"],
+}
+
+
+@pytest.mark.parametrize("field", list(EXPECTED))
+def test_dense_vector_orderings(cities, field):
+    # reference DbServer.DenseVector (db_server.cpp:281-291)
+    out = cities.query(
+        query_vector=QV, query_field=field, limit=6, with_distance=True
+    )
+    docs = [r["Doc"] for r in out["result"]]
+    assert docs == EXPECTED[field]
+    dists = [r["@distance"] for r in out["result"]]
+    assert dists == sorted(dists)
+
+
+def test_duplicate_pk_skipped(cities):
+    # reference test.py:59-61: duplicate-PK insert is skipped
+    res = cities.insert(city_records()[:1])
+    assert res == {"inserted": 0, "skipped": 1}
+    assert cities.statistics() == {"totalRecords": 5}
+
+
+def test_upsert_last_wins(cities):
+    res = cities.insert(
+        [
+            {
+                "ID": 1,
+                "Doc": "Berlin2",
+                "EmbeddingEuclidean": QV,
+                "EmbeddingDotProduct": QV,
+                "EmbeddingCosine": QV,
+            }
+        ],
+        upsert=True,
+    )
+    assert res["inserted"] == 1
+    got = cities.get(primary_keys=[1])
+    assert [r["Doc"] for r in got["result"]] == ["Berlin2"]
+    assert cities.statistics() == {"totalRecords": 5}
+
+
+def test_filter_restricts(cities):
+    # reference DenseVectorFilter (db_server.cpp:1620-1630)
+    out = cities.query(
+        query_vector=QV, query_field="EmbeddingEuclidean", limit=6, filter="ID <= 2"
+    )
+    assert len(out["result"]) == 2
+    assert all(r["ID"] <= 2 for r in out["result"])
+
+
+def test_distance_post_filter(cities):
+    out = cities.query(
+        query_vector=QV,
+        query_field="EmbeddingEuclidean",
+        limit=6,
+        filter="@distance < 0.5",
+        with_distance=True,
+    )
+    assert all(r["@distance"] < 0.5 for r in out["result"])
+    assert len(out["result"]) >= 1
+
+
+def test_delete_by_pk_and_filter(cities):
+    # filter must also pass (reference table_segment_mvp.cpp:341-360)
+    res = cities.delete(primary_keys=[1, 2], filter="Doc = 'Berlin'")
+    assert res == {"deleted": 1}
+    res = cities.delete(primary_keys=[3])
+    assert res == {"deleted": 1}
+    assert cities.statistics() == {"totalRecords": 3}
+    with pytest.raises(VectorDBError):
+        cities.delete()
+
+
+def test_get_pagination(cities):
+    out = cities.get(response=["ID", "Doc"], skip=1, limit=2)
+    assert [r["ID"] for r in out["result"]] == [2, 3]  # insertion order
+    out = cities.get(filter="ID > 2")
+    assert sorted(r["ID"] for r in out["result"]) == [3, 4, 5]
+
+
+def test_facets_over_get(cities):
+    out = cities.get(
+        facets=[{"group": [], "aggregate": ["COUNT(*)", "SUM(ID)", "MIN(ID)"]}]
+    )
+    facet = out["facets"][0][0]
+    assert facet["COUNT(*)"] == 5.0
+    assert facet["SUM(ID)"] == 15.0
+    assert facet["MIN(ID)"] == 1.0
+
+
+def test_facets_group_over_search(cities):
+    out = cities.query(
+        query_vector=QV,
+        query_field="EmbeddingEuclidean",
+        limit=3,
+        facets=[{"group": ["ID % 2"], "aggregate": ["COUNT(*)", "MAX(@distance)"]}],
+    )
+    groups = out["facets"][0]
+    assert sum(g["COUNT(*)"] for g in groups) == 3.0
+    with pytest.raises(VectorDBError):
+        cities.query(
+            query_vector=QV,
+            query_field="EmbeddingEuclidean",
+            limit=3,
+            facets=[{"group": ["ID", "Doc"], "aggregate": ["COUNT(*)"]}],
+        )
+
+
+def test_insert_prepare_masks(cities):
+    out = cities.insert_prepare([1, 99, 3])
+    assert out["recordNumber"] == 5
+    assert out["masks"] == [0b101]
+
+
+def test_missing_field_fails_batch(cities):
+    with pytest.raises(VectorDBError) as ei:
+        cities.insert([{"ID": 10, "Doc": "X"}])
+    assert ei.value.code == "INVALID_RECORD"
+
+
+SPARSE_SCHEMA = {
+    "name": "cities_sparse",
+    "fields": [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "Doc", "dataType": "STRING"},
+        {
+            "name": "Embedding",
+            "dataType": "SPARSE_VECTOR_FLOAT",
+            "dimensions": 4,
+            "metricType": "EUCLIDEAN",
+        },
+    ],
+}
+
+
+def test_sparse_end_to_end(warehouse):
+    db = warehouse.load_db("sparsedb")
+    t = db.create_table(SPARSE_SCHEMA)
+    recs = [
+        {"ID": i, "Doc": doc, "Embedding": {"indices": [0, 1, 2, 3], "values": vec}}
+        for i, (doc, vec) in enumerate(CITY_VECS.items(), start=1)
+    ]
+    assert t.insert(recs)["inserted"] == 5
+    out = t.query(
+        query_vector={"indices": [0, 1, 2, 3], "values": QV}, limit=6,
+        with_distance=True,
+    )
+    docs = [r["Doc"] for r in out["result"]]
+    assert docs == EXPECTED["EmbeddingEuclidean"]
+    # projection returns wire format
+    assert out["result"][0]["Embedding"]["indices"] == [0, 1, 2, 3]
+
+
+def test_invalid_sparse_skipped(warehouse):
+    # reference InvalidSparseVector (db_server.cpp:2039): bad rows skip
+    db = warehouse.load_db("sparsedb2")
+    t = db.create_table(SPARSE_SCHEMA)
+    recs = [
+        {"ID": 1, "Doc": "ok", "Embedding": {"indices": [0, 2], "values": [1.0, 2.0]}},
+        {"ID": 2, "Doc": "len", "Embedding": {"indices": [0, 1], "values": [1.0]}},
+        {"ID": 3, "Doc": "neg", "Embedding": {"indices": [-1, 2], "values": [1.0, 2.0]}},
+        {"ID": 4, "Doc": "dec", "Embedding": {"indices": [2, 1], "values": [1.0, 2.0]}},
+        {"ID": 5, "Doc": "oob", "Embedding": {"indices": [0, 4], "values": [1.0, 2.0]}},
+    ]
+    res = t.insert(recs)
+    assert res == {"inserted": 1, "skipped": 4}
+
+
+GEO_SCHEMA = {
+    "name": "places",
+    "fields": [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "Name", "dataType": "STRING"},
+        {"name": "Location", "dataType": "GEO_POINT"},
+        {
+            "name": "Embedding",
+            "dataType": "VECTOR_FLOAT",
+            "dimensions": 4,
+            "metricType": "EUCLIDEAN",
+        },
+    ],
+}
+
+PLACES = [
+    ("California", 36.7783, -119.4179),
+    ("Los Angeles", 34.0522, -118.2437),
+    ("San Francisco", 37.7749, -122.4194),
+    ("Monterey", 36.6002, -121.8947),
+    ("Sacramento", 38.5816, -121.4944),
+    ("San Diego", 32.7157, -117.1611),
+    ("Riverside", 33.9533, -117.3962),
+    ("Bakersfield", 35.3733, -119.0187),
+    ("NearLasVegas", 36.1627, -115.1391),
+    ("Redding", 40.5865, -122.3917),
+]
+
+
+def test_geo_nearby(warehouse):
+    # FIXTURES.md F5: within 150 km of Los Angeles by haversine
+    db = warehouse.load_db("geodb")
+    t = db.create_table(GEO_SCHEMA)
+    recs = [
+        {
+            "ID": i,
+            "Name": name,
+            "Location": {"latitude": lat, "longitude": lon},
+            "Embedding": [0.1, 0.2, 0.3, 0.4],
+        }
+        for i, (name, lat, lon) in enumerate(PLACES, start=1)
+    ]
+    assert t.insert(recs)["inserted"] == 10
+    out = t.get(filter="NEARBY(Location, 34.0522, -118.2437, 150)")
+    names = sorted(r["Name"] for r in out["result"])
+    # haversine from LA: Riverside 78.9 km in; Bakersfield 163.1 and
+    # San Diego 179.4 out
+    assert names == ["Los Angeles", "Riverside"]
+    # clamping at ingest (table_segment_mvp.cpp:626-640)
+    t.insert(
+        [
+            {
+                "ID": 99,
+                "Name": "OffGrid",
+                "Location": {"latitude": 95.0, "longitude": -200.0},
+                "Embedding": [0.0, 0.0, 0.0, 0.0],
+            }
+        ]
+    )
+    got = t.get(primary_keys=[99])
+    loc = got["result"][0]["Location"]
+    assert loc == {"latitude": 90.0, "longitude": -180.0}
+
+
+def test_cosine_normalized_projection(warehouse):
+    # stored COSINE vectors are normalized — projection returns the
+    # normalized values (SURVEY.md §1.2), not the user's raw input
+    db = warehouse.load_db("cosdb")
+    t = db.create_table(
+        {
+            "name": "t",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {
+                    "name": "v",
+                    "dataType": "VECTOR_FLOAT",
+                    "dimensions": 2,
+                    "metricType": "COSINE",
+                },
+            ],
+        }
+    )
+    t.insert([{"ID": 1, "v": [3.0, 4.0]}])
+    out = t.get(primary_keys=[1])
+    v = out["result"][0]["v"]
+    assert v[0] == pytest.approx(0.6, abs=1e-6)
+    assert v[1] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_auto_embedding_text_search(warehouse):
+    # E1/E2: auto-embed on insert + search by content
+    db = warehouse.load_db("embdb")
+    embedder = MockEmbedder(dimension=8)
+    t = db.create_table(
+        {
+            "name": "docs",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {"name": "Doc", "dataType": "STRING"},
+            ],
+            "indices": [{"name": "DocEmbedding", "field": "Doc", "dimensions": 8}],
+        },
+        embedder=embedder,
+    )
+    t.insert(
+        [
+            {"ID": 1, "Doc": "the quick brown fox"},
+            {"ID": 2, "Doc": "pack my box with five dozen jugs"},
+            {"ID": 3, "Doc": "the quick brown foxes"},
+        ]
+    )
+    out = t.query(query_text="the quick brown fox", limit=2, with_distance=True)
+    assert out["result"][0]["ID"] == 1
+    assert out["result"][0]["@distance"] == pytest.approx(0.0, abs=1e-6)
+    # hidden index field excluded from project-all (table_mvp.cpp:474-477)
+    assert "DocEmbedding" not in out["result"][0]
+    # second hit shares the most trigrams
+    assert out["result"][1]["ID"] == 3
+
+
+def test_schema_validation_errors(warehouse):
+    db = warehouse.load_db("valdb")
+    with pytest.raises(VectorDBError):
+        db.create_table(
+            {"name": "t1", "fields": [{"name": "a", "dataType": "INT"}]}
+        )  # no vector field
+    with pytest.raises(VectorDBError):
+        db.create_table(
+            {
+                "name": "t2",
+                "fields": [
+                    {"name": "a", "dataType": "DOUBLE", "primaryKey": True},
+                    {
+                        "name": "v",
+                        "dataType": "VECTOR_FLOAT",
+                        "dimensions": 4,
+                        "metricType": "EUCLIDEAN",
+                    },
+                ],
+            }
+        )  # PK must be int/string

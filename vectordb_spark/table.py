@@ -1,0 +1,665 @@
+"""Parquet-backed table with the reference engine's full DML/query
+surface (SURVEY.md §2.1, §3).
+
+Storage model: a manifest (``_meta.json``) lists immutable parquet data
+dirs plus ``next_row_id``; inserts append a new data dir, deletes and
+upserts write a consolidated base — the object-store pattern (what
+Delta/Iceberg do with a transaction log; the reference's WAL+snapshot,
+table_segment_mvp.cpp:939-1010, collapses into this). Manifest writes
+are atomic tmp+rename. Writes are single-writer per table, like the
+reference's ``data_update_mutex_`` (table_segment_mvp.cpp:456); readers
+always see a complete manifest → snapshot isolation, strictly better
+than the reference's racy lock-free reads (SURVEY.md §3.3).
+
+Every row carries ``_row_id`` — the insertion-order cursor (reference
+table_segment_mvp.cpp:487) — which drives pagination order, KNN
+tie-breaking, and upsert "latest wins".
+
+Deterministic ingest transforms replicated from the reference:
+- COSINE fields L2-normalized at ingest, dense (:574-587) and sparse
+  (:556-562); query vectors normalized at search (table_mvp.cpp:334-349)
+- sparse validation skips bad rows, response counts skipped (:511-553)
+- GEO_POINT lat clamped to [-90,90], lon to [-180,180] (:626-640)
+- duplicate-PK insert skips (first wins), upsert replaces (last wins)
+  in batch-array order (:652-795)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.embedding import embed_column
+from vectordb_spark.expr.compile import (
+    references_distance,
+    to_spark_column,
+)
+from vectordb_spark.expr.parser import parse_filter
+from vectordb_spark.functions.distance import (
+    distance_for_metric,
+    l2_normalize,
+    sparse_distance_for_metric,
+    sparse_l2_normalize,
+)
+from vectordb_spark.schema import (
+    FieldSchema,
+    FieldType,
+    TableSchema,
+    VectorDBError,
+    validate_schema,
+)
+
+DEFAULT_CAPACITY = 2**31 - 1
+DEFAULT_GET_LIMIT = 2**30  # reference web_controller.hpp:904-911
+
+
+class Table:
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: TableSchema,
+        path: str,
+        *,
+        embedder=None,
+        index_sources: dict[str, str] | None = None,
+    ):
+        validate_schema(schema)
+        self.spark = spark
+        self.schema = schema
+        self.path = path
+        self.embedder = embedder
+        self._meta_path = os.path.join(path, "_meta.json")
+        # index field name -> source STRING field (auto-embedding, §1.4)
+        self.index_sources = index_sources or self._load_index_sources()
+
+    # ---------------------------------------------------------------- meta
+
+    def _init_storage(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        if not os.path.exists(self._meta_path):
+            self._save_meta(
+                {
+                    "version": 0,
+                    "files": [],
+                    "next_row_id": 0,
+                    "capacity": DEFAULT_CAPACITY,
+                    "index_sources": self.index_sources,
+                }
+            )
+
+    def _load_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _load_index_sources(self) -> dict[str, str]:
+        if os.path.exists(self._meta_path):
+            return self._load_meta().get("index_sources", {})
+        return {}
+
+    def _save_meta(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # ---------------------------------------------------------------- read
+
+    def df(self) -> DataFrame:
+        """Current snapshot incl. ``_row_id``."""
+        meta = self._load_meta()
+        paths = [os.path.join(self.path, p) for p in meta["files"]]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], self.schema.to_spark_schema(with_row_id=True)
+            )
+        return self.spark.read.parquet(*paths)
+
+    def field_map(self) -> dict[str, FieldType]:
+        fm = {
+            f.name: f.field_type
+            for f in self.schema.fields
+            if f.field_type not in (FieldType.JSON,)
+        }
+        return fm
+
+    # --------------------------------------------------------------- insert
+
+    def insert(self, records: list[dict], *, upsert: bool = False) -> dict:
+        """Batch JSON insert (reference S1, web_controller.hpp:436-507 →
+        table_segment_mvp.cpp:455-814). Returns {"inserted": n,
+        "skipped": m}; invalid sparse rows and duplicate PKs skip,
+        missing required fields fail the batch (INVALID_RECORD)."""
+        meta = self._load_meta()
+        if meta.get("capacity") and len(records) + self._count(meta) > meta["capacity"]:
+            raise VectorDBError(
+                "TABLE_FULL", "Table is full, cannot insert more records."
+            )
+        rows: list[tuple] = []
+        skipped = 0
+        next_row_id = meta["next_row_id"]
+        pk_field = self.schema.primary_key
+        seen_pks: dict[Any, int] = {}  # pk -> position in rows
+        for rec in records:
+            try:
+                vals = self._validate_record(rec)
+            except _SkipRecord:
+                skipped += 1
+                continue
+            if pk_field is not None:
+                pk = vals[pk_field.name]
+                if pk in seen_pks:
+                    if upsert:
+                        # last wins within the batch (:652-741)
+                        rows[seen_pks[pk]] = None  # type: ignore[call-overload]
+                    else:
+                        skipped += 1
+                        continue
+                seen_pks[pk] = len(rows)
+            rows.append(tuple(vals[f.name] for f in self.schema.fields) + (next_row_id,))
+            next_row_id += 1
+        rows = [r for r in rows if r is not None]
+
+        # PKs already in the table
+        existing_pks: set = set()
+        if pk_field is not None and seen_pks:
+            existing = (
+                self.df()
+                .where(F.col(pk_field.name).isin(list(seen_pks)))
+                .select(pk_field.name)
+                .collect()
+            )
+            existing_pks = {r[0] for r in existing}
+        if pk_field is not None and existing_pks and not upsert:
+            before = len(rows)
+            pk_idx = [f.name for f in self.schema.fields].index(pk_field.name)
+            rows = [r for r in rows if r[pk_idx] not in existing_pks]
+            skipped += before - len(rows)
+
+        new_df = self.spark.createDataFrame(
+            rows, self.schema.to_spark_schema(with_row_id=True)
+        )
+        new_df = self._apply_ingest_transforms(new_df)
+
+        if pk_field is not None and existing_pks and upsert:
+            # consolidate: old rows minus replaced PKs, plus new rows
+            base = self.df().where(~F.col(pk_field.name).isin(list(existing_pks)))
+            self._write_base(base.unionByName(new_df), meta, next_row_id)
+        else:
+            self._append(new_df, meta, next_row_id)
+        return {"inserted": len(rows), "skipped": skipped}
+
+    def insert_df(self, df: DataFrame, *, upsert: bool = False) -> dict:
+        """Distributed bulk ingest: same semantics, no driver loop.
+        PK dedup via window row_number over _row_id (SURVEY.md §1.5)."""
+        from pyspark.sql import Window as W
+
+        meta = self._load_meta()
+        start = meta["next_row_id"]
+        cols = [f.name for f in self.schema.fields if not f.is_index_field]
+        new_df = df.select(*cols)
+        # assign batch-order row ids (zipWithIndex semantics via
+        # monotonically_increasing_id is non-contiguous; order by it to
+        # get a deterministic batch order)
+        new_df = new_df.withColumn("_mono", F.monotonically_increasing_id())
+        w = W.orderBy("_mono")
+        new_df = new_df.withColumn(
+            "_row_id", F.row_number().over(w).cast("long") + F.lit(start - 1)
+        ).drop("_mono")
+        pk_field = self.schema.primary_key
+        inserted_df = new_df
+        if pk_field is not None:
+            keep = (
+                F.row_number()
+                .over(
+                    W.partitionBy(pk_field.name).orderBy(
+                        F.col("_row_id").desc() if upsert else F.col("_row_id").asc()
+                    )
+                )
+                == 1
+            )
+            inserted_df = new_df.withColumn("_keep", keep).where("_keep").drop("_keep")
+            existing = self.df().select(pk_field.name)
+            if upsert:
+                base = self.df().join(
+                    inserted_df.select(pk_field.name), pk_field.name, "left_anti"
+                )
+                for fld in self.schema.fields:
+                    if fld.is_index_field:
+                        inserted_df = self._embed_index_field(inserted_df, fld)
+                full = base.unionByName(self._apply_ingest_transforms(inserted_df))
+                n = inserted_df.count()
+                self._write_base(full, meta, start + n)
+                return {"inserted": n, "skipped": 0}
+            inserted_df = inserted_df.join(existing, pk_field.name, "left_anti")
+        for fld in self.schema.fields:
+            if fld.is_index_field:
+                inserted_df = self._embed_index_field(inserted_df, fld)
+        inserted_df = self._apply_ingest_transforms(inserted_df)
+        n = inserted_df.count()
+        self._append(inserted_df, meta, start + n)
+        return {"inserted": n, "skipped": 0}
+
+    def _embed_index_field(self, df: DataFrame, fld: FieldSchema) -> DataFrame:
+        src = self.index_sources.get(fld.name)
+        if src is None or self.embedder is None:
+            raise VectorDBError(
+                "EMBEDDING_ERROR", f"No embedder/source for index field {fld.name}."
+            )
+        return df.withColumn(fld.name, embed_column(self.embedder, src))
+
+    def _apply_ingest_transforms(self, df: DataFrame) -> DataFrame:
+        """COSINE normalization — the reference stores normalized
+        vectors so cosine ≡ dot on unit vectors (SURVEY.md §4)."""
+        for f in self.schema.fields:
+            if f.field_type.is_dense_vector and f.metric == "COSINE":
+                df = df.withColumn(f.name, l2_normalize(f.name))
+            elif f.field_type.is_sparse_vector and f.metric == "COSINE":
+                df = df.withColumn(f.name, sparse_l2_normalize(f.name))
+        return df
+
+    def _validate_record(self, rec: dict) -> dict:
+        vals: dict[str, Any] = {}
+        for f in self.schema.fields:
+            if f.is_index_field:
+                # populated by the embedder below
+                continue
+            if f.name not in rec or rec[f.name] is None:
+                raise VectorDBError(
+                    "INVALID_RECORD", f"Field {f.name} is missing in the record."
+                )
+            v = rec[f.name]
+            ft = f.field_type
+            if ft.is_dense_vector:
+                if not isinstance(v, (list, tuple)) or len(v) != f.dimension:
+                    raise VectorDBError(
+                        "INVALID_RECORD",
+                        f"Vector field {f.name} must have dimension {f.dimension}.",
+                    )
+                vals[f.name] = [float(x) for x in v]
+            elif ft.is_sparse_vector:
+                vals[f.name] = _validate_sparse(v, f.dimension)
+            elif ft == FieldType.GEO_POINT:
+                lat = max(-90.0, min(90.0, float(v.get("latitude"))))
+                lon = max(-180.0, min(180.0, float(v.get("longitude"))))
+                vals[f.name] = Row(latitude=lat, longitude=lon)
+            elif ft == FieldType.JSON:
+                vals[f.name] = v if isinstance(v, str) else json.dumps(v)
+            elif ft == FieldType.BOOL:
+                vals[f.name] = bool(v)
+            elif ft.is_int:
+                vals[f.name] = int(v)
+            elif ft.is_real:
+                vals[f.name] = float(v)
+            else:
+                vals[f.name] = str(v)
+        if self.embedder is not None:
+            for fname, src in self.index_sources.items():
+                vals[fname] = self.embedder.embed_batch([vals[src]])[0]
+        elif self.index_sources:
+            raise VectorDBError(
+                "EMBEDDING_ERROR", "Table has auto-embedding indexes but no embedder."
+            )
+        return vals
+
+    # ---------------------------------------------------------------- write
+
+    def _count(self, meta: dict) -> int:
+        if not meta["files"]:
+            return 0
+        return self.df().count()
+
+    def _append(self, new_df: DataFrame, meta: dict, next_row_id: int) -> None:
+        version = meta["version"] + 1
+        name = f"add_{version}"
+        new_df.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        meta["files"].append(name)
+        meta["version"] = version
+        meta["next_row_id"] = next_row_id
+        meta["index_sources"] = self.index_sources
+        self._save_meta(meta)
+
+    def _write_base(self, df: DataFrame, meta: dict, next_row_id: int) -> None:
+        version = meta["version"] + 1
+        name = f"base_{version}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        meta["files"] = [name]
+        meta["version"] = version
+        meta["next_row_id"] = next_row_id
+        meta["index_sources"] = self.index_sources
+        self._save_meta(meta)
+
+    # --------------------------------------------------------------- delete
+
+    def delete(self, primary_keys: list | None = None, filter: str = "") -> dict:
+        """Delete by PK list and/or filter (reference S3,
+        db_server.cpp:297-360): with a PK list, a row must match the
+        list AND pass the filter; with no list, the filter alone
+        decides. One of the two is required (web_controller.hpp:576-595).
+        """
+        if not primary_keys and not filter:
+            raise VectorDBError(
+                "INVALID_PAYLOAD", "Delete requires primaryKeys and/or filter."
+            )
+        cond = F.lit(True)
+        if primary_keys:
+            pk_field = self.schema.primary_key
+            if pk_field is None:
+                raise VectorDBError(
+                    "DB_UNEXPECTED_ERROR", f"Primary key not found: {self.schema.name}"
+                )
+            cond = cond & F.col(pk_field.name).isin(primary_keys)
+        ast = parse_filter(filter, self.field_map())
+        if ast is not None:
+            cond = cond & to_spark_column(ast)
+        meta = self._load_meta()
+        df = self.df()
+        kept = df.where(~F.coalesce(cond, F.lit(False)))
+        deleted = df.count() - kept.count()
+        self._write_base(kept, meta, meta["next_row_id"])
+        return {"deleted": deleted}
+
+    # ---------------------------------------------------------------- query
+
+    def _resolve_query_field(
+        self, query_field: str | None, query_index: str | None
+    ) -> FieldSchema:
+        if query_field and query_index:
+            raise VectorDBError(
+                "INVALID_PAYLOAD",
+                "queryField and queryIndex are mutually exclusive.",
+            )
+        name = query_field or query_index
+        if name:
+            f = self.schema.get(name)
+            if f is None or not f.field_type.is_vector:
+                raise VectorDBError(
+                    "INVALID_PAYLOAD", f"Field {name} is not a vector field."
+                )
+            return f
+        vecs = self.schema.vector_fields()
+        if len(vecs) != 1:
+            raise VectorDBError(
+                "INVALID_PAYLOAD",
+                "queryField is required when the table has multiple vector fields.",
+            )
+        return vecs[0]
+
+    def search_df(
+        self,
+        query_vector,
+        *,
+        query_field: str | None = None,
+        query_index: str | None = None,
+        limit: int,
+        filter: str = "",
+    ) -> DataFrame:
+        """Top-K scored snapshot with `_distance`, pre/post filter per
+        @distance usage — the composable DataFrame surface."""
+        f = self._resolve_query_field(query_field, query_index)
+        ast = parse_filter(filter, self.field_map())
+        df = self.df()
+        if f.field_type.is_sparse_vector:
+            q = _normalize_sparse_query(query_vector, f)
+            qcol = F.struct(
+                F.array(*[F.lit(int(i)) for i in q["indices"]]).alias("indices"),
+                F.array(*[F.lit(float(x)) for x in q["values"]])
+                .cast("array<float>")
+                .alias("values"),
+            )
+            dist = sparse_distance_for_metric(f.metric, F.col(f.name), qcol)
+        else:
+            q = _normalize_dense_query(query_vector, f)
+            qcol = F.array(*[F.lit(float(x)) for x in q])
+            dist = distance_for_metric(f.metric, F.col(f.name), qcol)
+
+        post = ast is not None and references_distance(ast)
+        if ast is not None and not post:
+            df = df.where(to_spark_column(ast))
+        df = df.withColumn("_distance", dist)
+        if post:
+            df = df.where(to_spark_column(ast))
+        return df.orderBy(F.col("_distance").asc(), F.col("_row_id").asc()).limit(limit)
+
+    def query(
+        self,
+        *,
+        query_vector=None,
+        query_text: str | None = None,
+        query_field: str | None = None,
+        query_index: str | None = None,
+        limit: int,
+        response: list[str] | None = None,
+        filter: str = "",
+        with_distance: bool = False,
+        facets: list[dict] | None = None,
+    ) -> dict:
+        """Vector KNN query (reference §3.1/§3.2). ``query_text``
+        embeds via the table's index (E2 semantic search)."""
+        if query_text is not None:
+            if self.embedder is None:
+                raise VectorDBError("EMBEDDING_ERROR", "No embedder configured.")
+            query_vector = self.embedder.embed_batch([query_text])[0]
+            if query_index is None and not query_field:
+                idx_fields = [f.name for f in self.schema.fields if f.is_index_field]
+                if len(idx_fields) != 1:
+                    raise VectorDBError(
+                        "INVALID_PAYLOAD", "queryIndex is required for text query."
+                    )
+                query_index = idx_fields[0]
+        if query_vector is None:
+            raise VectorDBError("INVALID_PAYLOAD", "queryVector is required.")
+        topk = self.search_df(
+            query_vector,
+            query_field=query_field,
+            query_index=query_index,
+            limit=limit,
+            filter=filter,
+        )
+        topk = topk.cache()
+        try:
+            records = self._project(topk, response, with_distance=with_distance)
+            out: dict = {"result": records}
+            if facets:
+                from vectordb_spark.operators.facets import compute_facets, parse_facets
+
+                specs = parse_facets(facets, self.field_map())
+                out["facets"] = compute_facets(
+                    topk, specs, self.field_map(), has_distance=True
+                )
+            return out
+        finally:
+            topk.unpersist()
+
+    # ------------------------------------------------------------------ get
+
+    def get(
+        self,
+        *,
+        response: list[str] | None = None,
+        filter: str = "",
+        skip: int = 0,
+        limit: int = DEFAULT_GET_LIMIT,
+        primary_keys: list | None = None,
+        facets: list[dict] | None = None,
+    ) -> dict:
+        """Attribute scan / point reads (reference §3.3): PK-list route,
+        else filtered scan in insertion (_row_id) order with
+        skip/limit."""
+        df = self.df()
+        if primary_keys:
+            pk_field = self.schema.primary_key
+            if pk_field is None:
+                raise VectorDBError(
+                    "DB_UNEXPECTED_ERROR", f"Primary key not found: {self.schema.name}"
+                )
+            df = df.where(F.col(pk_field.name).isin(primary_keys))
+        ast = parse_filter(filter, self.field_map())
+        if ast is not None:
+            df = df.where(to_spark_column(ast))
+        df = df.orderBy("_row_id")
+        if skip:
+            df = df.offset(skip)
+        df = df.limit(limit)
+        df = df.cache()
+        try:
+            records = self._project(df, response, with_distance=False)
+            out: dict = {"result": records}
+            if facets:
+                from vectordb_spark.operators.facets import compute_facets, parse_facets
+
+                specs = parse_facets(facets, self.field_map())
+                out["facets"] = compute_facets(
+                    df, specs, self.field_map(), has_distance=False
+                )
+            return out
+        finally:
+            df.unpersist()
+
+    # ------------------------------------------------------------- projection
+
+    def _project(
+        self, df: DataFrame, response: list[str] | None, *, with_distance: bool
+    ) -> list[dict]:
+        """Reference P1 (table_mvp.cpp:462-594): default = all non-index
+        fields; JSON strings projected back as objects; sparse/geo as
+        wire-format dicts; @distance appended when requested."""
+        if response:
+            fields = []
+            for name in response:
+                if name == "@distance":
+                    continue
+                f = self.schema.get(name)
+                if f is None:
+                    raise VectorDBError("INVALID_PAYLOAD", f"Unknown field {name}.")
+                fields.append(f)
+            want_distance = with_distance or "@distance" in response
+        else:
+            fields = self.schema.projectable_fields()
+            want_distance = with_distance
+        cols = [f.name for f in fields]
+        if want_distance and "_distance" in df.columns:
+            cols.append("_distance")
+        rows = df.select(*cols).collect()
+        out = []
+        for r in rows:
+            rec: dict[str, Any] = {}
+            for f in fields:
+                v = r[f.name]
+                if f.field_type == FieldType.JSON:
+                    rec[f.name] = json.loads(v) if isinstance(v, str) else v
+                elif f.field_type.is_sparse_vector:
+                    rec[f.name] = {
+                        "indices": list(v.indices),
+                        "values": [float(x) for x in v.values],
+                    }
+                elif f.field_type == FieldType.GEO_POINT:
+                    rec[f.name] = {"latitude": v.latitude, "longitude": v.longitude}
+                elif f.field_type.is_dense_vector:
+                    rec[f.name] = [float(x) for x in v]
+                else:
+                    rec[f.name] = v
+            if want_distance and "_distance" in df.columns:
+                rec["@distance"] = float(r["_distance"])
+            out.append(rec)
+        return out
+
+    # ------------------------------------------------------------ utilities
+
+    def insert_prepare(self, primary_keys: list | None = None) -> dict:
+        """Reference S2 (table_segment_mvp.cpp:816-876): capacity,
+        record count, and 32-bit-packed PK-existence bitmasks."""
+        meta = self._load_meta()
+        record_number = self._count(meta)
+        masks: list[int] = []
+        if primary_keys:
+            pk_field = self.schema.primary_key
+            if pk_field is None:
+                raise VectorDBError(
+                    "DB_UNEXPECTED_ERROR", f"Primary key not found: {self.schema.name}"
+                )
+            existing = {
+                r[0]
+                for r in self.df()
+                .where(F.col(pk_field.name).isin(primary_keys))
+                .select(pk_field.name)
+                .collect()
+            }
+            mask = 0
+            for i, pk in enumerate(primary_keys):
+                if pk in existing:
+                    mask |= 1 << (i % 32)
+                if i % 32 == 31:
+                    masks.append(mask)
+                    mask = 0
+            if len(primary_keys) % 32 != 0:
+                masks.append(mask)
+        return {
+            "capacity": meta.get("capacity", DEFAULT_CAPACITY),
+            "recordNumber": record_number,
+            "masks": masks,
+        }
+
+    def statistics(self) -> dict:
+        """Reference S11 (db_server.cpp:105-119)."""
+        return {"totalRecords": self._count(self._load_meta())}
+
+
+class _SkipRecord(Exception):
+    pass
+
+
+def _validate_sparse(v, dimension: int) -> Row:
+    """Sparse insert validation (reference table_segment_mvp.cpp:511-553):
+    indices strictly increasing, non-negative, < dimension; length
+    mismatch → skip record (not an error)."""
+    if not isinstance(v, dict) or "indices" not in v or "values" not in v:
+        raise _SkipRecord()
+    idx, vals = list(v["indices"]), list(v["values"])
+    if len(idx) != len(vals):
+        raise _SkipRecord()
+    prev = -1
+    for i in idx:
+        i = int(i)
+        if i < 0 or i <= prev or i >= dimension:
+            raise _SkipRecord()
+        prev = i
+    return Row(indices=[int(i) for i in idx], values=[float(x) for x in vals])
+
+
+def _normalize_dense_query(query_vector, f: FieldSchema) -> list[float]:
+    q = [float(x) for x in query_vector]
+    if len(q) != f.dimension:
+        raise VectorDBError(
+            "INVALID_PAYLOAD",
+            f"Query vector dimension {len(q)} != field dimension {f.dimension}.",
+        )
+    if f.metric == "COSINE":
+        n = math.sqrt(sum(x * x for x in q))
+        if n > 0:
+            q = [x / n for x in q]
+    return q
+
+
+def _normalize_sparse_query(query_vector, f: FieldSchema) -> dict:
+    if not isinstance(query_vector, dict):
+        raise VectorDBError("INVALID_PAYLOAD", "Sparse query vector must be a dict.")
+    idx = [int(i) for i in query_vector["indices"]]
+    vals = [float(x) for x in query_vector["values"]]
+    if len(idx) != len(vals):
+        raise VectorDBError("INVALID_PAYLOAD", "indices/values length mismatch.")
+    if f.metric == "COSINE":
+        n = math.sqrt(sum(x * x for x in vals))
+        if n > 0:
+            vals = [x / n for x in vals]
+    return {"indices": idx, "values": vals}
