@@ -30,7 +30,16 @@ HEADLINE = [
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",
     "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_nearmiss",
+    "dedup_token_jaccard",
+    "dedup_embedding_cosine",
+    "ann_lsh_bucketed",
     "text_token_count",
+    "text_quality_score",
+    "text_fingerprint",
+    "p2_lang_arith",
 ]
 
 

@@ -1,0 +1,57 @@
+"""ANN index agreement tests — the reference's discipline: indexed and
+brute-force paths must agree (db_server.cpp:1606-1612 asserts identical
+orderings before/after Rebuild; for IVF/LSH the bar is recall@k)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators import ann as A
+from vectordb_spark.operators.knn import knn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+
+
+def test_ivf_recall_vs_exact(emb, qv):
+    exact = knn(emb, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id")
+    idx = A.IVFIndex(k=16, seed=42)
+    indexed = idx.build(emb, "embedding")
+    # The synthetic embeddings are near-random in 64-d (no cluster
+    # structure: every centroid ends up ~equidistant), so IVF recall is
+    # the honest high-dim tradeoff curve: measured 0.4/0.7/0.9 recall@10
+    # at nprobe 4/8/12 of 16. Assert the nprobe=8 point.
+    approx = idx.search(indexed, "embedding", qv, 10, nprobe=8, id_col="vec_id")
+    r = A.recall_at_k(approx, exact, "vec_id", 10)
+    assert r >= 0.6, f"recall@10 {r} too low for nprobe=8/16"
+    # full probe == exact (the brute-force fallback property, T8)
+    full = idx.search(indexed, "embedding", qv, 10, nprobe=16, id_col="vec_id")
+    assert A.recall_at_k(full, exact, "vec_id", 10) == 1.0
+
+
+def test_ivf_rebuild_stable(emb, qv):
+    # rebuild with the same seed → identical assignments → identical results
+    idx1, idx2 = A.IVFIndex(k=8, seed=7), A.IVFIndex(k=8, seed=7)
+    r1 = idx1.search(idx1.build(emb, "embedding"), "embedding", qv, 5, id_col="vec_id")
+    r2 = idx2.search(idx2.build(emb, "embedding"), "embedding", qv, 5, id_col="vec_id")
+    assert [x.vec_id for x in r1.collect()] == [x.vec_id for x in r2.collect()]
+
+
+def test_lsh_bucket_contains_query(emb, qv):
+    sig_s, _ = A.lsh_signature_exprs("embedding")
+    sigs = emb.withColumn("sig", F.expr(sig_s))
+    qsig = A.lsh_signature_of(qv)
+    bucket_ids = {r.vec_id for r in sigs.where(F.col("sig") == qsig).collect()}
+    assert 0 in bucket_ids  # the query vector hashes into its own bucket
+    # bucket is a real pruning (not everything in one bucket)
+    assert len(bucket_ids) < emb.count() / 4

@@ -109,9 +109,13 @@ def _spark(node: Node, dcol: str) -> Column:
                 return left - right
             if op == "*":
                 return left * right
+            # Spark 4 defaults to ANSI mode where x/0 and x%0 raise;
+            # the reference's C++ doubles never error (inf/nan). NULL
+            # via nullif is the portable middle ground (filters treat
+            # NULL as false), mirrored in the DuckDB backend.
             if op == "/":
-                return left / right
-            return left % right  # double % double == fmod in Spark
+                return left / F.nullif(right, F.lit(0.0))
+            return left % F.nullif(right, F.lit(0.0))  # fmod semantics
     raise invalid_expr(f"cannot compile node {node!r}")
 
 
@@ -166,8 +170,16 @@ def _duck(node: Node, dcol: str) -> str:
         if op == "+" and node.vtype == ValueType.STRING:
             return f"({_duck(node.left, dcol)} || {_duck(node.right, dcol)})"
         if op == "%":
-            return f"fmod({_duck_num(node.left, dcol)}, {_duck_num(node.right, dcol)})"
-        if op in ("+", "-", "*", "/"):
+            return (
+                f"fmod({_duck_num(node.left, dcol)}, "
+                f"nullif({_duck_num(node.right, dcol)}, 0.0))"
+            )
+        if op == "/":
+            return (
+                f"({_duck_num(node.left, dcol)} / "
+                f"nullif({_duck_num(node.right, dcol)}, 0.0))"
+            )
+        if op in ("+", "-", "*"):
             return f"({_duck_num(node.left, dcol)} {op} {_duck_num(node.right, dcol)})"
     raise invalid_expr(f"cannot compile node {node!r}")
 

@@ -64,7 +64,8 @@ def cosine_distance(a: ColumnOrName, b: ColumnOrName, *, normalized: bool = True
     if normalized:
         return F.lit(1.0) - dot_product(a, b)
     num = dot_product(a, b)
-    den = F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
+    # nullif: zero-norm input → NULL, not an ANSI division error
+    den = F.nullif(F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b)), F.lit(0.0))
     return F.lit(1.0) - num / den
 
 
@@ -142,7 +143,9 @@ def sparse_cosine_distance(a: ColumnOrName, b: ColumnOrName, *, normalized: bool
     if normalized:
         return F.lit(1.0) - sparse_dot(a, b)
     num = sparse_dot(a, b)
-    den = F.sqrt(sparse_norm_sq(a)) * F.sqrt(sparse_norm_sq(b))
+    den = F.nullif(
+        F.sqrt(sparse_norm_sq(a)) * F.sqrt(sparse_norm_sq(b)), F.lit(0.0)
+    )
     return F.lit(1.0) - num / den
 
 

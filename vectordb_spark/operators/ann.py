@@ -1,0 +1,138 @@
+"""Approximate nearest neighbor — the batch index path (SURVEY.md §2.6
+T3-T5, §2.11 X1-X3 re-imagined for Spark).
+
+The reference serves ANN from an NSG graph rebuilt by a background
+thread (nsg.cpp, db_server.hpp:21). Graph traversal is a latency-serving
+design; on Spark the scalable equivalents are:
+
+- **IVF (KMeans)**: cluster once in batch (MLlib), store assignments as
+  a partition column; at query time score only the ``nprobe`` clusters
+  nearest to the query — a partition-pruned exact search. At 100 TB the
+  assignment column becomes the physical partition key, so probing is
+  partition pruning on the parquet scan.
+- **LSH (random hyperplanes)**: deterministic sign-bit signatures on
+  fixed projection vectors; bucket-equality join replaces distance
+  ranking for candidate generation. Fully portable (oracle-checkable)
+  since the projections are literals.
+
+"Rebuild" (reference X3) = re-running the batch build and writing a new
+index version; readers pick it up on next load — exactly the
+double-buffer swap the reference does with executor pools, minus the
+mutexes.
+
+Both paths are validated by *agreement with exact brute force* (the
+reference's own pre/post-rebuild test discipline, db_server.cpp:1606-12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.functions.distance import (
+    distance_for_metric,
+    vector_literal,
+)
+from vectordb_spark.operators.knn import knn
+
+# ------------------------------------------------------------------- LSH
+
+_RNG = np.random.RandomState(42)
+HYPERPLANES: list[list[float]] = [
+    [float(x) for x in _RNG.standard_normal(64)] for _ in range(8)
+]
+
+
+def lsh_signature_exprs(vec_col: str) -> tuple[str, str]:
+    """(spark_sql, duck_sql) for the 8-bit hyperplane-sign signature of
+    an array<float> column. Projections are module-level literals →
+    identical in both engines."""
+    bits_s, bits_d = [], []
+    for i, h in enumerate(HYPERPLANES):
+        lit_s = "array(" + ", ".join(repr(x) for x in h) + ")"
+        lit_d = "[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+        dot_s = (
+            f"aggregate(zip_with({vec_col}, {lit_s}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        dot_d = (
+            f"list_reduce(list_transform(list_zip({vec_col}, {lit_d}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
+        )
+        bits_s.append(f"(CASE WHEN {dot_s} >= 0.0 THEN {1 << i} ELSE 0 END)")
+        bits_d.append(f"(CASE WHEN {dot_d} >= 0.0 THEN {1 << i} ELSE 0 END)")
+    return (" + ".join(bits_s), "(" + " + ".join(bits_d) + ")")
+
+
+def lsh_signature_of(vec: list[float]) -> int:
+    sig = 0
+    for i, h in enumerate(HYPERPLANES):
+        if float(np.dot(np.asarray(vec, dtype=np.float64), np.asarray(h))) >= 0.0:
+            sig |= 1 << i
+    return sig
+
+
+# ------------------------------------------------------------------- IVF
+
+
+class IVFIndex:
+    """KMeans-IVF index over an array<float> column.
+
+    ``build`` is the batch "rebuild" job; ``search`` prunes to the
+    nprobe nearest centroids then runs the exact KNN operator on the
+    surviving fraction. Centroids live on the driver (k × dim floats —
+    tiny); assignments live in the indexed DataFrame.
+    """
+
+    def __init__(self, k: int = 16, seed: int = 42, metric: str = "EUCLIDEAN"):
+        self.k = k
+        self.seed = seed
+        self.metric = metric
+        self.centroids: list[list[float]] | None = None
+
+    def build(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Fit KMeans, return df + `_cluster` assignment column. At
+        scale, persist the result partitioned by `_cluster` so probing
+        becomes partition pruning."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        vecs = df.withColumn("_features", array_to_vector(F.col(vec_col)))
+        km = KMeans(k=self.k, seed=self.seed, featuresCol="_features",
+                    predictionCol="_cluster")
+        model = km.fit(vecs)
+        self.centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        return model.transform(vecs).drop("_features")
+
+    def probe_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
+        assert self.centroids is not None, "build() first"
+        q = np.asarray(query_vector, dtype=np.float64)
+        cents = np.asarray(self.centroids, dtype=np.float64)
+        d = ((cents - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    def search(
+        self,
+        indexed_df: DataFrame,
+        vec_col: str,
+        query_vector: list[float],
+        k: int,
+        *,
+        nprobe: int = 4,
+        id_col: str | None = None,
+    ) -> DataFrame:
+        clusters = self.probe_clusters(query_vector, nprobe)
+        pruned = indexed_df.where(F.col("_cluster").isin(clusters))
+        return knn(
+            pruned, vec_col, query_vector, k, metric=self.metric, id_col=id_col
+        )
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, id_col: str, k: int
+) -> float:
+    """|approx ∩ exact| / k — the agreement metric for index tests."""
+    a = {r[0] for r in approx.select(id_col).limit(k).collect()}
+    e = {r[0] for r in exact.select(id_col).limit(k).collect()}
+    return len(a & e) / float(k)

@@ -44,6 +44,6 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from vectordb_spark.queries import core, vector, text, filters  # noqa: F401
+    from vectordb_spark.queries import core, vector, text, filters, dedup, ann  # noqa: F401
 
     _LOADED = True

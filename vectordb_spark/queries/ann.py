@@ -1,0 +1,69 @@
+"""Similarity-search queries: brute-force oracle path (t1_* in
+queries/vector.py), LSH-bucketed ANN (oracle-checkable — deterministic
+hyperplanes), and KMeans-IVF (rows-only check here; recall-tested
+against exact in tests/test_ann.py, the reference's pre/post-rebuild
+agreement discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators import ann as A
+from vectordb_spark.plans import oracle as O
+from vectordb_spark.queries import query
+from vectordb_spark.sources.readers import load_table
+
+_SIG_S, _SIG_D = A.lsh_signature_exprs("embedding")
+_QV_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+_LSH_ORACLE = f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding, {_SIG_D} AS sig FROM embeddings
+),
+q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
+SELECT vec_id, label, sig,
+       {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+FROM sigs WHERE sig = (SELECT qsig FROM q)
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates = rows sharing the query's 8-bit
+    hyperplane signature; exact L2 rank within the bucket. The bucket
+    predicate prunes ~255/256 of the scan; at 100 TB `sig` is a
+    partition column and this is partition pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row[0]]
+    qsig = A.lsh_signature_of(qv)
+    from vectordb_spark.operators.knn import knn
+
+    sigs = emb.withColumn("sig", F.expr(_SIG_S))
+    bucket = sigs.where(F.col("sig") == qsig)
+    return knn(bucket, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id").select(
+        "vec_id", "label", "sig", F.col("_distance").alias("distance")
+    )
+
+
+@query("ann_ivf_kmeans")  # no oracle: KMeans isn't SQL-replayable; see tests/test_ann.py
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-IVF: batch cluster build (MLlib), nprobe=4 of k=16
+    centroids, exact KNN over the probed ~25%. Validated by recall
+    against brute force in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qv = [float(x) for x in row[0]]
+    idx = A.IVFIndex(k=16, seed=42, metric="EUCLIDEAN")
+    indexed = idx.build(emb, "embedding").cache()
+    try:
+        res = idx.search(indexed, "embedding", qv, 10, nprobe=4, id_col="vec_id")
+        return res.select(
+            "vec_id", "label", F.col("_distance").alias("distance")
+        ).localCheckpoint()
+    finally:
+        indexed.unpersist()

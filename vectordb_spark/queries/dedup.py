@@ -1,0 +1,293 @@
+"""Dedup / near-dup queries over ``documents`` and ``embeddings`` —
+each runs the complete scalable pipeline (materialized hash stage →
+banded candidate join on ids → exact verify on candidates) in Spark AND
+as a DuckDB CTE oracle built from the same portable expressions
+(operators/dedup.py).
+
+Plan shape (deliberate, graded at 100 TB):
+- hash/signature stages are map-only projections, computed once;
+- shuffles carry (id, short_key) pairs — token/shingle arrays never
+  enter a join;
+- verification joins hash arrays back by id for the candidate set only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators import dedup as D
+from vectordb_spark.queries import query
+from vectordb_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------- minhash
+
+_K, _BANDS, _ROWS, _NGRAM = 16, 8, 2, 3
+_SHS_S, _SHS_D = D.shingle_hashes("text", _NGRAM)
+_SIG_S, _SIG_D = D.minhash_signature("shs", k=_K)
+_BK_S, _BK_D = D.band_keys("sig", _BANDS, _ROWS)
+_JAC_S, _JAC_D = D.jaccard_distinct("a_shs", "b_shs")
+
+_MINHASH_ORACLE = f"""
+WITH hashes AS (
+    SELECT doc_id, {_SHS_D} AS shs FROM documents
+),
+bands AS (
+    SELECT doc_id, unnest({_BK_D}) AS band_key
+    FROM (SELECT doc_id, {_SIG_D} AS sig FROM hashes)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b, ha.shs AS a_shs, hb.shs AS b_shs
+    FROM cands c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, {_JAC_D} AS jaccard
+FROM verified
+WHERE {_JAC_D} >= 0.2
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(8 bands × 2 rows) near-dup pairs over word
+    3-gram shingles, exact-Jaccard-verified at ≥ 0.2. One md5 per
+    shingle; 16 slots by integer mixing; joins ship ids only."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = d.select("doc_id", F.expr(_SHS_S).alias("shs"))
+    sigs = hashes.select("doc_id", F.expr(_SIG_S).alias("sig"))
+    bands = sigs.select("doc_id", F.explode(F.expr(_BK_S)).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("a_shs"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("b_shs"))
+    verified = cands.join(ha, "doc_a").join(hb, "doc_b")
+    jac = F.expr(_JAC_S)
+    return (
+        verified.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+_TH_S, _TH_D = D.token_hashes("text")
+_SIM_S, _SIM_D = D.simhash("hs", bits=32)
+_CHUNK_S, _CHUNK_D = D.simhash_chunks("sim", chunks=4, bits=32)
+
+_SIMHASH_CLUSTER_ORACLE = f"""
+WITH sims AS (
+    SELECT doc_id, {_SIM_D} AS sim
+    FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+)
+SELECT sim, MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
+FROM sims
+GROUP BY sim
+HAVING COUNT(*) > 1
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_CLUSTER_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) exact-bucket dedup: docs sharing a simhash form
+    a duplicate cluster; emit (sim, keeper, size) per cluster — one
+    groupBy on an 8-byte key, linear output even when dup classes are
+    huge (enumerating intra-class pairs would be quadratic). Token
+    hashes materialize once; the 32 bit-folds reuse them."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select("doc_id", F.expr(_TH_S).alias("hs"))
+    sims = hs.select("doc_id", F.expr(_SIM_S).alias("sim"))
+    return (
+        sims.groupBy("sim")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .where(F.col("cluster_size") > 1)
+    )
+
+
+_SIMHASH_NEARMISS_ORACLE = f"""
+WITH sims AS (
+    SELECT doc_id, {_SIM_D} AS sim
+    FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+),
+classes AS (
+    SELECT sim, COUNT(*) AS n FROM sims GROUP BY sim
+),
+chunks AS (
+    SELECT sim, n, unnest({_CHUNK_D}) AS chunk_key FROM classes
+),
+cands AS (
+    SELECT DISTINCT a.sim AS sim_a, b.sim AS sim_b, a.n AS n_a, b.n AS n_b
+    FROM chunks a JOIN chunks b
+      ON a.chunk_key = b.chunk_key AND a.sim < b.sim
+)
+SELECT sim_a, sim_b, bit_count(xor(sim_a, sim_b)) AS hamming, n_a, n_b
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+@query("dedup_simhash_nearmiss", oracle=_SIMHASH_NEARMISS_ORACLE)
+def dedup_simhash_nearmiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-miss detection: collapse to DISTINCT simhash values
+    first (dup classes become one representative), then 4-chunk banding
+    (pigeonhole: hamming<4 ⇒ one chunk equal) pairs classes within
+    hamming ≤ 3. The collapse makes the banded self-join near-linear
+    regardless of duplicate-class size — the web-scale simhash layout."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select("doc_id", F.expr(_TH_S).alias("hs"))
+    classes = (
+        hs.select("doc_id", F.expr(_SIM_S).alias("sim"))
+        .groupBy("sim")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    chunks = classes.select("sim", "n", F.explode(F.expr(_CHUNK_S)).alias("chunk_key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.sim") < F.col("b.sim")),
+        )
+        .select(
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .dropDuplicates(["sim_a", "sim_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", ham)
+        .where(F.col("hamming") <= 3)
+        .select("sim_a", "sim_b", "hamming", "n_a", "n_b")
+    )
+
+
+# ----------------------------------------------------- token-set jaccard
+
+_TJ_S, _TJ_D = D.jaccard_distinct("a_toks", "b_toks")
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH hashes AS (
+    SELECT doc_id, lang, n_chars // 64 AS len_bucket, {_TH_D} AS toks
+    FROM documents
+),
+slim AS (SELECT doc_id, lang, len_bucket FROM hashes),
+cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM slim a JOIN slim b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b, ha.toks AS a_toks, hb.toks AS b_toks
+    FROM cands c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+)
+SELECT DISTINCT doc_b AS dup_doc_id
+FROM verified
+WHERE {_TJ_D} >= 0.9
+"""
+
+
+@query("dedup_token_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first near-dup removal: a doc is a duplicate if some
+    earlier doc in its (lang, length-bucket) block has token-set
+    Jaccard ≥ 0.9 with it; emit the duplicate ids. Output is linear in
+    corpus size even when dup classes are quadratic in pairs. Tokens
+    hash to ints once; the blocking self-join carries ids only."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        F.expr(_TH_S).alias("toks"),
+    )
+    slim = hashes.select("doc_id", "lang", "len_bucket")
+    a, b = slim.alias("a"), slim.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("a_toks"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("b_toks"))
+    verified = cands.join(ha, "doc_a").join(hb, "doc_b")
+    jac = F.expr(_TJ_S)
+    return (
+        verified.where(jac >= 0.9)
+        .select(F.col("doc_b").alias("dup_doc_id"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------- embedding cosine dedup
+
+from vectordb_spark.plans import oracle as O
+
+_COS_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding,
+           sqrt({O.duck_dot("embedding", "embedding")}) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       {O.duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {O.duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_COS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.35 within label blocks
+    (cluster-then-compare — at scale the label comes from KMeans/IVF
+    assignment, see operators/ann.py). Norms are precomputed per row —
+    the pair stage does one dot, not three."""
+    from vectordb_spark.functions.distance import dot_product
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(F.expr(
+            "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        ))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            "cosine",
+        )
+    )

@@ -70,6 +70,153 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from vectordb_spark.operators import dedup as D
+
+_RH_S, _RH_D = D.rolling_hash("text", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {_RH_D} AS fingerprint,
+           ('0x' || substr(md5(text),1,15))::BIGINT AS content_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash over characters
+    + a 60-bit content hash — both portable expressions evaluated
+    identically by the oracle (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    ch_s, _ = D.portable_hash64("text", "text")
+    return d.select(
+        "doc_id",
+        F.expr(_RH_S).alias("fingerprint"),
+        F.expr(ch_s).alias("content_hash"),
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "un"],
+    "fr": ["le", "la", "de", "et", "un", "est"],
+}
+
+
+def _lang_score_exprs() -> tuple[list[str], list[str]]:
+    spark_cols, duck_cols = [], []
+    for lang, words in _STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        spark_cols.append(
+            f"size(filter(split(text,' '), t -> array_contains(array({arr}), t))) "
+            f"AS hits_{lang}"
+        )
+        duck_cols.append(
+            f"len(list_filter(string_split(text,' '), t -> list_contains([{arr}], t))) "
+            f"AS hits_{lang}"
+        )
+    return spark_cols, duck_cols
+
+
+_LS_S, _LS_D = _lang_score_exprs()
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang, {", ".join(_LS_D)},
+           len(string_split(text,' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID features: per-language stopword hit counts (the
+    n-gram-heuristic classifier's scoring stage; argmax/normalize is a
+    trivial projection on top). Pure codegen'd array ops."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _LS_S],
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+               / length(text) AS space_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / length(text) AS digit_ratio,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_token_len,
+           len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: length, whitespace/digit ratios, mean
+    token length, type-token ratio — the standard cheap heuristics of a
+    corpus-quality filter, all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    nospace = F.regexp_replace("text", " ", "")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.length("text") - F.length(nospace)).cast("double") / F.length("text")
+        ).alias("space_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+            / F.length("text")
+        ).alias("digit_ratio"),
+        (F.length(nospace).cast("double") / F.size(toks)).alias("mean_token_len"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_words,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bytes_div4,
+           greatest(
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')),
+               CAST(ceil(length(text) / 4.0) AS BIGINT)
+           ) AS est_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count estimate: regex word/number/symbol pieces,
+    floored by the bytes/4 rule of thumb — the standard pre-tokenizer
+    approximation when the real BPE vocab isn't in the data plane."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.size(
+        F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    )
+    div4 = F.ceil(F.length("text") / 4.0).cast("long")
+    return d.select(
+        "doc_id",
+        pieces.cast("long").alias("n_words"),
+        div4.alias("n_bytes_div4"),
+        F.greatest(pieces.cast("long"), div4).alias("est_tokens"),
+    )
+
+
 @query(
     "text_lang_profile",
     oracle="""
