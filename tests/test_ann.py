@@ -15,7 +15,11 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    # a lingering cache would shadow the parquet scan for every later
+    # test reading this path (plan audits would see InMemoryRelation)
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

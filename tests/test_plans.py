@@ -1,0 +1,88 @@
+"""Plan audits for the headline queries: the physical strategies that
+make these operators survive a 100×  scale-up, asserted as tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_take_ordered,
+    assert_read_schema_pruned,
+)
+from vectordb_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_scan_filter_pushdown(spark, qs):
+    # the quantity/returnflag predicates must reach the parquet scan
+    plan = assert_pushed_filters(
+        qs["s4_full_scan_filter"](spark, SF),
+        "GreaterThan(l_quantity,45.0)",
+        "EqualTo(l_returnflag,R)",
+    )
+    assert_read_schema_pruned(
+        qs["s4_full_scan_filter"](spark, SF), max_cols=5
+    )
+
+
+def test_pk_lookup_pushdown(spark, qs):
+    assert_pushed_filters(qs["s5_pk_point_lookup"](spark, SF), "In(c_custkey")
+
+
+def test_knn_is_take_ordered(spark, qs):
+    # exact KNN must plan as per-partition top-K, not a global sort
+    for name in ("t1_knn_l2", "t2_knn_prefilter", "t6_knn_postfilter_distance"):
+        assert_take_ordered(qs[name](spark, SF))
+
+
+def test_knn_prefilter_pushdown(spark, qs):
+    # the label<5 pre-filter belongs in the scan, below the distance calc
+    assert_pushed_filters(qs["t2_knn_prefilter"](spark, SF), "LessThan(label,5)")
+
+
+def test_joins_broadcast_and_no_cartesian(spark, qs):
+    for name in ("j1_broadcast_enrich", "j2_star_join_revenue", "w3_topn_per_group"):
+        df = qs[name](spark, SF)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+
+
+def test_dedup_joins_are_hash_joins(spark, qs):
+    # banded self-joins must be equi (hash) joins, never nested-loop
+    for name in ("dedup_minhash_lsh", "dedup_simhash_nearmiss", "dedup_token_jaccard"):
+        assert_no_cartesian(qs[name](spark, SF))
+
+
+def test_engine_table_scan_pushdown(spark, tmp_path):
+    # the Table API's filter language also reaches the parquet scan
+    from vectordb_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.load_db("plandb").create_table(
+        {
+            "name": "t",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {"name": "Doc", "dataType": "STRING"},
+                {
+                    "name": "v",
+                    "dataType": "VECTOR_FLOAT",
+                    "dimensions": 2,
+                    "metricType": "EUCLIDEAN",
+                },
+            ],
+        }
+    )
+    t.insert([{"ID": i, "Doc": f"d{i}", "v": [float(i), 0.0]} for i in range(10)])
+    topk = t.search_df([0.0, 0.0], limit=3, filter="ID <= 5")
+    assert_pushed_filters(topk, "LessThanOrEqual(ID,5)")
+    assert_take_ordered(topk)

@@ -44,6 +44,15 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from vectordb_spark.queries import core, vector, text, filters, dedup, ann  # noqa: F401
+    from vectordb_spark.queries import (  # noqa: F401
+        ann,
+        core,
+        dedup,
+        filters,
+        joins,
+        text,
+        vector,
+        windows,
+    )
 
     _LOADED = True

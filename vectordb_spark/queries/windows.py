@@ -1,0 +1,198 @@
+"""Window-function and time-series queries — capabilities the reference
+lacks entirely (SURVEY.md §2.5 "Window functions: none", §2.9
+"Streaming: none") but a 100 TB events pipeline needs: tumbling-window
+rollups, sessionization, top-N per key, latest-row-wins (the engine's
+own upsert internals, exposed as a query).
+
+The events table's nanosecond timestamps are read as epoch-ns BIGINT
+(sources/readers.py), so all bucket math is exact integer arithmetic —
+no float time anywhere; the DuckDB oracle uses epoch_ns(ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vectordb_spark.functions.agg import dec_sum
+from vectordb_spark.plans import oracle as O
+from vectordb_spark.queries import query
+from vectordb_spark.sources.readers import load_table
+
+_HOUR_NS = 3_600_000_000_000
+
+
+@query(
+    "w1_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // {_HOUR_NS}) * {_HOUR_NS} AS window_start_ns,
+           event_type,
+           COUNT(*) AS n_events,
+           {O.dec_sum("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup by event type. In Structured Streaming
+    the identical plan runs incrementally with a watermark
+    (streaming/ingest.py); batch and stream share the bucket math."""
+    e = load_table(spark, sf_dir, "events")
+    # integer div: ts (~1.7e18) exceeds double's 2^53 mantissa, so
+    # float division would mis-bucket events near window edges
+    wstart = F.expr(f"(ts div {_HOUR_NS}) * {_HOUR_NS}")
+    return e.groupBy(
+        wstart.alias("window_start_ns"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+_GAP_US = 1_800_000_000  # 30 min in microseconds
+
+
+@query(
+    "w2_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > {_GAP_US} OR lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_id, tus,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, MIN(tus) AS session_start_us,
+           MAX(tus) AS session_end_us, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a 30-min inactivity gap starts a new session;
+    lag → flag → running sum → per-session rollup. One shuffle on
+    user_id serves every window in the chain (same partition key)."""
+    # microsecond domain: DuckDB reads the parquet nano-timestamps at
+    # microsecond precision, so the oracle can only see epoch_us —
+    # truncate FIRST and run every comparison in us on both sides.
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts div 1000")
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "tus",
+        F.when(prev.isNull() | ((F.col("tus") - prev) > _GAP_US), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_start").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("tus").alias("session_start_us"),
+        F.max("tus").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "w3_topn_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer: ranking window over a
+    broadcast join (customer is the small dim side)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "w4_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id, value AS latest_value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w4_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the engine's upsert last-wins internal
+    (SURVEY.md §1.5: row_number over pk ordered by _row_id desc),
+    exposed over the events table."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@query(
+    "w5_running_total",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS tus,
+           CAST(SUM(CAST(value AS DECIMAL(28,4)))
+                OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user total (frame-bounded analytic window) —
+    decimal accumulation keeps the prefix sums order-exact."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts div 1000")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "tus",
+        F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
+        .alias("running_value"),
+    )

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as
+        # epoch-ns BIGINT (also set at runtime in sources.load_table
+        # for driver-owned sessions)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,85 @@
+"""Structured Streaming ingestion (SURVEY.md §2.9, S8).
+
+The reference's WAL is durability infrastructure (append log + replay,
+wal/write_ahead_log.hpp); in this engine the table manifest subsumes
+replay, and *streaming ingest* is the user-facing equivalent: a
+``readStream`` source feeding ``foreachBatch`` upserts into a Table.
+Each micro-batch commits one manifest version — exactly-once per batch
+because the manifest write is atomic and the checkpoint tracks batch
+ids.
+
+Also provides the streaming form of the tumbling rollup (w1) with a
+watermark for late data — the batch and streaming queries share the
+same aggregation shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from vectordb_spark.table import Table
+
+
+def stream_insert(
+    table: Table,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    *,
+    upsert: bool = False,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Pipe a streaming DataFrame into a Table via foreachBatch.
+
+    Per-batch semantics match the batch API exactly (PK dedup / upsert
+    last-wins inside each micro-batch, then against the table) — the
+    reference's WAL-replay ordering guarantee, expressed as micro-batch
+    ordering.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.insert_df(batch_df, upsert=upsert)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — works on a streaming OR
+    batch events frame (ts in epoch-ns). The watermark bounds state for
+    late data on streams; on batch frames it is a no-op."""
+    with_ts = events.withColumn(
+        "_event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("_event_time", watermark)
+    return with_ts.groupBy(
+        F.window("_event_time", window).alias("w"), F.col(key_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        key_col,
+        "n_events",
+        "min_value",
+        "max_value",
+    )
