@@ -31,6 +31,11 @@ from vectordb_spark.sources.readers import TESTDATA_TABLES
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # array-valued cells (Spark arrays / DuckDB lists) → tuples so they
+    # compare and sort deterministically
+    for col in df.columns:
+        if len(df) and isinstance(df[col].iloc[0], (list, np.ndarray)):
+            df[col] = df[col].map(lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v))
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df

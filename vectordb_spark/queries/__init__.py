@@ -49,7 +49,9 @@ def _load() -> None:
         core,
         dedup,
         filters,
+        extras,
         joins,
+        sparse,
         text,
         vector,
         windows,

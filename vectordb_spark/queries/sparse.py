@@ -1,0 +1,111 @@
+"""Sparse-vector queries over real pipeline data: TF (term-frequency)
+bag-of-words sparse encodings of ``documents``, then sparse KNN with
+the engine's sparse distance operators — all oracle-checked (SURVEY.md
+§1.2 sparse model, §2.6 sparse distances; reference
+engine/db/vector.cpp:7-100).
+
+The sparse wire format is {indices sorted ascending, values}; here
+indices are 60-bit token hashes (the hashed vocabulary space — exactly
+how a 100 TB TF pipeline avoids a global vocabulary build) and values
+are term counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators import dedup as D
+from vectordb_spark.queries import query
+from vectordb_spark.sources.readers import load_table
+
+_TH_S, _TH_D = D.token_hashes("text")
+
+_IDX_S = "array_sort(array_distinct(hs))"
+_IDX_D = "list_sort(list_distinct(hs))"
+_VAL_S = f"transform({_IDX_S}, i -> CAST(size(filter(hs, h -> h = i)) AS FLOAT))"
+_VAL_D = f"list_transform({_IDX_D}, i -> CAST(len(list_filter(hs, h -> h = i)) AS FLOAT))"
+
+
+@query(
+    "sparse_tf_vectors",
+    oracle=f"""
+    SELECT doc_id, {_IDX_D} AS indices, {_VAL_D} AS tf_values,
+           len({_IDX_D}) AS nnz
+    FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+    """,
+)
+def sparse_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF sparse encoding: indices = sorted distinct token hashes,
+    values = counts. Satisfies the engine's sparse validation rules
+    (strictly increasing indices) by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select("doc_id", F.expr(_TH_S).alias("hs"))
+    return hs.select(
+        "doc_id",
+        F.expr(_IDX_S).alias("indices"),
+        F.expr(_VAL_S).alias("tf_values"),
+        F.size(F.expr(_IDX_S)).alias("nnz"),
+    )
+
+
+# sparse dot of each doc's TF vector against doc 0's — folded over the
+# ROW's indices with a lookup into the query's arrays, mirroring
+# functions.distance.sparse_dot (reference merge-join vector.cpp:30-56).
+# DuckDB lambdas can't contain subqueries, so the query vector joins in
+# as plain columns (q_idx, q_val) first.
+_DOT_D = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip(indices, tf_values), "
+    "p -> CAST(p[2] AS DOUBLE) * "
+    "coalesce(CAST(q_val[list_position(q_idx, p[1])] AS DOUBLE), 0.0))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "sparse_knn_tf_dot",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, {_IDX_D} AS indices, {_VAL_D} AS tf_values
+        FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+    ),
+    q AS (
+        SELECT indices AS q_idx, tf_values AS q_val FROM tf WHERE doc_id = 0
+    )
+    SELECT doc_id, -({_DOT_D}) AS distance
+    FROM tf CROSS JOIN q
+    ORDER BY distance, doc_id
+    LIMIT 10
+    """,
+)
+def sparse_knn_tf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse KNN: top-10 docs by DOT_PRODUCT distance (-dot, ascending
+    ⇒ most similar first) against doc 0's TF vector, through the
+    engine's sparse distance Column (map-lookup fold over the row's
+    indices)."""
+    from vectordb_spark.functions.distance import sparse_dot_product_distance
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select("doc_id", F.expr(_TH_S).alias("hs")).select(
+        "doc_id",
+        F.struct(
+            F.expr(_IDX_S).alias("indices"),
+            F.expr(_VAL_S).alias("values"),
+        ).alias("vec"),
+    )
+    qrow = tf.where(F.col("doc_id") == 0).select("vec").head()
+    q_idx = [int(i) for i in qrow[0]["indices"]]
+    q_val = [float(v) for v in qrow[0]["values"]]
+    qcol = F.struct(
+        F.array(*[F.lit(i) for i in q_idx]).alias("indices"),
+        F.array(*[F.lit(v) for v in q_val]).cast("array<float>").alias("values"),
+    )
+    out = tf.withColumn(
+        "distance", sparse_dot_product_distance(F.col("vec"), qcol)
+    )
+    return (
+        out.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "distance")
+    )
