@@ -1,0 +1,91 @@
+"""Table-level IVF index: rebuild job, partition-pruned search, hybrid
+tail merge — mirroring the reference's pre/post-rebuild agreement tests
+(db_server.cpp: QueryDenseVectorDuringRebuild etc.)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from vectordb_spark.catalog import Warehouse
+
+SCHEMA = {
+    "name": "vecs",
+    "fields": [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {
+            "name": "Embedding",
+            "dataType": "VECTOR_FLOAT",
+            "dimensions": 4,
+            "metricType": "EUCLIDEAN",
+        },
+    ],
+}
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic, mildly clustered vectors
+    return [
+        float((i * 37 % 100) / 100.0),
+        float((i * 53 % 100) / 100.0),
+        float((i % 10) / 10.0),
+        float(i % 3),
+    ]
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.load_db("idxdb").create_table(SCHEMA)
+    t.insert([{"ID": i, "Embedding": _vec(i)} for i in range(200)])
+    return t
+
+
+def test_rebuild_and_search(table):
+    info = table.rebuild("Embedding", k=8)
+    assert info["version"] == 1 and info["indexedRecords"] == 200
+    q = _vec(17)
+    exact = [r._row_id for r in table.search_df(q, limit=5).collect()]
+    # full probe == exact (every cluster scanned)
+    full = [
+        r._row_id
+        for r in table.search_indexed_df(q, limit=5, nprobe=8).collect()
+    ]
+    assert full == exact
+    # partial probe: the query's own row must be found (it is in the
+    # probed nearest cluster by construction)
+    part = table.search_indexed_df(q, limit=5, nprobe=2).collect()
+    # stored vectors are float32; the double query literal differs in
+    # the last ulp → distance ~1e-16, not exactly 0
+    assert part[0]["ID"] == 17 and part[0]["_distance"] < 1e-10
+
+
+def test_hybrid_tail_search(table):
+    table.rebuild("Embedding", k=8)
+    # rows inserted AFTER the build are unindexed; hybrid search must
+    # still see them (reference T5 merge)
+    table.insert([{"ID": 999, "Embedding": [10.0, 10.0, 10.0, 10.0]}])
+    res = table.search_indexed_df([10.0, 10.0, 10.0, 10.0], limit=1, nprobe=1)
+    assert res.head()["ID"] == 999
+
+
+def test_rebuild_versions(table):
+    v1 = table.rebuild("Embedding", k=8)
+    table.insert([{"ID": 500, "Embedding": _vec(500)}])
+    v2 = table.rebuild("Embedding", k=8)
+    assert v2["version"] == v1["version"] + 1
+    assert v2["indexedRecords"] == 201
+    # after rebuild the tail is empty → pure index path, still exact at
+    # full probe
+    q = _vec(500)
+    res = table.search_indexed_df(q, limit=1, nprobe=8)
+    assert res.head()["ID"] == 500
+
+
+def test_index_with_filter(table):
+    table.rebuild("Embedding", k=8)
+    q = _vec(17)
+    res = table.search_indexed_df(q, limit=5, nprobe=8, filter="ID <= 20")
+    rows = res.collect()
+    assert rows and all(r["ID"] <= 20 for r in rows)

@@ -576,6 +576,100 @@ class Table:
 
     # ------------------------------------------------------------ utilities
 
+    # ------------------------------------------------------------- indexes
+
+    def rebuild(
+        self, field: str, *, index_type: str = "IVF", k: int = 16, seed: int = 42
+    ) -> dict:
+        """Batch ANN index (re)build — the reference's background
+        rebuild (X3, table_mvp.cpp:94-203) as an explicit job. Writes a
+        new index version: the vector column + _row_id reorganized into
+        a parquet dir PARTITIONED BY cluster (at scale, probing is
+        partition pruning on this table), plus centroids in the
+        manifest. Readers pick up the new version on next query — the
+        double-buffer swap without mutexes."""
+        f = self.schema.get(field)
+        if f is None or not f.field_type.is_dense_vector:
+            raise VectorDBError(
+                "INVALID_PAYLOAD", f"Field {field} is not a dense vector field."
+            )
+        if index_type.upper() != "IVF":
+            raise VectorDBError(
+                "NOT_IMPLEMENTED_ERROR", f"Index type {index_type} not supported."
+            )
+        from vectordb_spark.operators.ann import IVFIndex
+
+        meta = self._load_meta()
+        df = self.df()
+        idx = IVFIndex(k=k, seed=seed, metric=f.metric or "EUCLIDEAN")
+        assigned = idx.build(df.select("_row_id", field), field)
+        version = meta.get("indexes", {}).get(field, {}).get("version", 0) + 1
+        name = f"index_{field}_v{version}"
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("_cluster")
+            .parquet(os.path.join(self.path, name))
+        )
+        indexed_up_to = meta["next_row_id"]
+        meta.setdefault("indexes", {})[field] = {
+            "type": "IVF",
+            "k": k,
+            "seed": seed,
+            "version": version,
+            "dir": name,
+            "metric": f.metric or "EUCLIDEAN",
+            "centroids": idx.centroids,
+            "indexed_up_to": indexed_up_to,
+        }
+        self._save_meta(meta)
+        return {"field": field, "version": version, "indexedRecords": indexed_up_to}
+
+    def search_indexed_df(
+        self,
+        query_vector,
+        *,
+        query_field: str | None = None,
+        limit: int,
+        nprobe: int = 4,
+        filter: str = "",
+    ) -> DataFrame:
+        """ANN search via the IVF index + brute-forced unindexed tail —
+        the reference's hybrid indexed+tail search (T5,
+        vec_search_executor.cpp:885-914): graph/index over rows present
+        at build time, exact scan over rows inserted since, merged
+        top-K. Index candidates come from the nprobe nearest cluster
+        partitions only."""
+        from vectordb_spark.operators.ann import IVFIndex
+
+        f = self._resolve_query_field(query_field, None)
+        meta = self._load_meta()
+        info = meta.get("indexes", {}).get(f.name)
+        if info is None:
+            return self.search_df(
+                query_vector, query_field=f.name, limit=limit, filter=filter
+            )
+        idx = IVFIndex(k=info["k"], seed=info["seed"], metric=info["metric"])
+        idx.centroids = info["centroids"]
+        q = _normalize_dense_query(query_vector, f)
+        clusters = idx.probe_clusters(q, nprobe)
+        index_df = self.spark.read.parquet(os.path.join(self.path, info["dir"]))
+        cand_ids = index_df.where(F.col("_cluster").isin(clusters)).select("_row_id")
+        base = self.df()
+        candidates = base.join(cand_ids, "_row_id", "left_semi").unionByName(
+            base.where(F.col("_row_id") >= info["indexed_up_to"])  # unindexed tail
+        ).dropDuplicates(["_row_id"])
+        ast = parse_filter(filter, self.field_map())
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        dist = distance_for_metric(info["metric"], F.col(f.name), qcol)
+        out = candidates
+        post = ast is not None and references_distance(ast)
+        if ast is not None and not post:
+            out = out.where(to_spark_column(ast))
+        out = out.withColumn("_distance", dist)
+        if post:
+            out = out.where(to_spark_column(ast))
+        return out.orderBy(F.col("_distance").asc(), F.col("_row_id").asc()).limit(limit)
+
     def insert_prepare(self, primary_keys: list | None = None) -> dict:
         """Reference S2 (table_segment_mvp.cpp:816-876): capacity,
         record count, and 32-bit-packed PK-existence bitmasks."""
