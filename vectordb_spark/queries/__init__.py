@@ -50,8 +50,10 @@ def _load() -> None:
         dedup,
         filters,
         extras,
+        fusion,
         joins,
         sparse,
+        tpch,
         text,
         vector,
         windows,

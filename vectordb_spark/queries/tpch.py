@@ -1,0 +1,122 @@
+"""TPC-H-analog headline queries over the testdata star schema — the
+classic analytics shapes (Q1/Q3/Q6 equivalents) that anchor the bench:
+wide aggregation, join + top-K by computed measure, selective filter +
+product sum. All float sums go through decimal accumulation so results
+are partition-order-independent (functions/agg.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.functions.agg import dec_avg, dec_sum
+from vectordb_spark.plans import oracle as O
+from vectordb_spark.queries import query
+from vectordb_spark.sources.readers import load_table
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {O.dec_sum("l_quantity")} AS sum_qty,
+           {O.dec_sum("l_extendedprice")} AS sum_base_price,
+           {O.dec_sum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+           {O.dec_sum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 8)} AS sum_charge,
+           {O.dec_avg("l_quantity")} AS avg_qty,
+           {O.dec_avg("l_discount", 6)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: wide pricing-summary aggregation — one pass, partial
+    aggregation map-side, six decimal-exact measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price, 6).alias("sum_disc_price"),
+            dec_sum(charge, 8).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_discount", 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_top_orders",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {O.dec_sum("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+    GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: segment filter → star join → revenue rollup → top-10 by
+    computed measure (TakeOrdered over the aggregate)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(
+            o.where(F.col("o_orderstatus") != "F"), li.l_orderkey == o.o_orderkey
+        )
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dec_sum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {O.dec_sum("l_extendedprice * l_discount", 6)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: selective scan (all three predicates pushed to parquet) +
+    single product-sum — the pure scan-throughput probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
