@@ -367,6 +367,18 @@ def test_auto_embedding_text_search(warehouse):
     assert out["result"][1]["ID"] == 3
 
 
+def test_time_travel(cities):
+    # v1 = initial insert; delete creates v2; v1 must stay readable
+    assert cities.versions() == [0, 1]
+    cities.delete(primary_keys=[1, 2])
+    assert cities.versions() == [0, 1, 2]
+    assert cities.df().count() == 3
+    assert cities.df(version=1).count() == 5  # pre-delete snapshot
+    assert cities.df(version=0).count() == 0  # empty table at creation
+    with pytest.raises(VectorDBError):
+        cities.df(version=99)
+
+
 def test_schema_validation_errors(warehouse):
     db = warehouse.load_db("valdb")
     with pytest.raises(VectorDBError):

@@ -166,6 +166,35 @@ def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ JSON field
+
+
+@query(
+    "json_props_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           COUNT(*) AS n,
+           {O.dec_sum("value")} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field addressing — the reference stores JSON opaquely and
+    rejects it in filters (expr.cpp:672-673); Spark's get_json_object
+    makes it queryable (beyond-parity, like A6). Buckets events by the
+    numeric props.k."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10").alias(
+            "k_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
 # ------------------------------------------------- insert-prepare masks
 
 

@@ -115,15 +115,36 @@ class Table:
 
     # ---------------------------------------------------------------- read
 
-    def df(self) -> DataFrame:
-        """Current snapshot incl. ``_row_id``."""
+    def df(self, version: int | None = None) -> DataFrame:
+        """Snapshot incl. ``_row_id``. ``version=None`` reads the
+        current manifest; an integer time-travels to that committed
+        version (data dirs are immutable, so every recorded manifest
+        stays readable — the table-format time-travel property)."""
         meta = self._load_meta()
-        paths = [os.path.join(self.path, p) for p in meta["files"]]
+        if version is None:
+            files = meta["files"]
+        else:
+            if version == meta["version"]:
+                files = meta["files"]
+            else:
+                hist = {h["version"]: h["files"] for h in meta.get("history", [])}
+                if version not in hist:
+                    raise VectorDBError(
+                        "VERSION_NOT_FOUND",
+                        f"Version {version} not in table history.",
+                    )
+                files = hist[version]
+        paths = [os.path.join(self.path, p) for p in files]
         if not paths:
             return self.spark.createDataFrame(
                 [], self.schema.to_spark_schema(with_row_id=True)
             )
         return self.spark.read.parquet(*paths)
+
+    def versions(self) -> list[int]:
+        meta = self._load_meta()
+        hist = [h["version"] for h in meta.get("history", [])]
+        return sorted({*hist, meta["version"]})
 
     def field_map(self) -> dict[str, FieldType]:
         fm = {
@@ -319,7 +340,13 @@ class Table:
             return 0
         return self.df().count()
 
+    def _record_history(self, meta: dict) -> None:
+        meta.setdefault("history", []).append(
+            {"version": meta["version"], "files": list(meta["files"])}
+        )
+
     def _append(self, new_df: DataFrame, meta: dict, next_row_id: int) -> None:
+        self._record_history(meta)
         version = meta["version"] + 1
         name = f"add_{version}"
         new_df.write.mode("overwrite").parquet(os.path.join(self.path, name))
@@ -330,6 +357,7 @@ class Table:
         self._save_meta(meta)
 
     def _write_base(self, df: DataFrame, meta: dict, next_row_id: int) -> None:
+        self._record_history(meta)
         version = meta["version"] + 1
         name = f"base_{version}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, name))
