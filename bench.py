@@ -40,6 +40,16 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "p2_lang_arith",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q6_forecast_revenue",
+    "fusion_rrf",
+    "w1_tumbling_window",
+    "w2_sessionize",
+    "w3_topn_per_group",
+    "j2_star_join_revenue",
+    "sparse_knn_tf_dot",
+    "json_props_extract",
 ]
 
 
