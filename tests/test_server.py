@@ -1,0 +1,125 @@
+"""REST facade e2e: reference-style endpoint flows over a live server
+(the reference's own test discipline — API-level end-to-end,
+db_server.cpp / concurrency/test.py)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from vectordb_spark.embedding import MockEmbedder
+from vectordb_spark.server import make_server
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, tmp_path_factory):
+    srv = make_server(
+        spark,
+        str(tmp_path_factory.mktemp("wh")),
+        port=0,  # ephemeral
+        embedder=MockEmbedder(dimension=8),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _call(base: str, method: str, path: str, payload=None):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload or {}).encode(),
+        method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_full_rest_flow(base_url):
+    code, out = _call(base_url, "POST", "/api/load", {"name": "restdb"})
+    assert code == 200, out
+
+    schema = {
+        "name": "MyTable",
+        "fields": [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Doc", "dataType": "STRING"},
+            {
+                "name": "Embedding",
+                "dataType": "VECTOR_FLOAT",
+                "dimensions": 4,
+                "metricType": "EUCLIDEAN",
+            },
+        ],
+    }
+    code, out = _call(base_url, "POST", "/api/restdb/schema/tables", schema)
+    assert code == 200, out
+
+    records = [
+        {"ID": i, "Doc": f"doc{i}", "Embedding": [i * 0.1, 0.2, 0.3, 0.4]}
+        for i in range(5)
+    ]
+    code, out = _call(
+        base_url, "POST", "/api/restdb/data/insert",
+        {"table": "MyTable", "data": records},
+    )
+    assert code == 200 and out["result"] == {"inserted": 5, "skipped": 0}
+
+    code, out = _call(
+        base_url, "POST", "/api/restdb/data/query",
+        {
+            "table": "MyTable",
+            "queryVector": [0.25, 0.2, 0.3, 0.4],
+            "limit": 2,
+            "withDistance": True,
+        },
+    )
+    assert code == 200
+    docs = [r["Doc"] for r in out["result"]["result"]]
+    assert docs[0] in ("doc2", "doc3")
+    assert "@distance" in out["result"]["result"][0]
+
+    code, out = _call(
+        base_url, "POST", "/api/restdb/data/get",
+        {"table": "MyTable", "filter": "ID >= 3", "response": ["ID"]},
+    )
+    assert code == 200
+    assert sorted(r["ID"] for r in out["result"]["result"]) == [3, 4]
+
+    code, out = _call(
+        base_url, "POST", "/api/restdb/data/delete",
+        {"table": "MyTable", "primaryKeys": [0, 1]},
+    )
+    assert code == 200 and out["result"] == {"deleted": 2}
+
+    code, out = _call(
+        base_url, "GET", "/api/restdb/statistics?table=MyTable"
+    )
+    assert code == 200 and out["result"] == {"totalRecords": 3}
+
+    code, out = _call(base_url, "GET", "/api/restdb/schema/tables/show")
+    assert out["result"] == ["MyTable"]
+
+
+def test_rest_error_envelopes(base_url):
+    # missing table key → 400 with reference-style message
+    code, out = _call(base_url, "POST", "/api/restdb/data/insert", {"data": []})
+    assert code == 400
+    assert "missing in your payload" in out["message"]
+    # unknown route → 400/404-ish envelope, not a crash
+    code, out = _call(base_url, "POST", "/api/restdb/data/nope", {})
+    assert code == 400
+    # bad filter surfaces the expression error
+    code, out = _call(
+        base_url, "POST", "/api/restdb/data/get",
+        {"table": "MyTable", "filter": "ID & 1"},
+    )
+    assert code == 400
+    assert "bitwise" in out["message"]

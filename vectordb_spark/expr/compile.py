@@ -170,8 +170,12 @@ def _duck(node: Node, dcol: str) -> str:
         if op == "+" and node.vtype == ValueType.STRING:
             return f"({_duck(node.left, dcol)} || {_duck(node.right, dcol)})"
         if op == "%":
+            # DuckDB's fmod() is floored-mod (sign of divisor); its %
+            # operator is C fmod (sign of dividend) — which is what the
+            # reference's std::fmod and Spark's % do. Found by the
+            # hypothesis fuzzer on a negative divisor.
             return (
-                f"fmod({_duck_num(node.left, dcol)}, "
+                f"({_duck_num(node.left, dcol)} % "
                 f"nullif({_duck_num(node.right, dcol)}, 0.0))"
             )
         if op == "/":

@@ -62,16 +62,16 @@ def p3_arith_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p3_fmod_filter",
     oracle="""
-    SELECT o_orderkey, fmod(o_totalprice, 7.0) AS price_mod
+    SELECT o_orderkey, o_totalprice % 7.0 AS price_mod
     FROM orders
-    WHERE fmod(o_totalprice, 7.0) < 1.5
+    WHERE o_totalprice % 7.0 < 1.5
     """,
 )
 def p3_fmod_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`%` is C fmod in the reference (expr_evaluator.cpp:156-160):
-    result takes the dividend's sign. Spark's `%` on doubles has fmod
-    semantics already; DuckDB's `%` on doubles does too, but fmod() is
-    explicit in the oracle."""
+    result takes the dividend's sign. Spark's `%` and DuckDB's `%` on
+    doubles both match; DuckDB's fmod() does NOT (it is floored-mod,
+    sign of divisor) — never use it in oracles."""
     o = load_table(spark, sf_dir, "orders")
     m = F.col("o_totalprice") % F.lit(7.0)
     return (

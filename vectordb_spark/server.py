@@ -1,0 +1,174 @@
+"""REST facade — the reference's HTTP surface on the Spark engine
+(reference engine/server/web_server/web_controller.hpp; endpoint paths
+and response envelopes {statusCode, message, result} kept compatible so
+a pyepsilla-style client can point here).
+
+stdlib http.server only (no framework in this environment); requests
+execute sequentially against the shared SparkSession, mirroring the
+reference's per-table single-writer discipline. This is an integration
+surface, not a latency tier — Spark answers in 100s of ms; the win is
+that the SAME engine serves the 100 TB batch path and the API.
+
+Routes (reference web_controller.hpp line refs):
+  POST   /api/load                                   (:79)
+  POST   /api/{db}/unload                            (:148)
+  POST   /api/{db}/schema/tables                     (:236)
+  DELETE /api/{db}/schema/tables/{table}             (:375)
+  GET    /api/{db}/schema/tables/show                (:412)
+  POST   /api/{db}/data/insert                       (:436)
+  POST   /api/{db}/data/insertprepare                (:511)
+  POST   /api/{db}/data/delete                       (:557)
+  GET    /api/{db}/statistics?table=                 (:626)
+  POST   /api/{db}/data/query                        (:646)
+  POST   /api/{db}/data/get                          (:868)
+  POST   /api/rebuild                                (:967)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from vectordb_spark.catalog import Warehouse
+from vectordb_spark.schema import VectorDBError
+
+
+class EngineAPI:
+    """Route table + handlers bound to a Warehouse."""
+
+    def __init__(self, spark: SparkSession, warehouse_root: str, *, embedder=None):
+        self.warehouse = Warehouse(spark, warehouse_root)
+        self.embedder = embedder
+        self._lock = threading.Lock()  # single-writer discipline
+
+    # each handler: (payload, path_params, query_params) -> result dict
+
+    def handle(self, method: str, path: str, payload: dict, qs: dict) -> tuple[int, dict]:
+        try:
+            with self._lock:
+                return 200, self._route(method, path, payload, qs)
+        except VectorDBError as e:
+            code = 400 if e.code != "DB_UNEXPECTED_ERROR" else 500
+            return code, {"statusCode": code, "message": e.message}
+        except KeyError as e:
+            return 400, {"statusCode": 400, "message": f"{e.args[0]} is missing in your payload."}
+        except Exception as e:  # engine errors surface as 500 like the reference
+            return 500, {"statusCode": 500, "message": str(e)}
+
+    def _route(self, method: str, path: str, p: dict, qs: dict) -> dict:
+        if method == "POST" and path == "/api/load":
+            db = self.warehouse.load_db(p["name"], p.get("path"))
+            return _ok(f"Load/Create {db.name} successfully.")
+        if m := re.fullmatch(r"/api/([^/]+)/unload", path):
+            self.warehouse.unload_db(m.group(1))
+            return _ok(f"Unload {m.group(1)} successfully.")
+        if m := re.fullmatch(r"/api/([^/]+)/schema/tables", path):
+            db = self.warehouse.database(m.group(1))
+            db.create_table(p, embedder=self.embedder)
+            return _ok(f"Create {p['name']} successfully.")
+        if method == "DELETE" and (m := re.fullmatch(r"/api/([^/]+)/schema/tables/([^/]+)", path)):
+            self.warehouse.database(m.group(1)).drop_table(m.group(2))
+            return _ok(f"Drop {m.group(2)} successfully.")
+        if method == "GET" and (m := re.fullmatch(r"/api/([^/]+)/schema/tables/show", path)):
+            return _ok("ok", result=self.warehouse.database(m.group(1)).list_tables())
+        if m := re.fullmatch(r"/api/([^/]+)/data/insert", path):
+            t = self._table(m.group(1), p["table"])
+            res = t.insert(p["data"], upsert=bool(p.get("upsert", False)))
+            return _ok(f"Insert data to {p['table']} successfully.", result=res)
+        if m := re.fullmatch(r"/api/([^/]+)/data/insertprepare", path):
+            t = self._table(m.group(1), p["table"])
+            res = t.insert_prepare(p.get("primaryKeys"))
+            return _ok("ok", result=res)
+        if m := re.fullmatch(r"/api/([^/]+)/data/delete", path):
+            t = self._table(m.group(1), p["table"])
+            res = t.delete(p.get("primaryKeys"), p.get("filter", ""))
+            return _ok(f"Delete data from {p['table']} successfully.", result=res)
+        if method == "GET" and (m := re.fullmatch(r"/api/([^/]+)/statistics", path)):
+            t = self._table(m.group(1), qs["table"][0])
+            return _ok("ok", result=t.statistics())
+        if m := re.fullmatch(r"/api/([^/]+)/data/query", path):
+            t = self._table(m.group(1), p["table"])
+            out = t.query(
+                query_vector=p.get("queryVector"),
+                query_text=p.get("query"),
+                query_field=p.get("queryField"),
+                query_index=p.get("queryIndex"),
+                limit=int(p["limit"]),
+                response=p.get("response"),
+                filter=p.get("filter", ""),
+                with_distance=bool(p.get("withDistance", False)),
+                facets=p.get("facets"),
+            )
+            return _ok(f"Query {p['table']} successfully.", result=out)
+        if m := re.fullmatch(r"/api/([^/]+)/data/get", path):
+            t = self._table(m.group(1), p["table"])
+            out = t.get(
+                response=p.get("response"),
+                filter=p.get("filter", ""),
+                skip=int(p.get("skip", 0)),
+                limit=int(p.get("limit", 2**30)),
+                primary_keys=p.get("primaryKeys"),
+                facets=p.get("facets"),
+            )
+            return _ok(f"Get data from {p['table']} successfully.", result=out)
+        if method == "POST" and path == "/api/rebuild":
+            db = self.warehouse.database(p["db"])
+            t = db.table(p["table"], embedder=self.embedder)
+            res = t.rebuild(p["field"], k=int(p.get("k", 16)))
+            return _ok("Rebuild finished.", result=res)
+        raise VectorDBError("NOT_FOUND", f"No route {method} {path}")
+
+    def _table(self, db_name: str, table_name: str):
+        return self.warehouse.database(db_name).table(table_name, embedder=self.embedder)
+
+
+def _ok(message: str, result=None) -> dict:
+    out = {"statusCode": 200, "message": message}
+    if result is not None:
+        out["result"] = result
+    return out
+
+
+def make_server(
+    spark: SparkSession, warehouse_root: str, *, host: str = "127.0.0.1",
+    port: int = 8888, embedder=None,
+) -> ThreadingHTTPServer:
+    api = EngineAPI(spark, warehouse_root, embedder=embedder)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self):
+            parsed = urlparse(self.path)
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            body = self.rfile.read(length).decode() if length else "{}"
+            try:
+                payload = json.loads(body) if body.strip() else {}
+            except json.JSONDecodeError:
+                code, out = 400, {"statusCode": 400, "message": "Invalid payload."}
+            else:
+                code, out = api.handle(
+                    self.command, parsed.path, payload, parse_qs(parsed.query)
+                )
+            data = json.dumps(out).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        do_GET = do_POST = do_DELETE = _respond
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(spark: SparkSession, warehouse_root: str, **kw) -> None:
+    srv = make_server(spark, warehouse_root, **kw)
+    print(f"vectordb_spark REST on {srv.server_address}")
+    srv.serve_forever()
