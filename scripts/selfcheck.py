@@ -50,6 +50,12 @@ def _compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[s
         errs.append(f"columns: spark={scols} duck={dcols}")
     if errs:
         return errs
+    # dtype parity: the driver's "schema" check may include types, so
+    # int32-vs-int64 style drift between engines is treated as a failure
+    for col in scols:
+        sd, dd = str(spark_df[col].dtype), str(duck_df[col].dtype)
+        if sd != dd:
+            errs.append(f"dtype {col}: spark={sd} duck={dd}")
     s, d = _normalize(spark_df), _normalize(duck_df)
     for col in s.columns:
         sv, dv = s[col].to_numpy(), d[col].to_numpy()

@@ -137,7 +137,7 @@ cands AS (
     FROM chunks a JOIN chunks b
       ON a.chunk_key = b.chunk_key AND a.sim < b.sim
 )
-SELECT sim_a, sim_b, bit_count(xor(sim_a, sim_b)) AS hamming, n_a, n_b
+SELECT sim_a, sim_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming, n_a, n_b
 FROM cands
 WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """

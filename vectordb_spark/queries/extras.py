@@ -202,9 +202,9 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s2_insert_prepare_mask",
     oracle="""
     SELECT pos // 32 AS mask_idx,
-           SUM(CASE WHEN EXISTS (
+           CAST(SUM(CASE WHEN EXISTS (
                    SELECT 1 FROM customer c WHERE c.c_custkey = p.pos
-               ) THEN 1 << (pos % 32) ELSE 0 END) AS mask
+               ) THEN 1 << (pos % 32) ELSE 0 END) AS BIGINT) AS mask
     FROM (SELECT unnest(generate_series(0, 199)) AS pos) p
     GROUP BY 1
     """,

@@ -64,8 +64,8 @@ def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.select(
         "vec_id",
         "label",
-        F.row_number().over(W.orderBy("d_l2", "vec_id")).alias("r_l2"),
-        F.row_number().over(W.orderBy("d_dot", "vec_id")).alias("r_dot"),
+        F.row_number().over(W.orderBy("d_l2", "vec_id")).cast("long").alias("r_l2"),
+        F.row_number().over(W.orderBy("d_dot", "vec_id")).cast("long").alias("r_dot"),
     )
     rrf = (F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_l2"))) + (
         F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dot"))

@@ -45,7 +45,7 @@ def sparse_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(_IDX_S).alias("indices"),
         F.expr(_VAL_S).alias("tf_values"),
-        F.size(F.expr(_IDX_S)).alias("nnz"),
+        F.size(F.expr(_IDX_S)).cast("long").alias("nnz"),
     )
 
 

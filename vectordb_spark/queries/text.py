@@ -28,8 +28,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
-        F.length("text").alias("text_len"),
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
     )
 
 
@@ -138,8 +138,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        *[F.expr(e.split(" AS ")[0]).alias(e.split(" AS ")[1]) for e in _LS_S],
-        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        *[F.expr(e.split(" AS ")[0]).cast("long").alias(e.split(" AS ")[1]) for e in _LS_S],
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
     )
 
 
@@ -170,8 +170,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     nospace = F.regexp_replace("text", " ", "")
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
         (
             (F.length("text") - F.length(nospace)).cast("double") / F.length("text")
         ).alias("space_ratio"),
@@ -180,7 +180,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.length("text")
         ).alias("digit_ratio"),
         (F.length(nospace).cast("double") / F.size(toks)).alias("mean_token_len"),
-        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
             "type_token_ratio"
         ),
@@ -222,7 +222,7 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang, source
     """,

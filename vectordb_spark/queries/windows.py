@@ -71,7 +71,8 @@ _GAP_US = 1_800_000_000  # 30 min in microseconds
                                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
-    SELECT user_id, session_id, MIN(tus) AS session_start_us,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(tus) AS session_start_us,
            MAX(tus) AS session_end_us, COUNT(*) AS n_events
     FROM sessions
     GROUP BY user_id, session_id
@@ -131,7 +132,7 @@ def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
     )
