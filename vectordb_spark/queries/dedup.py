@@ -30,25 +30,20 @@ _JAC_S, _JAC_D = D.jaccard_distinct("a_shs", "b_shs")
 
 _MINHASH_ORACLE = f"""
 WITH hashes AS (
-    SELECT doc_id, {_SHS_D} AS shs FROM documents
+    SELECT doc_id, list_distinct({_SHS_D}) AS shs FROM documents
 ),
 bands AS (
-    SELECT doc_id, unnest({_BK_D}) AS band_key
-    FROM (SELECT doc_id, {_SIG_D} AS sig FROM hashes)
+    SELECT doc_id, shs, unnest({_BK_D}) AS band_key
+    FROM (SELECT doc_id, shs, {_SIG_D} AS sig FROM hashes)
 ),
 cands AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.shs AS a_shs, b.shs AS b_shs
     FROM bands a JOIN bands b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-verified AS (
-    SELECT c.doc_a, c.doc_b, ha.shs AS a_shs, hb.shs AS b_shs
-    FROM cands c
-    JOIN hashes ha ON ha.doc_id = c.doc_a
-    JOIN hashes hb ON hb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, {_JAC_D} AS jaccard
-FROM verified
+FROM cands
 WHERE {_JAC_D} >= 0.2
 """
 
@@ -57,11 +52,15 @@ WHERE {_JAC_D} >= 0.2
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands × 2 rows) near-dup pairs over word
     3-gram shingles, exact-Jaccard-verified at ≥ 0.2. One md5 per
-    shingle; 16 slots by integer mixing; joins ship ids only."""
+    shingle; 16 slots by integer mixing; the distinct shingle-hash
+    arrays (~0.7 KB/doc) ride along the band join — cheaper than
+    re-running the hash stage in two extra join branches."""
     d = load_table(spark, sf_dir, "documents")
-    hashes = d.select("doc_id", F.expr(_SHS_S).alias("shs"))
-    sigs = hashes.select("doc_id", F.expr(_SIG_S).alias("sig"))
-    bands = sigs.select("doc_id", F.explode(F.expr(_BK_S)).alias("band_key"))
+    hashes = d.select(
+        "doc_id", F.array_distinct(F.expr(_SHS_S)).alias("shs")
+    )
+    sigs = hashes.select("doc_id", "shs", F.expr(_SIG_S).alias("sig"))
+    bands = sigs.select("doc_id", "shs", F.explode(F.expr(_BK_S)).alias("band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -69,15 +68,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shs").alias("a_shs"),
+            F.col("b.shs").alias("b_shs"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("a_shs"))
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("b_shs"))
-    verified = cands.join(ha, "doc_a").join(hb, "doc_b")
     jac = F.expr(_JAC_S)
     return (
-        verified.withColumn("jaccard", jac)
+        cands.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -183,29 +184,34 @@ def dedup_simhash_nearmiss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------- token-set jaccard
 
-_TJ_S, _TJ_D = D.jaccard_distinct("a_toks", "b_toks")
+# jaccard over arrays that are ALREADY distinct (skips the redundant
+# per-pair list_distinct of jaccard_distinct)
+_TJP_S = (
+    "CAST(size(array_intersect(a_toks, b_toks)) AS DOUBLE) / "
+    "nullif(size(a_toks) + size(b_toks) - size(array_intersect(a_toks, b_toks)), 0)"
+)
+_TJP_D = (
+    "CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) / "
+    "nullif(len(a_toks) + len(b_toks) - len(list_intersect(a_toks, b_toks)), 0)"
+)
 
 _NGRAM_JACCARD_ORACLE = f"""
 WITH hashes AS (
-    SELECT doc_id, lang, n_chars // 64 AS len_bucket, {_TH_D} AS toks
+    SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+           list_distinct({_TH_D}) AS toks,
+           len(list_distinct({_TH_D})) AS nnz
     FROM documents
 ),
-slim AS (SELECT doc_id, lang, len_bucket FROM hashes),
-cands AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM slim a JOIN slim b
+verified AS (
+    SELECT b.doc_id AS doc_b, a.toks AS a_toks, b.toks AS b_toks
+    FROM hashes a JOIN hashes b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id
-),
-verified AS (
-    SELECT c.doc_a, c.doc_b, ha.toks AS a_toks, hb.toks AS b_toks
-    FROM cands c
-    JOIN hashes ha ON ha.doc_id = c.doc_a
-    JOIN hashes hb ON hb.doc_id = c.doc_b
+     AND least(a.nnz, b.nnz) >= 0.9 * greatest(a.nnz, b.nnz)
 )
 SELECT DISTINCT doc_b AS dup_doc_id
 FROM verified
-WHERE {_TJ_D} >= 0.9
+WHERE {_TJP_D} >= 0.9
 """
 
 
@@ -215,26 +221,36 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier doc in its (lang, length-bucket) block has token-set
     Jaccard ≥ 0.9 with it; emit the duplicate ids. Output is linear in
     corpus size even when dup classes are quadratic in pairs. Tokens
-    hash to ints once; the blocking self-join carries ids only."""
+    hash to ints once; the blocking self-join carries ids only plus a
+    sound size-ratio prefilter (j ≥ t ⟹ min(|A|,|B|) ≥ t·max), which
+    kills mismatched-size pairs before any intersection runs."""
     d = load_table(spark, sf_dir, "documents")
+    # distinct int-hash arrays are ~85 longs/doc — small enough to
+    # carry through the blocking join directly, which beats re-joining
+    # them by id (each extra reference to this projection re-runs the
+    # md5 stage in another plan branch)
     hashes = d.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
-        F.expr(_TH_S).alias("toks"),
-    )
-    slim = hashes.select("doc_id", "lang", "len_bucket")
-    a, b = slim.alias("a"), slim.alias("b")
-    cands = a.join(
+        F.array_distinct(F.expr(_TH_S)).alias("toks"),
+    ).withColumn("nnz", F.size("toks"))
+    a, b = hashes.alias("a"), hashes.alias("b")
+    verified = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("a_toks"))
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("b_toks"))
-    verified = cands.join(ha, "doc_a").join(hb, "doc_b")
-    jac = F.expr(_TJ_S)
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.nnz"), F.col("b.nnz"))
+            >= 0.9 * F.greatest(F.col("a.nnz"), F.col("b.nnz"))
+        ),
+    ).select(
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.toks").alias("a_toks"),
+        F.col("b.toks").alias("b_toks"),
+    )
+    jac = F.expr(_TJP_S)
     return (
         verified.where(jac >= 0.9)
         .select(F.col("doc_b").alias("dup_doc_id"))
