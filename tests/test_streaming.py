@@ -79,6 +79,47 @@ def test_stream_insert_upsert(spark, tmp_path):
     assert got["result"][0]["Doc"] == "d1-v2"
 
 
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessions over a streamed events file must
+    match the batch sessionization for every CLOSED session (open
+    sessions stay in state until timeout)."""
+    import shutil
+
+    from vectordb_spark.queries.windows import w2_sessionize
+    from vectordb_spark.streaming.ingest import stateful_sessionize
+
+    batch_sessions = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in w2_sessionize(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = stateful_sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # every emitted (closed) session appears in the batch result
+    assert got, "no sessions closed in stream"
+    assert got <= batch_sessions
+    # and most sessions close within the single batch (only the last
+    # session per user remains open in state)
+    users = {u for u, *_ in batch_sessions}
+    assert len(got) >= len(batch_sessions) - len(users)
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     expected = {

@@ -53,6 +53,92 @@ def stream_insert(
     return writer.start()
 
 
+def stateful_sessionize(
+    events: "DataFrame",
+    *,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+):
+    """Custom stateful streaming operator: per-user session tracking
+    via ``applyInPandasWithState`` — the streaming twin of the batch
+    sessionization query (queries/windows.py w2_sessionize).
+
+    State per user: (open session start, last event time, event count).
+    An event later than ``gap_seconds`` after the last one closes the
+    open session and emits it; state timeout (watermark-driven) flushes
+    sessions for users that went quiet. Emits rows
+    (user_id, session_start_us, session_end_us, n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple[int, int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, c = state.get
+                closed.append((user_id, s, e, c))
+                state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+            )
+            return
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(t) for t in pdf["tus"])
+        times.sort()
+        if state.exists:
+            start, last, count = state.get
+        else:
+            start = last = times[0]
+            count = 0
+        for t in times:
+            if t - last > gap_us:
+                closed.append((user_id, start, last, count))
+                start, count = t, 0
+            last = t
+            count += 1
+        state.update((start, last, count))
+        state.setTimeoutDuration(gap_us // 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+        )
+
+    with_ts = events.withColumn("tus", F.expr("ts div 1000"))
+    if with_ts.isStreaming:
+        with_ts = with_ts.withColumn(
+            "_event_time", F.timestamp_micros(F.col("tus"))
+        ).withWatermark("_event_time", watermark)
+    return with_ts.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,
