@@ -37,9 +37,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane signature; exact L2 rank within the bucket. The bucket
     predicate prunes ~255/256 of the scan; at 100 TB `sig` is a
     partition column and this is partition pruning."""
+    from vectordb_spark.queries.vector import _query_vector
+
     emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row[0]]
+    qv = _query_vector(spark, sf_dir)
     qsig = A.lsh_signature_of(qv)
     from vectordb_spark.operators.knn import knn
 
@@ -55,9 +56,10 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-IVF: batch cluster build (MLlib), nprobe=4 of k=16
     centroids, exact KNN over the probed ~25%. Validated by recall
     against brute force in tests/test_ann.py."""
+    from vectordb_spark.queries.vector import _query_vector
+
     emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    qv = [float(x) for x in row[0]]
+    qv = _query_vector(spark, sf_dir)
     idx = A.IVFIndex(k=16, seed=42, metric="EUCLIDEAN")
     indexed = idx.build(emb, "embedding").cache()
     try:

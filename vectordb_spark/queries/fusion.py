@@ -49,12 +49,10 @@ def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vector_literal,
     )
 
+    from vectordb_spark.queries.vector import _query_vector
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
-    q = vector_literal(qv)
+    q = vector_literal(_query_vector(spark, sf_dir))
     scored = emb.select(
         "vec_id",
         "label",

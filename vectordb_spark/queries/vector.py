@@ -25,10 +25,17 @@ _QV_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 K = 10
 
 
+_QV_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    row = emb.where(F.col("vec_id") == 0).select("embedding").head()
-    return [float(x) for x in row[0]]
+    """vec_id 0's embedding, cached per sf_dir — the lookup is a Spark
+    job; without the cache every vector query pays it again."""
+    if sf_dir not in _QV_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        row = emb.where(F.col("vec_id") == 0).select("embedding").head()
+        _QV_CACHE[sf_dir] = [float(x) for x in row[0]]
+    return _QV_CACHE[sf_dir]
 
 
 @query(
