@@ -63,6 +63,54 @@ _DOT_D = (
 )
 
 
+_TFIDF_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, {_IDX_D} AS indices, {_VAL_D} AS tf_values
+    FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+df AS (
+    SELECT term, COUNT(*) AS doc_freq
+    FROM (SELECT doc_id, unnest(indices) AS term FROM tf)
+    GROUP BY term
+)
+SELECT term, doc_freq,
+       (SELECT CAST(n AS DOUBLE) FROM n_docs) / CAST(doc_freq AS DOUBLE)
+           AS inv_doc_freq
+FROM df
+ORDER BY doc_freq DESC, term
+LIMIT 50
+"""
+
+
+@query("sparse_tfidf_weights", oracle=_TFIDF_ORACLE)
+def sparse_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF weighting for the hashed TF space: document frequency per
+    term via explode + groupBy; emits the exact N/df ratio (idf =
+    ln(N/df) is a monotone transform applied client-side — Java's and
+    libm's ln() differ in the last ulp, so the logged value cannot be
+    oracle-hashed). The 50 most common terms — the weights that turn
+    sparse TF vectors into TF-IDF via a map-side join."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = d.select("doc_id", F.expr(_TH_S).alias("hs")).select(
+        "doc_id", F.expr(_IDX_S).alias("indices")
+    )
+    df_tbl = (
+        tf.select(F.explode("indices").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return (
+        df_tbl.withColumn(
+            "inv_doc_freq",
+            F.lit(float(n_docs)) / F.col("doc_freq").cast("double"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
 @query(
     "sparse_knn_tf_dot",
     oracle=f"""
