@@ -95,6 +95,42 @@ def duck():
 
 
 @settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=_num_expr())
+def test_random_numeric_projections_agree(sdf, duck, expr):
+    """Numeric expressions (not just booleans) must produce
+    bit-identical doubles through both compilers — this is what the
+    facet-aggregate path evaluates."""
+    try:
+        ast = parse_filter(expr, FIELDS, check_bool=False)
+    except VectorDBError:
+        return
+    from pyspark.sql import functions as F
+
+    spark_vals = {
+        r.rid: r.v
+        for r in sdf.select(
+            "rid", to_spark_column(ast).cast("double").alias("v")
+        ).collect()
+    }
+    sql = to_duckdb_sql(ast)
+    duck_vals = {
+        r[0]: r[1]
+        for r in duck.execute(
+            f"SELECT rid, CAST({sql} AS DOUBLE) FROM t"
+        ).fetchall()
+    }
+    for rid, sv in spark_vals.items():
+        dv = duck_vals[rid]
+        assert (sv is None and dv is None) or sv == dv, (
+            f"expr={expr!r} rid={rid}: spark={sv!r} duck={dv!r}"
+        )
+
+
+@settings(
     max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -107,6 +107,13 @@ def test_full_rest_flow(base_url):
     code, out = _call(base_url, "GET", "/api/restdb/schema/tables/show")
     assert out["result"] == ["MyTable"]
 
+    code, out = _call(
+        base_url, "GET", "/api/restdb/schema/tables/MyTable/describe"
+    )
+    assert code == 200
+    fields = {f["name"]: f["dataType"] for f in out["result"]["fields"]}
+    assert fields["Embedding"] == "VECTOR_FLOAT"
+
 
 def test_rest_error_envelopes(base_url):
     # missing table key → 400 with reference-style message

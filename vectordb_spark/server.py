@@ -76,6 +76,11 @@ class EngineAPI:
             return _ok(f"Drop {m.group(2)} successfully.")
         if method == "GET" and (m := re.fullmatch(r"/api/([^/]+)/schema/tables/show", path)):
             return _ok("ok", result=self.warehouse.database(m.group(1)).list_tables())
+        if method == "GET" and (
+            m := re.fullmatch(r"/api/([^/]+)/schema/tables/([^/]+)/describe", path)
+        ):
+            t = self._table(m.group(1), m.group(2))
+            return _ok("ok", result=t.schema.to_json())
         if m := re.fullmatch(r"/api/([^/]+)/data/insert", path):
             t = self._table(m.group(1), p["table"])
             res = t.insert(p["data"], upsert=bool(p.get("upsert", False)))
