@@ -35,6 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(epoch_ns(ts) AS BIGINT)``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp formatting (date_format) is session-TZ dependent; the
+    # DuckDB oracle sees naive UTC — pin it so a non-UTC driver
+    # session can't drift
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
