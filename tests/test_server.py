@@ -115,6 +115,26 @@ def test_full_rest_flow(base_url):
     assert fields["Embedding"] == "VECTOR_FLOAT"
 
 
+def test_mutating_routes_require_post(base_url):
+    # reference web_controller binds each route to one HTTP method —
+    # a GET to a mutating path must not perform the mutation
+    code, out = _call(
+        base_url, "GET", "/api/restdb/data/delete",
+        {"table": "MyTable", "primaryKeys": [2]},
+    )
+    assert code == 400 and "No route" in out["message"]
+    code, _ = _call(base_url, "GET", "/api/restdb/unload")
+    assert code == 400
+    code, _ = _call(
+        base_url, "GET", "/api/restdb/data/insert",
+        {"table": "MyTable", "data": []},
+    )
+    assert code == 400
+    # table untouched by the attempted GET-delete
+    code, out = _call(base_url, "GET", "/api/restdb/statistics?table=MyTable")
+    assert code == 200 and out["result"] == {"totalRecords": 3}
+
+
 def test_rest_error_envelopes(base_url):
     # missing table key → 400 with reference-style message
     code, out = _call(base_url, "POST", "/api/restdb/data/insert", {"data": []})

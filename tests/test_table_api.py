@@ -311,6 +311,84 @@ def test_geo_nearby(warehouse):
     assert loc == {"latitude": 90.0, "longitude": -180.0}
 
 
+def test_geo_nearby_antimeridian(warehouse):
+    # bbox prefilter must wrap at lon ±180 — points just across the seam
+    # are inside the haversine radius and must not be box-excluded
+    db = warehouse.load_db("geodb_am")
+    t = db.create_table(GEO_SCHEMA)
+    recs = [
+        {"ID": 1, "Name": "WestOfSeam", "Location": {"latitude": 0.0, "longitude": 179.9},
+         "Embedding": [0.0, 0.0, 0.0, 0.0]},
+        {"ID": 2, "Name": "EastOfSeam", "Location": {"latitude": 0.0, "longitude": -179.95},
+         "Embedding": [0.0, 0.0, 0.0, 0.0]},
+        {"ID": 3, "Name": "FarAway", "Location": {"latitude": 0.0, "longitude": 170.0},
+         "Embedding": [0.0, 0.0, 0.0, 0.0]},
+    ]
+    assert t.insert(recs)["inserted"] == 3
+    # center just west of the seam; 50 km radius spans across it
+    out = t.get(filter="NEARBY(Location, 0.0, 179.9, 50)")
+    names = sorted(r["Name"] for r in out["result"])
+    assert names == ["EastOfSeam", "WestOfSeam"]
+    # center just east of the seam, radius reaching back west
+    out = t.get(filter="NEARBY(Location, 0.0, -179.95, 50)")
+    names = sorted(r["Name"] for r in out["result"])
+    assert names == ["EastOfSeam", "WestOfSeam"]
+
+
+def test_geo_invalid_record(warehouse):
+    # malformed geo values raise INVALID_RECORD, not a raw TypeError
+    db = warehouse.load_db("geodb_bad")
+    t = db.create_table(GEO_SCHEMA)
+    bad = [
+        {"latitude": 1.0},                      # missing longitude
+        {"lat": 1.0, "lon": 2.0},               # misspelled keys
+        "not-a-dict",
+        {"latitude": "1.0", "longitude": 2.0},  # non-numeric
+        {"latitude": True, "longitude": 2.0},   # bool is not a coordinate
+    ]
+    for v in bad:
+        with pytest.raises(VectorDBError) as ei:
+            t.insert(
+                [{"ID": 1, "Name": "x", "Location": v,
+                  "Embedding": [0.0, 0.0, 0.0, 0.0]}]
+            )
+        assert ei.value.code == "INVALID_RECORD"
+
+
+def test_insert_df_row_id_not_reused(warehouse, spark):
+    # _row_id values are assigned over the PRE-dedup batch; the cursor
+    # must advance by the full batch size so later inserts never collide
+    db = warehouse.load_db("rowiddb")
+    t = db.create_table(CITIES_SCHEMA)
+    from pyspark.sql import functions as F
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "ID int, Doc string")
+        v = F.array(*[F.lit(x) for x in QV])
+        return df.select(
+            "ID", "Doc",
+            v.alias("EmbeddingEuclidean"),
+            v.alias("EmbeddingDotProduct"),
+            v.alias("EmbeddingCosine"),
+        )
+
+    # upsert batch with an in-batch duplicate PK (keep-last wins):
+    # kept rows carry row ids up to start+total-1
+    res = t.insert_df(batch([(1, "a1"), (1, "a2"), (2, "b")]), upsert=True)
+    assert res["inserted"] == 2
+    # non-upsert batch where the anti-join drops a row
+    res = t.insert_df(batch([(2, "dup"), (3, "c")]))
+    assert res["inserted"] == 1
+    res = t.insert_df(batch([(4, "d"), (5, "e")]))
+    assert res["inserted"] == 2
+    ids = [r["_row_id"] for r in t.df().select("_row_id").collect()]
+    assert len(ids) == len(set(ids)), f"duplicate _row_id: {sorted(ids)}"
+    assert t.statistics() == {"totalRecords": 5}
+    # upsert keep-last still holds after the id-gap batches
+    got = t.get(primary_keys=[1])
+    assert [r["Doc"] for r in got["result"]] == ["a2"]
+
+
 def test_cosine_normalized_projection(warehouse):
     # stored COSINE vectors are normalized — projection returns the
     # normalized values (SURVEY.md §1.2), not the user's raw input

@@ -54,7 +54,15 @@ def nearby(geo: Column | str, lat: float, lon: float, radius_km: float) -> Colum
     if coslat > 1e-9:
         dlon = math.degrees(radius_km / (EARTH_RADIUS_KM * coslat))
         if dlon < 180.0:
-            box = box & (glon >= lon - dlon) & (glon <= lon + dlon)
+            lo, hi = lon - dlon, lon + dlon
+            if lo < -180.0:
+                # window wraps the antimeridian westward: [lo+360, 180] ∪ [-180, hi]
+                box = box & ((glon >= lo + 360.0) | (glon <= hi))
+            elif hi > 180.0:
+                # wraps eastward: [lo, 180] ∪ [-180, hi-360]
+                box = box & ((glon >= lo) | (glon <= hi - 360.0))
+            else:
+                box = box & (glon >= lo) & (glon <= hi)
     return box & (
         haversine_km(glat, glon, F.lit(float(lat)), F.lit(float(lon)))
         <= F.lit(float(radius_km))

@@ -64,10 +64,10 @@ class EngineAPI:
         if method == "POST" and path == "/api/load":
             db = self.warehouse.load_db(p["name"], p.get("path"))
             return _ok(f"Load/Create {db.name} successfully.")
-        if m := re.fullmatch(r"/api/([^/]+)/unload", path):
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/unload", path)):
             self.warehouse.unload_db(m.group(1))
             return _ok(f"Unload {m.group(1)} successfully.")
-        if m := re.fullmatch(r"/api/([^/]+)/schema/tables", path):
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/schema/tables", path)):
             db = self.warehouse.database(m.group(1))
             db.create_table(p, embedder=self.embedder)
             return _ok(f"Create {p['name']} successfully.")
@@ -81,22 +81,22 @@ class EngineAPI:
         ):
             t = self._table(m.group(1), m.group(2))
             return _ok("ok", result=t.schema.to_json())
-        if m := re.fullmatch(r"/api/([^/]+)/data/insert", path):
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/insert", path)):
             t = self._table(m.group(1), p["table"])
             res = t.insert(p["data"], upsert=bool(p.get("upsert", False)))
             return _ok(f"Insert data to {p['table']} successfully.", result=res)
-        if m := re.fullmatch(r"/api/([^/]+)/data/insertprepare", path):
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/insertprepare", path)):
             t = self._table(m.group(1), p["table"])
             res = t.insert_prepare(p.get("primaryKeys"))
             return _ok("ok", result=res)
-        if m := re.fullmatch(r"/api/([^/]+)/data/delete", path):
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/delete", path)):
             t = self._table(m.group(1), p["table"])
             res = t.delete(p.get("primaryKeys"), p.get("filter", ""))
             return _ok(f"Delete data from {p['table']} successfully.", result=res)
         if method == "GET" and (m := re.fullmatch(r"/api/([^/]+)/statistics", path)):
             t = self._table(m.group(1), qs["table"][0])
             return _ok("ok", result=t.statistics())
-        if m := re.fullmatch(r"/api/([^/]+)/data/query", path):
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/query", path)):
             t = self._table(m.group(1), p["table"])
             out = t.query(
                 query_vector=p.get("queryVector"),
@@ -110,7 +110,7 @@ class EngineAPI:
                 facets=p.get("facets"),
             )
             return _ok(f"Query {p['table']} successfully.", result=out)
-        if m := re.fullmatch(r"/api/([^/]+)/data/get", path):
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/get", path)):
             t = self._table(m.group(1), p["table"])
             out = t.get(
                 response=p.get("response"),

@@ -237,6 +237,11 @@ class Table:
         new_df = new_df.withColumn(
             "_row_id", F.row_number().over(w).cast("long") + F.lit(start - 1)
         ).drop("_mono")
+        # _row_id values span [start, start+total) over the PRE-dedup
+        # batch; rows dropped by PK dedup / anti-join leave holes, so the
+        # cursor must advance by the full batch size or later inserts
+        # would reuse ids still present in kept rows.
+        total = new_df.count()
         pk_field = self.schema.primary_key
         inserted_df = new_df
         if pk_field is not None:
@@ -260,7 +265,7 @@ class Table:
                         inserted_df = self._embed_index_field(inserted_df, fld)
                 full = base.unionByName(self._apply_ingest_transforms(inserted_df))
                 n = inserted_df.count()
-                self._write_base(full, meta, start + n)
+                self._write_base(full, meta, start + total)
                 return {"inserted": n, "skipped": 0}
             inserted_df = inserted_df.join(existing, pk_field.name, "left_anti")
         for fld in self.schema.fields:
@@ -268,7 +273,7 @@ class Table:
                 inserted_df = self._embed_index_field(inserted_df, fld)
         inserted_df = self._apply_ingest_transforms(inserted_df)
         n = inserted_df.count()
-        self._append(inserted_df, meta, start + n)
+        self._append(inserted_df, meta, start + total)
         return {"inserted": n, "skipped": 0}
 
     def _embed_index_field(self, df: DataFrame, fld: FieldSchema) -> DataFrame:
@@ -311,8 +316,20 @@ class Table:
             elif ft.is_sparse_vector:
                 vals[f.name] = _validate_sparse(v, f.dimension)
             elif ft == FieldType.GEO_POINT:
-                lat = max(-90.0, min(90.0, float(v.get("latitude"))))
-                lon = max(-180.0, min(180.0, float(v.get("longitude"))))
+                if (
+                    not isinstance(v, dict)
+                    or not isinstance(v.get("latitude"), (int, float))
+                    or not isinstance(v.get("longitude"), (int, float))
+                    or isinstance(v.get("latitude"), bool)
+                    or isinstance(v.get("longitude"), bool)
+                ):
+                    raise VectorDBError(
+                        "INVALID_RECORD",
+                        f"Geo field {f.name} must be "
+                        "{latitude: number, longitude: number}.",
+                    )
+                lat = max(-90.0, min(90.0, float(v["latitude"])))
+                lon = max(-180.0, min(180.0, float(v["longitude"])))
                 vals[f.name] = Row(latitude=lat, longitude=lon)
             elif ft == FieldType.JSON:
                 vals[f.name] = v if isinstance(v, str) else json.dumps(v)
