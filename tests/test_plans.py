@@ -62,6 +62,28 @@ def test_dedup_joins_are_hash_joins(spark, qs):
         assert_no_cartesian(qs[name](spark, SF))
 
 
+def test_tfidf_plan_build_runs_no_jobs(spark, qs):
+    # N(docs) must fold into the plan (cross-joined 1-row agg), not run
+    # as a separate count() action while the DataFrame is being built
+    from vectordb_spark.sources.readers import load_table
+
+    sc = spark.sparkContext
+    try:
+        # baseline: a bare load_table launches one parquet schema-read job
+        sc.setJobGroup("tfidf-probe-base", "")
+        load_table(spark, SF, "documents")
+        base = sc.statusTracker().getJobIdsForGroup("tfidf-probe-base")
+        sc.setJobGroup("tfidf-probe-build", "plan construction must be lazy")
+        qs["sparse_tfidf_weights"](spark, SF)
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf-probe-build")
+        assert len(jobs) <= len(base), (
+            f"plan construction launched extra jobs beyond the schema read: "
+            f"base={base} build={jobs}"
+        )
+    finally:
+        sc.setJobGroup("", "")
+
+
 def test_engine_table_scan_pushdown(spark, tmp_path):
     # the Table API's filter language also reaches the parquet scan
     from vectordb_spark.catalog import Warehouse

@@ -27,10 +27,26 @@ _VAL_S = f"transform({_IDX_S}, i -> CAST(size(filter(hs, h -> h = i)) AS FLOAT))
 _VAL_D = f"list_transform({_IDX_D}, i -> CAST(len(list_filter(hs, h -> h = i)) AS FLOAT))"
 
 
+# The driver's canonicalizer sorts result columns in pandas — array
+# cells are unhashable there, so the wire-format arrays are emitted as
+# md5 digests of a canonical CSV text form (identical on both engines:
+# integer-valued elements rendered in decimal, joined with ',').
+_IDXTXT_S = f"array_join(transform({_IDX_S}, x -> CAST(x AS STRING)), ',')"
+_IDXTXT_D = f"array_to_string(list_transform({_IDX_D}, x -> CAST(x AS VARCHAR)), ',')"
+_VALTXT_S = (
+    f"array_join(transform({_VAL_S}, v -> CAST(CAST(v AS INT) AS STRING)), ',')"
+)
+_VALTXT_D = (
+    f"array_to_string(list_transform({_VAL_D}, "
+    "v -> CAST(CAST(v AS INTEGER) AS VARCHAR)), ',')"
+)
+
+
 @query(
     "sparse_tf_vectors",
     oracle=f"""
-    SELECT doc_id, {_IDX_D} AS indices, {_VAL_D} AS tf_values,
+    SELECT doc_id, md5({_IDXTXT_D}) AS indices_md5,
+           md5({_VALTXT_D}) AS tf_md5,
            len({_IDX_D}) AS nnz
     FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
     """,
@@ -38,13 +54,15 @@ _VAL_D = f"list_transform({_IDX_D}, i -> CAST(len(list_filter(hs, h -> h = i)) A
 def sparse_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF sparse encoding: indices = sorted distinct token hashes,
     values = counts. Satisfies the engine's sparse validation rules
-    (strictly increasing indices) by construction."""
+    (strictly increasing indices) by construction. The arrays travel as
+    md5 digests of their canonical text form so the result is
+    oracle-hashable; ``nnz`` keeps the cardinality visible."""
     d = load_table(spark, sf_dir, "documents")
     hs = d.select("doc_id", F.expr(_TH_S).alias("hs"))
     return hs.select(
         "doc_id",
-        F.expr(_IDX_S).alias("indices"),
-        F.expr(_VAL_S).alias("tf_values"),
+        F.md5(F.expr(_IDXTXT_S)).alias("indices_md5"),
+        F.md5(F.expr(_VALTXT_S)).alias("tf_md5"),
         F.size(F.expr(_IDX_S)).cast("long").alias("nnz"),
     )
 
@@ -90,9 +108,13 @@ def sparse_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(N/df) is a monotone transform applied client-side — Java's and
     libm's ln() differ in the last ulp, so the logged value cannot be
     oracle-hashed). The 50 most common terms — the weights that turn
-    sparse TF vectors into TF-IDF via a map-side join."""
+    sparse TF vectors into TF-IDF via a map-side join.
+
+    N folds into the plan as a cross-joined 1-row aggregate (exactly as
+    the oracle's ``n_docs`` CTE does) — one Spark job per invocation,
+    no separate ``count()`` driver action."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     tf = d.select("doc_id", F.expr(_TH_S).alias("hs")).select(
         "doc_id", F.expr(_IDX_S).alias("indices")
     )
@@ -102,10 +124,9 @@ def sparse_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
     return (
-        df_tbl.withColumn(
-            "inv_doc_freq",
-            F.lit(float(n_docs)) / F.col("doc_freq").cast("double"),
-        )
+        df_tbl.crossJoin(F.broadcast(n_docs))
+        .withColumn("inv_doc_freq", F.col("n") / F.col("doc_freq").cast("double"))
+        .drop("n")
         .orderBy(F.col("doc_freq").desc(), F.col("term"))
         .limit(50)
     )
