@@ -62,6 +62,20 @@ def test_dedup_joins_are_hash_joins(spark, qs):
         assert_no_cartesian(qs[name](spark, SF))
 
 
+def test_fusion_rrf_truncates_before_ranking(spark, qs):
+    # RRF must rank per-metric TOP-N candidates (TakeOrderedAndProject),
+    # never window over the whole table in one partition
+    df = qs["fusion_rrf"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject(limit=100") == 2, plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" not in line:
+            # physical Window node: partition spec bracket must be non-empty
+            assert ", [], [" not in line.replace(" ", ""), (
+                f"unpartitioned window in fusion_rrf plan: {line}"
+            )
+
+
 def test_tfidf_plan_build_runs_no_jobs(spark, qs):
     # N(docs) must fold into the plan (cross-joined 1-row agg), not run
     # as a separate count() action while the DataFrame is being built

@@ -15,6 +15,14 @@ from vectordb_spark.sources.readers import load_table
 
 _QV = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 _RRF_K = 60
+# RRF is defined over TRUNCATED per-metric rank lists (the fusion input
+# a real hybrid search has: each searcher returns its top-N). Ranking
+# happens AFTER an orderBy().limit(N) — Spark plans that scan as
+# per-partition TakeOrderedAndProject, so no global sort and no
+# whole-table single-partition window ever exists. At 100 TB the only
+# full-data pass is the distance scan; everything downstream sees ≤ N
+# rows.
+_RRF_N = 100
 
 _FUSION_ORACLE = f"""
 WITH scored AS (
@@ -23,15 +31,28 @@ WITH scored AS (
            {O.duck_neg_dot("embedding", _QV)} AS d_dot
     FROM embeddings
 ),
-ranked AS (
+l2_top AS (
+    SELECT vec_id, label, d_l2 FROM scored ORDER BY d_l2, vec_id LIMIT {_RRF_N}
+),
+dot_top AS (
+    SELECT vec_id, label, d_dot FROM scored ORDER BY d_dot, vec_id LIMIT {_RRF_N}
+),
+l2_rank AS (
     SELECT vec_id, label,
-           row_number() OVER (ORDER BY d_l2, vec_id)  AS r_l2,
+           row_number() OVER (ORDER BY d_l2, vec_id) AS r_l2
+    FROM l2_top
+),
+dot_rank AS (
+    SELECT vec_id, label,
            row_number() OVER (ORDER BY d_dot, vec_id) AS r_dot
-    FROM scored
+    FROM dot_top
 )
-SELECT vec_id, label, r_l2, r_dot,
-       1.0 / ({_RRF_K} + r_l2) + 1.0 / ({_RRF_K} + r_dot) AS rrf
-FROM ranked
+SELECT coalesce(a.vec_id, b.vec_id) AS vec_id,
+       coalesce(a.label, b.label) AS label,
+       a.r_l2, b.r_dot,
+       coalesce(1.0 / ({_RRF_K} + a.r_l2), 0.0)
+         + coalesce(1.0 / ({_RRF_K} + b.r_dot), 0.0) AS rrf
+FROM l2_rank a FULL OUTER JOIN dot_rank b USING (vec_id)
 ORDER BY rrf DESC, vec_id
 LIMIT 10
 """
@@ -40,9 +61,14 @@ LIMIT 10
 @query("fusion_rrf", oracle=_FUSION_ORACLE)
 def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion of L2 and dot-product rankings: score both metrics in
-    one scan, rank with two windows, fuse as Σ 1/(k+rank). The fused
-    sum has a fixed two-term evaluation order → bit-exact vs the
-    oracle."""
+    one scan, truncate each metric to its top-N candidates (planned as
+    TakeOrderedAndProject — per-partition heaps, no global sort), rank
+    the ≤N-row candidate sets, full-outer join on vec_id and fuse as
+    Σ 1/(k+rank) with absent ranks contributing 0. The fused sum has a
+    fixed two-term evaluation order → bit-exact vs the oracle. The
+    candidate windows carry an explicit constant partition key: one
+    partition of ≤N rows is the *intended* plan, independent of table
+    size."""
     from vectordb_spark.functions.distance import (
         dot_product_distance,
         l2_squared,
@@ -59,17 +85,36 @@ def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_squared("embedding", q).alias("d_l2"),
         dot_product_distance("embedding", q).alias("d_dot"),
     )
-    ranked = scored.select(
-        "vec_id",
-        "label",
-        F.row_number().over(W.orderBy("d_l2", "vec_id")).cast("long").alias("r_l2"),
-        F.row_number().over(W.orderBy("d_dot", "vec_id")).cast("long").alias("r_dot"),
+
+    def top_ranked(dist: str, rank: str) -> DataFrame:
+        cand = scored.select("vec_id", "label", dist).orderBy(dist, "vec_id").limit(
+            _RRF_N
+        )
+        # constant-but-non-foldable partition key: a plain lit(0) gets
+        # constant-folded out of the partition spec and WindowExec then
+        # warns about the (here intended — input is ≤ N rows) single
+        # partition
+        w = W.partitionBy(F.col("vec_id") * F.lit(0)).orderBy(dist, "vec_id")
+        return cand.select(
+            "vec_id", "label", F.row_number().over(w).cast("long").alias(rank)
+        )
+
+    l2_rank = top_ranked("d_l2", "r_l2")
+    dot_rank = top_ranked("d_dot", "r_dot")
+    fused = l2_rank.withColumnRenamed("label", "label_a").join(
+        dot_rank.withColumnRenamed("label", "label_b"), "vec_id", "full_outer"
     )
-    rrf = (F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_l2"))) + (
-        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dot"))
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0)
     )
     return (
-        ranked.withColumn("rrf", rrf)
+        fused.select(
+            "vec_id",
+            F.coalesce("label_a", "label_b").alias("label"),
+            "r_l2",
+            "r_dot",
+            (term("r_l2") + term("r_dot")).alias("rrf"),
+        )
         .orderBy(F.col("rrf").desc(), F.col("vec_id"))
         .limit(10)
     )
