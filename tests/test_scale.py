@@ -62,3 +62,41 @@ def test_salted_join_matches_plain(spark):
     plain = o.join(c, "o_custkey").count()
     salted = salted_join(o, c, "o_custkey", "o_orderkey", n_salts=8).count()
     assert salted == plain
+
+
+def test_minhash_band_cap_bounds_degenerate_corpus(spark):
+    # a boilerplate-heavy corpus (one text repeated N times) must NOT
+    # produce O(N²) LSH candidates: every band is degenerate, the cap
+    # drops them all, and candidate generation stays linear
+    from vectordb_spark.queries.dedup import _capped_bands
+
+    n = 500
+    rows = [(i, "lorem ipsum boiler plate text repeated everywhere") for i in range(n)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = _capped_bands(d, cap=50)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert cands.count() == 0
+
+    # distinct texts below the cap still pair up normally
+    rows = [(i, f"unique document number {i} with shared shingle tail xyz")
+            for i in range(20)]
+    rows += [(100 + i, "near duplicate text body alpha beta gamma") for i in range(5)]
+    d2 = spark.createDataFrame(rows, "doc_id long, text string")
+    bands2 = _capped_bands(d2, cap=50)
+    a2, b2 = bands2.alias("a"), bands2.alias("b")
+    pairs = (
+        a2.join(
+            b2,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .dropDuplicates()
+        .count()
+    )
+    assert pairs >= 10  # the 5 identical docs alone give C(5,2) = 10

@@ -23,6 +23,15 @@ from vectordb_spark.sources.readers import load_table
 # ---------------------------------------------------------------- minhash
 
 _K, _BANDS, _ROWS, _NGRAM = 16, 8, 2, 3
+# Skew guard: a band key shared by f docs yields O(f²) candidate pairs,
+# so one degenerate band (empty/boilerplate text hashing to the same
+# signature slots) turns the self-join quadratic. Bands hotter than
+# this cap are dropped BEFORE the join — a pair survives if it
+# co-occurs in ANY non-degenerate band, the standard LSH skew answer.
+# Probability both docs of a true near-dup pair only ever meet in
+# super-hot bands is negligible for real corpora; exact-duplicate
+# masses are the hot-band case and exact dedup (one groupBy) owns them.
+_BAND_CAP = 200
 _SHS_S, _SHS_D = D.shingle_hashes("text", _NGRAM)
 _SIG_S, _SIG_D = D.minhash_signature("shs", k=_K)
 _BK_S, _BK_D = D.band_keys("sig", _BANDS, _ROWS)
@@ -32,9 +41,18 @@ _MINHASH_ORACLE = f"""
 WITH hashes AS (
     SELECT doc_id, list_distinct({_SHS_D}) AS shs FROM documents
 ),
-bands AS (
+bands_all AS (
     SELECT doc_id, shs, unnest({_BK_D}) AS band_key
     FROM (SELECT doc_id, shs, {_SIG_D} AS sig FROM hashes)
+),
+bands AS (
+    SELECT doc_id, shs, band_key
+    FROM (
+        SELECT doc_id, shs, band_key,
+               COUNT(*) OVER (PARTITION BY band_key) AS band_n
+        FROM bands_all
+    )
+    WHERE band_n <= {_BAND_CAP}
 ),
 cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -48,19 +66,35 @@ WHERE {_JAC_D} >= 0.2
 """
 
 
+def _capped_bands(d: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
+    """Shingle-hash → minhash → exploded band rows, with band keys
+    hotter than ``cap`` dropped. The frequency count windows over the
+    same ``band_key`` partitioning the self-join shuffles on."""
+    from pyspark.sql import Window as W
+
+    hashes = d.select("doc_id", F.array_distinct(F.expr(_SHS_S)).alias("shs"))
+    sigs = hashes.select("doc_id", "shs", F.expr(_SIG_S).alias("sig"))
+    bands = sigs.select("doc_id", "shs", F.explode(F.expr(_BK_S)).alias("band_key"))
+    band_n = F.count(F.lit(1)).over(W.partitionBy("band_key"))
+    return (
+        bands.withColumn("band_n", band_n)
+        .where(F.col("band_n") <= cap)
+        .drop("band_n")
+    )
+
+
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands × 2 rows) near-dup pairs over word
     3-gram shingles, exact-Jaccard-verified at ≥ 0.2. One md5 per
     shingle; 16 slots by integer mixing; the distinct shingle-hash
     arrays (~0.7 KB/doc) ride along the band join — cheaper than
-    re-running the hash stage in two extra join branches."""
+    re-running the hash stage in two extra join branches. Band keys
+    hotter than {_BAND_CAP} docs are dropped before the self-join
+    (skew guard: keeps candidate generation linear on degenerate
+    corpora)."""
     d = load_table(spark, sf_dir, "documents")
-    hashes = d.select(
-        "doc_id", F.array_distinct(F.expr(_SHS_S)).alias("shs")
-    )
-    sigs = hashes.select("doc_id", "shs", F.expr(_SIG_S).alias("sig"))
-    bands = sigs.select("doc_id", "shs", F.explode(F.expr(_BK_S)).alias("band_key"))
+    bands = _capped_bands(d)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
