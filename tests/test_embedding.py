@@ -1,0 +1,215 @@
+"""HttpEmbedder: reference embedding-sidecar protocol
+(engine/services/embedding_service.cpp:47-214) — provider key headers,
+retry/backoff, and the Arrow-batched Spark path against a real local
+HTTP server."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from vectordb_spark.embedding import (
+    EMBED_DOCS_RETRY,
+    EMBED_QUERY_RETRY,
+    HttpEmbedder,
+    MockEmbedder,
+)
+from vectordb_spark.schema import VectorDBError
+
+
+class FakeTransport:
+    """Scripted transport: pops (status, body) responses, records calls."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.calls = []
+
+    def __call__(self, url, method, body, headers):
+        self.calls.append((url, method, body, dict(headers)))
+        if not self.responses:
+            raise ConnectionError("no response scripted")
+        r = self.responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def _ok_body(vectors):
+    return json.dumps({"statusCode": 200, "result": vectors}).encode()
+
+
+def test_provider_key_header_injected():
+    tr = FakeTransport([(200, _ok_body([[1.0, 2.0]]))])
+    e = HttpEmbedder(
+        "http://sidecar:8888",
+        "openai/text-embedding-3-small",
+        2,
+        api_keys={"X-OpenAI-API-Key": "sk-test"},
+        transport=tr,
+    )
+    assert e.embed_batch(["hello"]) == [[1.0, 2.0]]
+    url, method, body, headers = tr.calls[0]
+    assert url == "http://sidecar:8888/v1/embeddings" and method == "POST"
+    assert headers["X-OpenAI-API-Key"] == "sk-test"
+    payload = json.loads(body)
+    assert payload == {
+        "model": "openai/text-embedding-3-small",
+        "documents": ["hello"],
+        "dimensions": 0,
+    }
+
+
+@pytest.mark.parametrize(
+    "model,err",
+    [
+        ("openai/x", "Missing OpenAI API key."),
+        ("jinaai/x", "Missing JinaAI API key."),
+        ("voyageai/x", "Missing VoyageAI API key."),
+        ("mixedbreadai/x", "Missing mixedbread ai API key."),
+        ("nomicai/x", "Missing Nomic API key."),
+        ("mistralai/x", "Missing MistralAI API key."),
+    ],
+)
+def test_missing_provider_key_is_invalid_payload(model, err):
+    tr = FakeTransport([])
+    e = HttpEmbedder("http://s", model, 2, transport=tr)
+    with pytest.raises(VectorDBError) as ei:
+        e.embed_batch(["x"])
+    assert ei.value.code == "INVALID_PAYLOAD" and err in str(ei.value)
+    assert tr.calls == []  # rejected before any I/O, as in the reference
+
+
+def test_unprefixed_model_needs_no_key():
+    tr = FakeTransport([(200, _ok_body([[0.5]]))])
+    e = HttpEmbedder("http://s", "local-model", 1, transport=tr)
+    assert e.embed_batch(["x"]) == [[0.5]]
+
+
+def test_retry_with_exponential_backoff():
+    # two transport failures, then success: delays are 1*2^1, 1*2^2
+    tr = FakeTransport(
+        [ConnectionError("down"), (500, b"oops"), (200, _ok_body([[1.0]]))]
+    )
+    delays = []
+    e = HttpEmbedder("http://s", "m", 1, transport=tr, sleep=delays.append)
+    assert e.embed_batch(["x"]) == [[1.0]]
+    assert delays == [2, 4]
+    assert len(tr.calls) == EMBED_DOCS_RETRY
+
+
+def test_docs_retry_exhausted_raises_infra_error():
+    tr = FakeTransport([ConnectionError("down")] * EMBED_DOCS_RETRY)
+    e = HttpEmbedder("http://s", "m", 1, transport=tr, sleep=lambda s: None)
+    with pytest.raises(VectorDBError) as ei:
+        e.embed_batch(["x"])
+    assert ei.value.code == "INFRA_UNEXPECTED_ERROR"
+    assert len(tr.calls) == EMBED_DOCS_RETRY
+
+
+def test_query_uses_fewer_retries():
+    tr = FakeTransport([ConnectionError("down")] * EMBED_QUERY_RETRY)
+    e = HttpEmbedder("http://s", "m", 1, transport=tr, sleep=lambda s: None)
+    with pytest.raises(VectorDBError):
+        e.embed_query("q")
+    assert len(tr.calls) == EMBED_QUERY_RETRY
+
+
+def test_batch_length_mismatch_retries_then_fails():
+    tr = FakeTransport([(200, _ok_body([[1.0]]))] * EMBED_DOCS_RETRY)
+    e = HttpEmbedder("http://s", "m", 1, transport=tr, sleep=lambda s: None)
+    with pytest.raises(VectorDBError) as ei:
+        e.embed_batch(["a", "b"])
+    assert ei.value.code == "INFRA_UNEXPECTED_ERROR"
+
+
+def test_supported_models_listing():
+    models = [{"model": "m1", "dim": 16, "dense": True, "dimensionReduction": False}]
+    tr = FakeTransport([(200, json.dumps({"result": models}).encode())])
+    e = HttpEmbedder("http://s", "m", 16, transport=tr)
+    assert e.supported_models() == models
+    assert tr.calls[0][1] == "GET"
+
+
+# ---------------------------------------------------------------- e2e
+
+
+@pytest.fixture(scope="module")
+def sidecar():
+    """Real HTTP sidecar on localhost implementing the reference wire
+    protocol, backed by the deterministic MockEmbedder."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            if self.path != "/v1/embeddings":
+                self.send_error(404)
+                return
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            # model name "mock-N" selects the embedding dimension
+            dim = int(req["model"].rsplit("-", 1)[1])
+            vecs = MockEmbedder(dimension=dim).embed_batch(req["documents"])
+            body = json.dumps({"statusCode": 200, "result": vecs}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_embedder_end_to_end_spark(spark, sidecar):
+    # the default urllib transport, pickled into the pandas UDF, must
+    # produce exactly what the in-process MockEmbedder produces
+    from vectordb_spark.embedding import embed_column
+
+    e = HttpEmbedder(sidecar, "mock-8", 8)
+    texts = ["alpha", "beta", "gamma delta", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    got = {
+        r.id: list(r.emb)
+        for r in df.select("id", embed_column(e, "t").alias("emb")).collect()
+    }
+    want = MockEmbedder(dimension=8).embed_batch(texts)
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, abs=0)
+
+
+def test_http_embedder_table_auto_embed(spark, tmp_path, sidecar):
+    # E1/E2 through the Table API: auto-embed on insert + search by
+    # content, with the HTTP sidecar as the embedding provider
+    from vectordb_spark.catalog import Warehouse
+
+    e = HttpEmbedder(sidecar, "mock-16", 16)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.load_db("httpdb").create_table(
+        {
+            "name": "docs",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {"name": "Doc", "dataType": "STRING"},
+            ],
+            "indices": [{"name": "Emb", "field": "Doc", "dimensions": 16}],
+        },
+        embedder=e,
+    )
+    t.insert(
+        [
+            {"ID": 1, "Doc": "the quick brown fox"},
+            {"ID": 2, "Doc": "jumped over the lazy dog"},
+            {"ID": 3, "Doc": "the quick brown fox"},
+        ]
+    )
+    out = t.query(query_text="the quick brown fox", limit=2)
+    ids = [r["ID"] for r in out["result"]]
+    assert set(ids) == {1, 3}  # exact text match embeds identically
