@@ -59,3 +59,61 @@ def test_lsh_bucket_contains_query(emb, qv):
     assert 0 in bucket_ids  # the query vector hashes into its own bucket
     # bucket is a real pruning (not everything in one bucket)
     assert len(bucket_ids) < emb.count() / 4
+
+
+def _blob_df(spark, n_blobs=16, per_blob=120, dim=16, seed=7):
+    """Gaussian blobs: the clustered regime IVF is designed for."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_blobs, dim)) * 6.0
+    rows = []
+    vid = 0
+    for b in range(n_blobs):
+        pts = centers[b] + rng.standard_normal((per_blob, dim))
+        for p in pts:
+            rows.append((vid, b, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, blob int, embedding array<float>"
+    )
+
+
+def test_ivf_autoprobe_recall_on_clustered_data(spark):
+    # the production regime: clustered vectors. Auto-probe (re-rank
+    # default) must reach recall ≥ 0.9 while scanning ≤ 25% of rows.
+    import numpy as np
+
+    d = _blob_df(spark).cache()
+    try:
+        rng = np.random.RandomState(99)
+        idx = A.IVFIndex(k=16, seed=42)
+        indexed = idx.build(d, "embedding").cache()
+        total = d.count()
+        recalls, scans = [], []
+        for r in d.where(F.col("vec_id").isin([0, 333, 777, 1500, 1903])).collect():
+            qv = [float(x) + float(e) * 0.05
+                  for x, e in zip(r.embedding, rng.standard_normal(len(r.embedding)))]
+            exact = knn(d, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id")
+            probes = idx.plan_probes(qv, 10)
+            scanned = sum(idx.cluster_sizes[c] for c in probes)
+            approx = idx.search(indexed, "embedding", qv, 10, id_col="vec_id")
+            recalls.append(A.recall_at_k(approx, exact, "vec_id", 10))
+            scans.append(scanned / total)
+        assert min(recalls) >= 0.9, f"recalls={recalls} scans={scans}"
+        assert max(scans) <= 0.25 + 1e-9, f"scanned too much: {scans}"
+    finally:
+        d.unpersist()
+
+
+def test_ivf_autoprobe_caps_scan_fraction(emb, qv):
+    # even on clusterless data, auto-probe never plans past the 25% cap
+    idx = A.IVFIndex(k=16, seed=42)
+    idx.build(emb, "embedding")
+    probes = idx.plan_probes(qv, 10)
+    total = sum(idx.cluster_sizes.values())
+    scanned = sum(idx.cluster_sizes[c] for c in probes)
+    # the last cluster may overshoot the target; all but it fit the cap
+    before_last = scanned - idx.cluster_sizes[probes[-1]]
+    assert before_last <= 0.25 * total
+    assert len(probes) >= 1

@@ -85,16 +85,23 @@ class IVFIndex:
     tiny); assignments live in the indexed DataFrame.
     """
 
+    # auto-probe defaults: scan until ≥ CAND_PER_K·k candidates are
+    # covered, but never more than MAX_SCAN_FRACTION of the table
+    CAND_PER_K = 32
+    MAX_SCAN_FRACTION = 0.25
+
     def __init__(self, k: int = 16, seed: int = 42, metric: str = "EUCLIDEAN"):
         self.k = k
         self.seed = seed
         self.metric = metric
         self.centroids: list[list[float]] | None = None
+        self.cluster_sizes: dict[int, int] | None = None
 
     def build(self, df: DataFrame, vec_col: str) -> DataFrame:
         """Fit KMeans, return df + `_cluster` assignment column. At
         scale, persist the result partitioned by `_cluster` so probing
-        becomes partition pruning."""
+        becomes partition pruning. Also records per-cluster sizes (k
+        numbers on the driver) — the statistics auto-probe plans with."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -103,14 +110,52 @@ class IVFIndex:
                     predictionCol="_cluster")
         model = km.fit(vecs)
         self.centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-        return model.transform(vecs).drop("_features")
+        out = model.transform(vecs).drop("_features")
+        self.cluster_sizes = {
+            int(r["_cluster"]): int(r["n"])
+            for r in out.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return out
 
     def probe_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
+        """The ``nprobe`` clusters nearest the query, nearest first.
+        Centroid ranking is by L2 — for COSINE the indexed vectors are
+        stored normalized, so L2 order == cosine order."""
         assert self.centroids is not None, "build() first"
         q = np.asarray(query_vector, dtype=np.float64)
         cents = np.asarray(self.centroids, dtype=np.float64)
         d = ((cents - q) ** 2).sum(axis=1)
-        return [int(i) for i in np.argsort(d)[:nprobe]]
+        return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+    def plan_probes(
+        self,
+        query_vector: list[float],
+        k: int,
+        *,
+        min_candidates: int | None = None,
+        max_scan_fraction: float = MAX_SCAN_FRACTION,
+    ) -> list[int]:
+        """Auto-probe: walk clusters nearest-first until the candidate
+        pool covers ``min_candidates`` (default CAND_PER_K·k) rows or
+        the scan-fraction cap is hit, whichever comes first. Pure
+        driver-side arithmetic over the k stored cluster sizes — no
+        Spark job. This is the re-rank default: probe generously, let
+        the exact KNN over the probed rows do the ranking."""
+        order = self.probe_clusters(query_vector, len(self.centroids or []))
+        if not self.cluster_sizes:
+            return order[: max(1, min(4, len(order)))]
+        total = sum(self.cluster_sizes.values())
+        target = min(
+            min_candidates if min_candidates is not None else self.CAND_PER_K * k,
+            max(1, int(total * max_scan_fraction)),
+        )
+        probes, cum = [], 0
+        for c in order:
+            probes.append(c)
+            cum += self.cluster_sizes.get(c, 0)
+            if cum >= target:
+                break
+        return probes
 
     def search(
         self,
@@ -119,10 +164,17 @@ class IVFIndex:
         query_vector: list[float],
         k: int,
         *,
-        nprobe: int = 4,
+        nprobe: int | None = None,
         id_col: str | None = None,
     ) -> DataFrame:
-        clusters = self.probe_clusters(query_vector, nprobe)
+        """ANN top-k: prune to probed clusters, exact-KNN re-rank the
+        survivors. ``nprobe=None`` (default) auto-plans the probe list
+        from cluster statistics; an int pins it (the reference-style
+        fixed-nprobe knob)."""
+        if nprobe is None:
+            clusters = self.plan_probes(query_vector, k)
+        else:
+            clusters = self.probe_clusters(query_vector, nprobe)
         pruned = indexed_df.where(F.col("_cluster").isin(clusters))
         return knn(
             pruned, vec_col, query_vector, k, metric=self.metric, id_col=id_col

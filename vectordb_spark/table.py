@@ -664,6 +664,7 @@ class Table:
             "dir": name,
             "metric": f.metric or "EUCLIDEAN",
             "centroids": idx.centroids,
+            "cluster_sizes": {str(c): n for c, n in (idx.cluster_sizes or {}).items()},
             "indexed_up_to": indexed_up_to,
         }
         self._save_meta(meta)
@@ -675,15 +676,17 @@ class Table:
         *,
         query_field: str | None = None,
         limit: int,
-        nprobe: int = 4,
+        nprobe: int | None = None,
         filter: str = "",
     ) -> DataFrame:
         """ANN search via the IVF index + brute-forced unindexed tail —
         the reference's hybrid indexed+tail search (T5,
         vec_search_executor.cpp:885-914): graph/index over rows present
         at build time, exact scan over rows inserted since, merged
-        top-K. Index candidates come from the nprobe nearest cluster
-        partitions only."""
+        top-K. Index candidates come from the probed cluster partitions
+        only; ``nprobe=None`` auto-plans the probe list from stored
+        cluster sizes (probe until ~32·limit candidates or 25% of the
+        table), an int pins it."""
         from vectordb_spark.operators.ann import IVFIndex
 
         f = self._resolve_query_field(query_field, None)
@@ -695,8 +698,14 @@ class Table:
             )
         idx = IVFIndex(k=info["k"], seed=info["seed"], metric=info["metric"])
         idx.centroids = info["centroids"]
+        idx.cluster_sizes = {
+            int(c): int(n) for c, n in (info.get("cluster_sizes") or {}).items()
+        }
         q = _normalize_dense_query(query_vector, f)
-        clusters = idx.probe_clusters(q, nprobe)
+        if nprobe is None:
+            clusters = idx.plan_probes(q, limit)
+        else:
+            clusters = idx.probe_clusters(q, nprobe)
         index_df = self.spark.read.parquet(os.path.join(self.path, info["dir"]))
         cand_ids = index_df.where(F.col("_cluster").isin(clusters)).select("_row_id")
         base = self.df()
