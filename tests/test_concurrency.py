@@ -1,0 +1,211 @@
+"""Concurrency: threads inserting and querying one table through the
+REST server (the reference's engine/test/concurrency/test.py, plus
+writer contention the reference doesn't cover). Asserts the manifest
+never corrupts and every read is a complete committed snapshot."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from vectordb_spark.server import make_server
+
+DIM = 4
+N_WRITERS = 4
+INSERTS_PER_WRITER = 4
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, tmp_path_factory):
+    srv = make_server(spark, str(tmp_path_factory.mktemp("cwh")), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _call(base, method, path, payload=None):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload or {}).encode(),
+        method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_concurrent_insert_query(base_url):
+    code, _ = _call(base_url, "POST", "/api/load", {"name": "cdb"})
+    assert code == 200
+    code, _ = _call(
+        base_url,
+        "POST",
+        "/api/cdb/schema/tables",
+        {
+            "name": "T",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {"name": "Doc", "dataType": "STRING"},
+                {
+                    "name": "Embedding",
+                    "dataType": "VECTOR_FLOAT",
+                    "dimensions": DIM,
+                    "metricType": "EUCLIDEAN",
+                },
+            ],
+        },
+    )
+    assert code == 200
+
+    errors: list[str] = []
+    snapshots: list[list[tuple[int, int]]] = []  # per reader: (n_rows, n_distinct)
+    stop = threading.Event()
+
+    def writer(w: int):
+        for i in range(INSERTS_PER_WRITER):
+            pk = w * 100 + i
+            code, out = _call(
+                base_url,
+                "POST",
+                "/api/cdb/data/insert",
+                {
+                    "table": "T",
+                    "data": [
+                        {
+                            "ID": pk,
+                            "Doc": f"doc-{pk}",
+                            "Embedding": [float(pk), 0.0, 0.0, 0.0],
+                        }
+                    ],
+                },
+            )
+            if code != 200:
+                errors.append(f"insert {pk}: {code} {out}")
+
+    def reader(slot: list[tuple[int, int]]):
+        while not stop.is_set():
+            code, out = _call(
+                base_url, "POST", "/api/cdb/data/get", {"table": "T"}
+            )
+            if code != 200:
+                errors.append(f"get: {code} {out}")
+                continue
+            ids = [r["ID"] for r in out["result"]["result"]]
+            slot.append((len(ids), len(set(ids))))
+            code, out = _call(
+                base_url,
+                "POST",
+                "/api/cdb/data/query",
+                {
+                    "table": "T",
+                    "queryField": "Embedding",
+                    "queryVector": [0.35, 0.55, 0.47, 0.94],
+                    "limit": 2,
+                },
+            )
+            if code != 200:
+                errors.append(f"query: {code} {out}")
+
+    writers = [threading.Thread(target=writer, args=(w,)) for w in range(N_WRITERS)]
+    readers = []
+    for _ in range(3):
+        slot: list[tuple[int, int]] = []
+        snapshots.append(slot)
+        readers.append(threading.Thread(target=reader, args=(slot,)))
+    for t in readers + writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    for t in readers:
+        t.join()
+
+    assert errors == []
+    total = N_WRITERS * INSERTS_PER_WRITER
+    # every snapshot a reader ever saw was complete: no duplicate PKs
+    # (a torn manifest would double-count a segment), size within range,
+    # and per-reader row counts never went backwards (commits are ordered)
+    for slot in snapshots:
+        for n, nd in slot:
+            assert n == nd, f"duplicate PKs in a read snapshot: {slot}"
+            assert 0 <= n <= total
+        counts = [n for n, _ in slot]
+        assert counts == sorted(counts), f"snapshot went backwards: {counts}"
+
+    code, out = _call(base_url, "GET", "/api/cdb/statistics?table=T")
+    assert code == 200 and out["result"] == {"totalRecords": total}
+    # every inserted PK is present exactly once
+    code, out = _call(base_url, "POST", "/api/cdb/data/get", {"table": "T"})
+    ids = sorted(r["ID"] for r in out["result"]["result"])
+    assert ids == sorted(w * 100 + i for w in range(N_WRITERS)
+                         for i in range(INSERTS_PER_WRITER))
+
+
+def test_concurrent_upsert_same_pk(base_url):
+    # two threads hammering the same PK with upserts: the row must end
+    # as exactly one of the competing values, never duplicated or torn
+    code, _ = _call(base_url, "POST", "/api/load", {"name": "udb"})
+    assert code == 200
+    code, _ = _call(
+        base_url,
+        "POST",
+        "/api/udb/schema/tables",
+        {
+            "name": "U",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {"name": "Doc", "dataType": "STRING"},
+                {
+                    "name": "Embedding",
+                    "dataType": "VECTOR_FLOAT",
+                    "dimensions": DIM,
+                    "metricType": "EUCLIDEAN",
+                },
+            ],
+        },
+    )
+    assert code == 200
+
+    errors = []
+
+    def upserter(tag: str):
+        for i in range(3):
+            code, out = _call(
+                base_url,
+                "POST",
+                "/api/udb/data/insert",
+                {
+                    "table": "U",
+                    "upsert": True,
+                    "data": [
+                        {
+                            "ID": 7,
+                            "Doc": f"{tag}-{i}",
+                            "Embedding": [1.0, 0.0, 0.0, 0.0],
+                        }
+                    ],
+                },
+            )
+            if code != 200:
+                errors.append(f"{tag}-{i}: {code} {out}")
+
+    ts = [threading.Thread(target=upserter, args=(tag,)) for tag in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == []
+    code, out = _call(
+        base_url, "POST", "/api/udb/data/get", {"table": "U", "primaryKeys": [7]}
+    )
+    assert code == 200
+    rows = out["result"]["result"]
+    assert len(rows) == 1
+    assert rows[0]["Doc"] in {f"{t}-{i}" for t in ("a", "b") for i in range(3)}

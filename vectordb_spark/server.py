@@ -48,8 +48,20 @@ class EngineAPI:
 
     # each handler: (payload, path_params, query_params) -> result dict
 
+    @staticmethod
+    def _is_read_only(method: str, path: str) -> bool:
+        """Reads don't take the writer lock: the manifest commits
+        atomically (tmp + rename) and segments are immutable, so a
+        reader always sees a complete committed snapshot — concurrent
+        Spark read jobs are the whole point of the engine. Mutations
+        stay serialized (reference per-table single-writer,
+        table_mvp.cpp executor pools)."""
+        return method == "GET" or path.endswith(("/data/query", "/data/get"))
+
     def handle(self, method: str, path: str, payload: dict, qs: dict) -> tuple[int, dict]:
         try:
+            if self._is_read_only(method, path):
+                return 200, self._route(method, path, payload, qs)
             with self._lock:
                 return 200, self._route(method, path, payload, qs)
         except VectorDBError as e:
