@@ -150,3 +150,42 @@ def test_rest_error_envelopes(base_url):
     )
     assert code == 400
     assert "bitwise" in out["message"]
+
+
+def test_vector_scale_capacity_parity(base_url):
+    # reference vectorScale (web_controller.hpp:120-122): load with a
+    # tiny capacity, overflow returns the reference's 500 + error text
+    # (table_segment_mvp.cpp:476-481)
+    code, _ = _call(
+        base_url, "POST", "/api/load", {"name": "capdb", "vectorScale": 2}
+    )
+    assert code == 200
+    schema = {
+        "name": "Tiny",
+        "fields": [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {
+                "name": "Embedding",
+                "dataType": "VECTOR_FLOAT",
+                "dimensions": 2,
+                "metricType": "EUCLIDEAN",
+            },
+        ],
+    }
+    code, _ = _call(base_url, "POST", "/api/capdb/schema/tables", schema)
+    assert code == 200
+    recs = [{"ID": i, "Embedding": [float(i), 0.0]} for i in range(3)]
+    code, out = _call(
+        base_url, "POST", "/api/capdb/data/insert", {"table": "Tiny", "data": recs}
+    )
+    assert code == 500
+    assert (
+        "each table in this database can hold up to 2 records" in out["message"]
+    )
+    assert "vectorScale" in out["message"]
+    # within capacity works
+    code, out = _call(
+        base_url, "POST", "/api/capdb/data/insert",
+        {"table": "Tiny", "data": recs[:2]},
+    )
+    assert code == 200 and out["result"]["inserted"] == 2

@@ -47,10 +47,20 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 class Database:
     """A named collection of tables under ``path`` (reference DBMVP)."""
 
-    def __init__(self, spark: SparkSession, name: str, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        path: str,
+        init_table_scale: int | None = None,
+    ):
         self.spark = spark
         self.name = name
         self.path = path
+        # reference vectorScale: per-database default table capacity
+        # (web_controller.hpp:38 InitTableScale=150000; unbounded here
+        # unless set — Spark tables don't preallocate)
+        self.init_table_scale = init_table_scale
         self._catalog_path = os.path.join(path, "catalog.json")
         self._tables: dict[str, TableSchema] = {}
         self._load_catalog()
@@ -120,7 +130,7 @@ class Database:
                 i["name"]: i["field"] for i in schema_json.get("indices", [])
             },
         )
-        t._init_storage()
+        t._init_storage(capacity=self.init_table_scale)
         return t
 
     def table(self, name: str, *, embedder=None) -> "Table":  # noqa: F821
@@ -152,8 +162,18 @@ class Warehouse:
         os.makedirs(root, exist_ok=True)
         self._dbs: dict[str, Database] = {}
 
-    def load_db(self, name: str, path: str | None = None) -> Database:
-        db = Database(self.spark, name, path or os.path.join(self.root, name))
+    def load_db(
+        self,
+        name: str,
+        path: str | None = None,
+        vector_scale: int | None = None,
+    ) -> Database:
+        db = Database(
+            self.spark,
+            name,
+            path or os.path.join(self.root, name),
+            init_table_scale=vector_scale,
+        )
         self._dbs[name] = db
         return db
 

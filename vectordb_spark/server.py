@@ -74,7 +74,14 @@ class EngineAPI:
 
     def _route(self, method: str, path: str, p: dict, qs: dict) -> dict:
         if method == "POST" and path == "/api/load":
-            db = self.warehouse.load_db(p["name"], p.get("path"))
+            # vectorScale: reference per-database table capacity
+            # (web_controller.hpp:120-122, default InitTableScale=150000
+            # there; unbounded here unless the client sets it)
+            vs = p.get("vectorScale")
+            db = self.warehouse.load_db(
+                p["name"], p.get("path"),
+                vector_scale=int(vs) if vs is not None else None,
+            )
             return _ok(f"Load/Create {db.name} successfully.")
         if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/unload", path)):
             self.warehouse.unload_db(m.group(1))

@@ -80,7 +80,7 @@ class Table:
 
     # ---------------------------------------------------------------- meta
 
-    def _init_storage(self) -> None:
+    def _init_storage(self, capacity: int | None = None) -> None:
         os.makedirs(self.path, exist_ok=True)
         if not os.path.exists(self._meta_path):
             self._save_meta(
@@ -88,7 +88,7 @@ class Table:
                     "version": 0,
                     "files": [],
                     "next_row_id": 0,
-                    "capacity": DEFAULT_CAPACITY,
+                    "capacity": int(capacity) if capacity else DEFAULT_CAPACITY,
                     "index_sources": self.index_sources,
                 }
             )
@@ -163,8 +163,14 @@ class Table:
         missing required fields fail the batch (INVALID_RECORD)."""
         meta = self._load_meta()
         if meta.get("capacity") and len(records) + self._count(meta) > meta["capacity"]:
+            # reference error text verbatim (table_segment_mvp.cpp:476-481);
+            # DB_UNEXPECTED_ERROR → HTTP 500, as the reference returns
             raise VectorDBError(
-                "TABLE_FULL", "Table is full, cannot insert more records."
+                "DB_UNEXPECTED_ERROR",
+                f"Currently, each table in this database can hold up to "
+                f"{meta['capacity']} records. To insert more records, please "
+                f"unload the database and reload with a larger vectorScale "
+                f"parameter.",
             )
         rows: list[tuple] = []
         skipped = 0
