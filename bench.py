@@ -47,6 +47,8 @@ HEADLINE = [
     "w1_tumbling_window",
     "w2_sessionize",
     "w3_topn_per_group",
+    "w4_latest_per_key",
+    "w5_running_total",
     "j2_star_join_revenue",
     "sparse_knn_tf_dot",
     "json_props_extract",

@@ -62,6 +62,15 @@ def test_dedup_joins_are_hash_joins(spark, qs):
         assert_no_cartesian(qs[name](spark, SF))
 
 
+def test_keyset_pagination_pushes_boundary(spark, qs):
+    # the page boundary must reach the parquet scan (deep pages cost
+    # the same as page 1) and the page fetch must be a TakeOrdered,
+    # never a global sort
+    df = qs["t7_keyset_pagination"](spark, SF)
+    assert_pushed_filters(df, "GreaterThan(o_orderkey,400)")
+    assert_take_ordered(df)
+
+
 def test_fusion_rrf_truncates_before_ranking(spark, qs):
     # RRF must rank per-metric TOP-N candidates (TakeOrderedAndProject),
     # never window over the whole table in one partition

@@ -66,6 +66,7 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "s4_full_scan_filter",
     "s5_pk_point_lookup",
     "t7_pagination",
+    "t7_keyset_pagination",
     "s11_statistics",
     "s2_insert_prepare_mask",
     "p2_lang_arith",
@@ -100,7 +101,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "j2_star_join_revenue",
-    "j1_broadcast_enrich",
 )
 
 

@@ -147,11 +147,48 @@ def s5_pk_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t7_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """skip/limit pagination in key order (reference T7:
     vec_search_executor.cpp:958-1029, web_controller.hpp:904-911).
-    Timestamp formatted to string on both sides (oracle-hash safety)."""
+    Timestamp formatted to string on both sides (oracle-hash safety).
+
+    Scale note: offset+limit plans as a global TakeOrdered of
+    offset+limit rows — fine at the top of the table (the reference's
+    use), but a deep offset materializes the whole prefix; the 100 TB
+    form is keyset pagination (``t7_keyset_pagination``), which turns
+    the page boundary into a pushed-down range predicate."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.orderBy("o_orderkey")
         .offset(100)
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@query(
+    "t7_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_orderkey > 400
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+)
+def t7_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: the page after key 400. The
+    boundary is a range predicate that pushes into the parquet scan
+    (PushedFilters: GreaterThan), so page N costs the same as page 1 —
+    the deep-pagination form that survives 100 TB, unlike OFFSET."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") > 400)
+        .orderBy("o_orderkey")
         .limit(50)
         .select(
             "o_orderkey",
