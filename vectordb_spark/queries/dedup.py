@@ -93,7 +93,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hotter than {_BAND_CAP} docs are dropped before the self-join
     (skew guard: keeps candidate generation linear on degenerate
     corpora)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     bands = _capped_bands(d)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
@@ -121,13 +121,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- simhash
 
 _TH_S, _TH_D = D.token_hashes("text")
-_SIM_S, _SIM_D = D.simhash("hs", bits=32)
+_MIX_S, _MIX_D = D.simhash_mix("hs")
+_SIM_S, _SIM_D = D.simhash("mx", bits=32)
 _CHUNK_S, _CHUNK_D = D.simhash_chunks("sim", chunks=4, bits=32)
 
 _SIMHASH_CLUSTER_ORACLE = f"""
 WITH sims AS (
     SELECT doc_id, {_SIM_D} AS sim
-    FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+    FROM (SELECT doc_id, {_MIX_D} AS mx
+          FROM (SELECT doc_id, {_TH_D} AS hs FROM documents))
 )
 SELECT sim, MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
 FROM sims
@@ -142,10 +144,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a duplicate cluster; emit (sim, keeper, size) per cluster — one
     groupBy on an 8-byte key, linear output even when dup classes are
     huge (enumerating intra-class pairs would be quadratic). Token
-    hashes materialize once; the 32 bit-folds reuse them."""
-    d = load_table(spark, sf_dir, "documents")
+    hashes materialize once, the remix once more; the 32 bit-folds
+    share the premixed array."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     hs = d.select("doc_id", F.expr(_TH_S).alias("hs"))
-    sims = hs.select("doc_id", F.expr(_SIM_S).alias("sim"))
+    mx = hs.select("doc_id", F.expr(_MIX_S).alias("mx"))
+    sims = mx.select("doc_id", F.expr(_SIM_S).alias("sim"))
     return (
         sims.groupBy("sim")
         .agg(
@@ -159,7 +163,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_NEARMISS_ORACLE = f"""
 WITH sims AS (
     SELECT doc_id, {_SIM_D} AS sim
-    FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+    FROM (SELECT doc_id, {_MIX_D} AS mx
+          FROM (SELECT doc_id, {_TH_D} AS hs FROM documents))
 ),
 classes AS (
     SELECT sim, COUNT(*) AS n FROM sims GROUP BY sim
@@ -185,10 +190,11 @@ def dedup_simhash_nearmiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: hamming<4 ⇒ one chunk equal) pairs classes within
     hamming ≤ 3. The collapse makes the banded self-join near-linear
     regardless of duplicate-class size — the web-scale simhash layout."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     hs = d.select("doc_id", F.expr(_TH_S).alias("hs"))
+    mx = hs.select("doc_id", F.expr(_MIX_S).alias("mx"))
     classes = (
-        hs.select("doc_id", F.expr(_SIM_S).alias("sim"))
+        mx.select("doc_id", F.expr(_SIM_S).alias("sim"))
         .groupBy("sim")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -258,7 +264,7 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash to ints once; the blocking self-join carries ids only plus a
     sound size-ratio prefilter (j ≥ t ⟹ min(|A|,|B|) ≥ t·max), which
     kills mismatched-size pairs before any intersection runs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     # distinct int-hash arrays are ~85 longs/doc — small enough to
     # carry through the blocking join directly, which beats re-joining
     # them by id (each extra reference to this projection re-runs the

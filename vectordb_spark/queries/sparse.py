@@ -57,7 +57,7 @@ def sparse_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (strictly increasing indices) by construction. The arrays travel as
     md5 digests of their canonical text form so the result is
     oracle-hashable; ``nnz`` keeps the cardinality visible."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     hs = d.select("doc_id", F.expr(_TH_S).alias("hs"))
     return hs.select(
         "doc_id",
@@ -113,7 +113,7 @@ def sparse_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     N folds into the plan as a cross-joined 1-row aggregate (exactly as
     the oracle's ``n_docs`` CTE does) — one Spark job per invocation,
     no separate ``count()`` driver action."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     tf = d.select("doc_id", F.expr(_TH_S).alias("hs")).select(
         "doc_id", F.expr(_IDX_S).alias("indices")
@@ -155,7 +155,7 @@ def sparse_knn_tf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     indices)."""
     from vectordb_spark.functions.distance import sparse_dot_product_distance
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     tf = d.select("doc_id", F.expr(_TH_S).alias("hs")).select(
         "doc_id",
         F.struct(

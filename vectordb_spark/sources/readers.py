@@ -26,20 +26,36 @@ TESTDATA_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, rebalance: bool = False
+) -> DataFrame:
     """Load one testdata table from ``sf_dir`` as a DataFrame.
 
     events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     rejects by default; read it as epoch-nanos BIGINT (exact) and derive
     calendar values per-query. DuckDB oracle equivalent:
     ``CAST(epoch_ns(ts) AS BIGINT)``.
+
+    ``rebalance=True`` spreads the scan across the cluster when the
+    source provides fewer splits than cores (a single-row-group parquet
+    file is ONE Spark task — which would serialize any CPU-heavy
+    projection above it, e.g. the per-token md5 stages of the dedup
+    pipelines). The repartition shuffles raw rows BEFORE the expensive
+    expressions run, so its cost is bytes-on-the-wire, not compute.
+    Only ask for it under hash/codec-heavy projections; scans that feed
+    cheap filters/aggregates are better off un-shuffled.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamp formatting (date_format) is session-TZ dependent; the
     # DuckDB oracle sees naive UTC — pin it so a non-UTC driver
     # session can't drift
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if rebalance:
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < cores:
+            df = df.repartition(cores)
+    return df
 
 
 def load_tables(
