@@ -156,3 +156,61 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionize_timeout_flush(spark, tmp_path):
+    """The state-timeout path end-to-end: a user who goes quiet must
+    have their OPEN session flushed by the processing-time timeout when
+    a later microbatch arrives — not only when their own events close
+    it (streaming/ingest.py stateful_sessionize hasTimedOut branch)."""
+    import time
+
+    from vectordb_spark.streaming.ingest import stateful_sessionize
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    sch = "user_id long, ts long"
+    us = 1_000  # ns per µs
+    # user 1: three events 1µs apart, then silence forever
+    spark.createDataFrame(
+        [(1, 1_000_000 * us), (1, 2_000_000 * us), (1, 3_000_000 * us)], sch
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).parquet(str(d))
+    out = stateful_sessionize(stream, gap_seconds=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_timeout")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # wait past the 2s processing-time timeout, then land a second
+        # file (a different user) so another microbatch runs and fires
+        # the timeout for user 1
+        deadline = time.time() + 60
+        flushed = []
+        wrote_second = False
+        while time.time() < deadline and not flushed:
+            if not wrote_second and q.lastProgress is not None:
+                time.sleep(3)  # > gap_seconds after batch 1 processed
+                spark.createDataFrame(
+                    [(2, 100_000_000 * us)], sch
+                ).coalesce(1).write.mode("append").parquet(str(d))
+                wrote_second = True
+            flushed = spark.sql(
+                "SELECT * FROM sessions_timeout WHERE user_id = 1"
+            ).collect()
+            time.sleep(1)
+        assert flushed, "user 1's open session was never timeout-flushed"
+        r = flushed[0]
+        assert (r.session_start_us, r.session_end_us, r.n_events) == (
+            1_000_000,
+            3_000_000,
+            3,
+        )
+    finally:
+        q.stop()
