@@ -117,3 +117,29 @@ def test_ivf_autoprobe_caps_scan_fraction(emb, qv):
     before_last = scanned - idx.cluster_sizes[probes[-1]]
     assert before_last <= 0.25 * total
     assert len(probes) >= 1
+
+
+def test_lsh_multiprobe_recall_dominates_single_bucket(spark, emb, qv):
+    # hamming-1 multi-probe must include the single bucket's candidates
+    # and strictly widen the candidate pool (9/256 buckets vs 1/256),
+    # so its recall@10 vs exact is >= the single-bucket recall
+    exact = knn(emb, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id")
+    sig_s, _ = A.lsh_signature_exprs("embedding")
+    sigs = emb.withColumn("sig", F.expr(sig_s))
+    qsig = A.lsh_signature_of(qv)
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(8)]
+    single = knn(
+        sigs.where(F.col("sig") == qsig), "embedding", qv, 10,
+        metric="EUCLIDEAN", id_col="vec_id",
+    )
+    multi = knn(
+        sigs.where(F.col("sig").isin(probes)), "embedding", qv, 10,
+        metric="EUCLIDEAN", id_col="vec_id",
+    )
+    r1 = A.recall_at_k(single, exact, "vec_id", 10)
+    r9 = A.recall_at_k(multi, exact, "vec_id", 10)
+    assert r9 >= r1
+    # candidate pool strictly grows but stays a small scan fraction
+    n1 = sigs.where(F.col("sig") == qsig).count()
+    n9 = sigs.where(F.col("sig").isin(probes)).count()
+    assert n1 < n9 < emb.count() / 4

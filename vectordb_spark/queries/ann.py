@@ -51,6 +51,43 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTIPROBE_ORACLE = f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding, {_SIG_D} AS sig FROM embeddings
+),
+q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
+SELECT vec_id, label, sig,
+       {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+FROM sigs CROSS JOIN q
+WHERE sig = qsig OR xor(sig, qsig) IN (1, 2, 4, 8, 16, 32, 64, 128)
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: candidates = the query's signature bucket plus
+    all 8 hamming-1 neighbor buckets (flip one hyperplane sign — the
+    buckets most likely to hold near neighbors that fell just across
+    one boundary). 9 of 256 buckets scanned (~3.5%), recall strictly
+    above single-bucket LSH; still a bucket-pruned exact search, and at
+    100 TB a 9-partition pruning predicate."""
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    qsig = A.lsh_signature_of(qv)
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(8)]
+    from vectordb_spark.operators.knn import knn
+
+    sigs = emb.withColumn("sig", F.expr(_SIG_S))
+    bucket = sigs.where(F.col("sig").isin(probes))
+    return knn(bucket, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id").select(
+        "vec_id", "label", "sig", F.col("_distance").alias("distance")
+    )
+
+
 @query("ann_ivf_kmeans")  # no oracle: KMeans isn't SQL-replayable; see tests/test_ann.py
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-IVF: batch cluster build (MLlib), nprobe=4 of k=16
