@@ -478,3 +478,46 @@ def test_schema_validation_errors(warehouse):
                 ],
             }
         )  # PK must be int/string
+
+
+def test_compact_and_vacuum(warehouse, spark):
+    # three appends → three segment dirs; compact folds them into one
+    # base segment, keeps data + time travel; vacuum reclaims the rest
+    import os
+
+    db = warehouse.load_db("compactdb")
+    t = db.create_table(CITIES_SCHEMA)
+
+    def rec(i):
+        return {
+            "ID": i, "Doc": f"d{i}",
+            "EmbeddingEuclidean": QV, "EmbeddingDotProduct": QV,
+            "EmbeddingCosine": QV,
+        }
+
+    for i in range(3):
+        assert t.insert([rec(i)])["inserted"] == 1
+    pre_versions = t.versions()
+    seg_dirs = lambda: sorted(  # noqa: E731
+        n for n in os.listdir(t.path)
+        if n.startswith(("add_", "base_")) and os.path.isdir(os.path.join(t.path, n))
+    )
+    assert len(seg_dirs()) == 3
+
+    res = t.compact()
+    assert res == {"segmentsBefore": 3, "segmentsAfter": 1}
+    assert sorted(r["ID"] for r in t.df().select("ID").collect()) == [0, 1, 2]
+    # pre-compact version still time-travels
+    assert t.df(version=pre_versions[-1]).count() == 3
+    assert len(seg_dirs()) == 4  # three old + one compacted
+
+    res = t.vacuum()
+    assert res["removedSegments"] == 3
+    assert seg_dirs() == [f"base_{t.versions()[-1]}"]
+    assert sorted(r["ID"] for r in t.df().select("ID").collect()) == [0, 1, 2]
+    # vacuumed versions are gone
+    with pytest.raises(VectorDBError):
+        t.df(version=pre_versions[0])
+    # inserts keep working after maintenance
+    assert t.insert([rec(7)])["inserted"] == 1
+    assert t.statistics() == {"totalRecords": 4}

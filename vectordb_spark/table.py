@@ -390,6 +390,51 @@ class Table:
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
 
+    # -------------------------------------------------------- maintenance
+
+    def compact(self, target_partitions: int | None = None) -> dict:
+        """Rewrite the current segment list into ONE base segment (a
+        new manifest version). Every ``_append`` (point insert,
+        streaming micro-batch) adds a parquet dir, so ingest-heavy
+        tables accrue small files — the classic read-amplification
+        problem; compaction is the maintenance job that bounds it
+        (reference X3's rebuild discipline applied to storage). Old
+        versions stay readable (time travel) until ``vacuum``. Safe
+        with concurrent readers: the write lands in a fresh dir and the
+        manifest swap is atomic."""
+        meta = self._load_meta()
+        n_before = len(meta["files"])
+        df = self.df()
+        if target_partitions:
+            df = df.coalesce(max(1, int(target_partitions)))
+        self._write_base(df, meta, meta["next_row_id"])
+        return {"segmentsBefore": n_before, "segmentsAfter": 1}
+
+    def vacuum(self, keep_history: int = 0) -> dict:
+        """Drop time-travel history beyond the newest ``keep_history``
+        entries and delete segment dirs no version references anymore.
+        Single-writer job, like all mutations."""
+        import shutil
+
+        meta = self._load_meta()
+        hist = meta.get("history", [])
+        kept = hist[len(hist) - keep_history :] if keep_history > 0 else []
+        referenced = set(meta["files"])
+        for h in kept:
+            referenced.update(h["files"])
+        removed = 0
+        for name in sorted(os.listdir(self.path)):
+            if (
+                (name.startswith("add_") or name.startswith("base_"))
+                and name not in referenced
+                and os.path.isdir(os.path.join(self.path, name))
+            ):
+                shutil.rmtree(os.path.join(self.path, name))
+                removed += 1
+        meta["history"] = kept
+        self._save_meta(meta)
+        return {"removedSegments": removed, "keptVersions": len(kept) + 1}
+
     # --------------------------------------------------------------- delete
 
     def delete(self, primary_keys: list | None = None, filter: str = "") -> dict:
