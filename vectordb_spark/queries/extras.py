@@ -225,3 +225,32 @@ def s2_insert_prepare_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pos.groupBy(
         F.expr("pos div 32").alias("mask_idx")
     ).agg(F.sum("bit").alias("mask"))
+
+
+@query(
+    "a7_percentile_facets",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a7_percentile_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per facet (beyond-ref A-series:
+    the latency/quality-score distribution summary every data pipeline
+    dashboard needs). Spark's sort-based ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n-1)·p interpolation — verified
+    bit-exact. At 100 TB swap in ``approx_percentile`` (t-digest,
+    mergeable map-side) — same plan shape, bounded memory; the exact
+    form here doubles as its accuracy oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -197,3 +197,57 @@ def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double")
         .alias("running_value"),
     )
+
+
+@query(
+    "w6_gapfill_hourly",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM counts GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(lo, hi)) AS bucket
+        FROM bounds
+    )
+    SELECT s.event_type, s.bucket * {_HOUR_NS} AS window_start_ns,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN counts c
+      ON s.event_type = c.event_type AND s.bucket = c.bucket
+    """,
+)
+def w6_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per event type: empty hours appear as
+    zero rows (the time-series densification every rollup/forecast
+    pipeline needs; absent in the reference). The spine is
+    ``sequence(min, max)`` per group — one row per series, exploded —
+    so spine size is output-bound, never a cross join; the left join
+    broadcasts nothing and shuffles only (type, bucket) pairs. Integer
+    ns bucket math throughout (ts > 2^53 — float would mis-bucket)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            "event_type", F.expr(f"ts div {_HOUR_NS}").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("bucket"),
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            (F.col("bucket") * _HOUR_NS).alias("window_start_ns"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
