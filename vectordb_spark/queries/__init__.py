@@ -72,7 +72,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "p2_lang_arith",
     "p5_lang_not_or",
     "p6_lang_like_in",
-    "p3_lang_concat",
     "p3_lang_fmod_unary",
     "p3_lang_div_double",
     "p8_nearby_geo",
@@ -90,7 +89,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "dedup_token_jaccard",
     "dedup_embedding_cosine",
     "dedup_exact_keep_first",
-    "dedup_exact_stats",
     "sparse_tf_vectors",
     "sparse_tfidf_weights",
     "sparse_knn_tf_dot",
@@ -101,6 +99,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "j2_star_join_revenue",
+    # round-2 pipeline extensions (p3_lang_concat / dedup_exact_stats
+    # moved off-window: same compile paths as in-window siblings, both
+    # green in CORRECTNESS_r01)
+    "asof_join_latest_order",
+    "decontam_ngram_overlap",
 )
 
 
@@ -117,6 +120,7 @@ def _load() -> None:
         extras,
         fusion,
         joins,
+        pipeline,
         sparse,
         tpch,
         text,

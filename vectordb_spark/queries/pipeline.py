@@ -1,0 +1,294 @@
+"""Training-data pipeline queries beyond dedup: point-in-time (as-of)
+enrichment, benchmark decontamination, document chunking, deterministic
+dataset splits, and PII redaction.
+
+These are the operations a 100 TB corpus-curation pipeline runs after
+dedup (queries/dedup.py) and quality scoring (queries/text.py); the
+reference engine has none of them (its surface stops at vector search,
+SURVEY.md §2.6), so like joins/windows they are pipeline extensions —
+each still oracle-checked against DuckDB from the same portable
+expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators import dedup as D
+from vectordb_spark.operators.asof import asof_join
+from vectordb_spark.queries import query
+from vectordb_spark.sources.readers import load_table
+
+# ------------------------------------------------------------ as-of join
+
+_ASOF_ORACLE = """
+WITH u AS (
+    SELECT user_id AS k, epoch_us(ts) AS t, 1 AS side,
+           event_id, event_type,
+           NULL::BIGINT AS tb, NULL::BIGINT AS o_key, NULL::DOUBLE AS o_total
+    FROM events
+    UNION ALL
+    SELECT o_custkey, epoch_us(o_orderdate), 0,
+           NULL, NULL, o_orderkey, o_orderkey, o_totalprice
+    FROM orders
+),
+w AS (
+    SELECT event_id, event_type, side,
+           last_value(o_key IGNORE NULLS) OVER win AS asof_orderkey,
+           last_value(o_total IGNORE NULLS) OVER win AS asof_totalprice
+    FROM u
+    WINDOW win AS (
+        PARTITION BY k ORDER BY t ASC, side ASC, tb ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+)
+SELECT event_id, event_type, asof_orderkey, asof_totalprice
+FROM w WHERE side = 1
+"""
+
+
+@query("asof_join_latest_order", oracle=_ASOF_ORACLE)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with the user's latest order at-or-before the
+    event time — the point-in-time-correct feature lookup (no
+    future leakage) every training pipeline needs.
+
+    Plan: union + one shuffle on user_id + running last() — NOT an
+    inequality join (operators/asof.py has the scale argument). Times
+    compare in the integer µs domain: events carry ns (read as BIGINT,
+    ``div 1000``), orders carry µs timestamps (``unix_micros``).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("user_id"),
+        F.expr("ts div 1000").alias("t_us"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        # o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
+        # cast is a pure reinterpretation, matching DuckDB epoch_us
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("t_us"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    out = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="t_us",
+        right_ts="t_us",
+        payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+# ------------------------------------------------- benchmark decontamination
+
+_DECON_N = 5  # word n-gram size (13 is the LLM norm; 5 fits the synthetic docs)
+_SHS_S, _SHS_D = D.shingle_hashes("text", _DECON_N)
+
+_DECON_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id, list_distinct({_SHS_D}) AS g FROM documents
+),
+bench AS (
+    SELECT DISTINCT unnest(g) AS h FROM g WHERE doc_id % 25 = 0
+),
+corpus AS (
+    SELECT doc_id, len(g)::BIGINT AS n_grams, unnest(g) AS h
+    FROM g WHERE doc_id % 25 <> 0
+)
+SELECT doc_id, n_grams, COUNT(*)::BIGINT AS n_hit,
+       COUNT(*) / n_grams AS contamination
+FROM corpus JOIN bench USING (h)
+GROUP BY doc_id, n_grams
+"""
+
+
+@query("decontam_ngram_overlap", oracle=_DECON_ORACLE)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word
+    {_DECON_N}-grams with a benchmark set (held-out docs, here
+    ``doc_id % 25 = 0`` standing in for an eval suite).
+
+    Scale shape: the benchmark side collapses to DISTINCT gram hashes —
+    tiny next to the corpus — and is broadcast, so the corpus-side
+    explode joins map-side with no shuffle of corpus grams; one
+    aggregation by doc_id follows. One md5 per shingle, shared with the
+    minhash/simhash stages (operators/dedup.py).
+    """
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    g = d.select("doc_id", F.array_distinct(F.expr(_SHS_S)).alias("g"))
+    bench = (
+        g.where(F.col("doc_id") % 25 == 0)
+        .select(F.explode("g").alias("h"))
+        .distinct()
+    )
+    corpus = g.where(F.col("doc_id") % 25 != 0).select(
+        "doc_id", F.size("g").cast("long").alias("n_grams"), F.explode("g").alias("h")
+    )
+    hits = corpus.join(F.broadcast(bench), "h").groupBy("doc_id", "n_grams").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_grams")).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------- chunking
+
+_CHUNK, _STRIDE = 120, 90  # chars; overlap = 30
+
+
+def _chunk_duck() -> str:
+    n = f"greatest(1, (length(text) - {_CHUNK - _STRIDE} + {_STRIDE - 1}) // {_STRIDE})"
+    return f"""
+    WITH c AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, {n} - 1)) AS chunk_id
+        FROM documents
+    )
+    SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+           length(substring(text, chunk_id * {_STRIDE} + 1, {_CHUNK}))::BIGINT AS chunk_chars,
+           md5(substring(text, chunk_id * {_STRIDE} + 1, {_CHUNK})) AS chunk_md5
+    FROM c
+    """
+
+
+@query("chunk_documents_overlap", oracle=_chunk_duck())
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-width overlapping windows ({_CHUNK}
+    chars, stride {_STRIDE}) — the context-window packing step before
+    tokenization. Pure codegen: integer chunk-count arithmetic (no
+    float), sequence + posexplode, substring; emits a digest per chunk
+    (the driver canonicalizer rejects raw long text / arrays).
+
+    Every doc yields >=1 chunk (empty docs produce one empty chunk)
+    so the output is a total partition of the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    # ceil((len - overlap) / stride) in exact integer math; numerator
+    # stays positive for len >= 0 so trunc-div == floor-div
+    n = F.expr(
+        f"greatest(1L, (length(text) - {_CHUNK - _STRIDE} + {_STRIDE - 1}) div {_STRIDE})"
+    )
+    c = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("chunk_id")
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_id").cast("int") * _STRIDE + 1, _CHUNK)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.length(chunk).cast("long").alias("chunk_chars"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+# ------------------------------------------------------ deterministic split
+
+_H_S, _H_D = D.portable_hash64("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)", seed="split42")
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+    SELECT lang, n_chars, ({_H_D}) % 100 AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       lang, COUNT(*)::BIGINT AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+@query("split_hash_assign", oracle=_SPLIT_ORACLE)
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by seeded
+    content-stable hash of the primary key — reproducible across runs,
+    cluster sizes, and partitionings (never ``rand()``: re-executed
+    tasks would re-draw and leak rows across splits). Reported per
+    language to expose distribution skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"({_H_S}) % 100")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ----------------------------------------------------------- PII redaction
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+# Spark SQL string literals process backslash escapes; double them for
+# the F.expr() path (the DataFrame-API patterns are passed verbatim)
+_EMAIL_RE_SQL = _EMAIL_RE.replace("\\", "\\\\")
+_PHONE_RE_SQL = _PHONE_RE.replace("\\", "\\\\")
+
+# deterministic augmentation: plant one email + one phone per doc so the
+# redaction path is exercised on every row regardless of corpus content
+_AUG_S = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example.com or +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+)
+_AUG_D = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@mail.example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+_PII_ORACLE = f"""
+WITH a AS (SELECT doc_id, {_AUG_D} AS aug FROM documents),
+r AS (
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(aug, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS red
+    FROM a
+)
+SELECT doc_id, n_emails, n_phones,
+       length(red)::BIGINT AS red_chars, md5(red) AS red_md5
+FROM r
+"""
+
+
+@query("pii_redact", oracle=_PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails / phone numbers from document text before training.
+    Patterns are deliberately dialect-portable (no lookaround, no \\d
+    class shorthand inside char classes) so Java regex (Spark, codegen)
+    and RE2 (DuckDB) agree byte-for-byte; a deterministic email+phone
+    is planted per doc so every row exercises both rules.
+
+    Map-only — no shuffle at any scale; emits counts + digest (driver
+    canonicalizer can't sort multi-KB redacted text).
+    """
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    aug = F.expr(_AUG_S)
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all({_AUG_S}, '{_EMAIL_RE_SQL}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all({_AUG_S}, '{_PHONE_RE_SQL}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(red).cast("long").alias("red_chars"),
+        F.md5(red).alias("red_md5"),
+    )
