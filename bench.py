@@ -55,31 +55,37 @@ HEADLINE = [
 ]
 
 
+def _run_once(qs, name: str, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = qs[name](spark, sf_dir)
+    n = df.count() if name.startswith("text_") else len(df.collect())
+    assert n >= 0
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # min-of-N per query: this VM's CPU is bursty and a single run can
     # catch a throttle window (observed 8× outliers); min is the honest
-    # steady-state cost of the plan
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # steady-state cost of the plan. Runs are INTERLEAVED round-robin
+    # (A,B,C,A,B,C — not A,A,B,B): a multi-second throttle burst then
+    # poisons at most one sample of each query instead of every sample
+    # of one query, so the per-query min survives it.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
     qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
 
     # Warm up the JVM + parquet footers once; not counted.
     qs["s11_statistics"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        best = None
-        for _ in range(max(1, runs)):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = df.count() if name.startswith("text_") else len(df.collect())
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            assert n >= 0
-        timings[name] = round(best, 4)
+    for _ in range(runs):
+        for name in names:
+            dt = _run_once(qs, name, spark, sf_dir)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    timings = {n: round(t, 4) for n, t in timings.items()}
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -34,7 +34,23 @@ def test_window_names_exist():
 
 
 def test_window_fits_driver_cap():
-    assert len(ORACLE_WINDOW) <= DRIVER_WINDOW
+    # exactly 50: every driver slot spends evidence on a chosen query
+    assert len(ORACLE_WINDOW) == DRIVER_WINDOW
+    assert len(set(ORACLE_WINDOW)) == DRIVER_WINDOW
+
+
+def test_round2_additions_rotated_in():
+    # the six round-2 queries that had never had a driver row (VERDICT
+    # r2, "Next round" #2) must hold window slots this round
+    for name in [
+        "ann_lsh_multiprobe",
+        "w6_gapfill_hourly",
+        "a7_percentile_facets",
+        "chunk_documents_overlap",
+        "split_hash_assign",
+        "pii_redact",
+    ]:
+        assert name in ORACLE_WINDOW, name
 
 
 def test_registration_order_honors_window():

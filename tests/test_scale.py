@@ -64,6 +64,56 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def test_embedding_cosine_subbucket_bounds_hot_label(spark):
+    # one hot label (n ≫ cap) must NOT feed an unbounded all-pairs
+    # stage: the adaptive LSH sub-bucket key splits it so per-block
+    # pair counts stay near cap², while small labels keep the exact
+    # all-pairs path (sub == 0 for every row)
+    import numpy as np
+
+    from vectordb_spark.queries.dedup import _COS_BLOCK_CAP, _cos_blocks
+
+    rng = np.random.RandomState(7)
+    n_hot, n_cold = 1200, 40
+    rows = [(i, 0, [float(x) for x in rng.standard_normal(64)]) for i in range(n_hot)]
+    rows += [
+        (n_hot + i, 1, [float(x) for x in rng.standard_normal(64)])
+        for i in range(n_cold)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    blocks = _cos_blocks(e)
+
+    # cold label: below the cap → single exact block
+    cold_subs = blocks.where(F.col("label") == 1).select("sub").distinct().collect()
+    assert [r.sub for r in cold_subs] == [0]
+
+    # hot label: 1200 rows → 3 signature bits → up to 8 sub-buckets,
+    # none of which may exceed a small multiple of the cap
+    hot_sizes = [
+        r.n
+        for r in blocks.where(F.col("label") == 0)
+        .groupBy("sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(hot_sizes) > 1, "hot label was not split"
+    assert sum(hot_sizes) == n_hot
+    assert max(hot_sizes) <= 3 * _COS_BLOCK_CAP, hot_sizes
+
+    # candidate pairs are bounded well below the unsplit n²/2
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).count()
+    unsplit = n_hot * (n_hot - 1) // 2
+    assert pairs < unsplit / 2, (pairs, unsplit)
+
+
 def test_minhash_band_cap_bounds_degenerate_corpus(spark):
     # a boilerplate-heavy corpus (one text repeated N times) must NOT
     # produce O(N²) LSH candidates: every band is degenerate, the cap

@@ -480,6 +480,39 @@ def test_schema_validation_errors(warehouse):
         )  # PK must be int/string
 
 
+def test_vector_scale_applies_on_reload(warehouse):
+    # reference db_mvp.cpp:24,38: init_table_scale governs capacity on
+    # every LoadDB, so "unload and reload with a larger vectorScale"
+    # (the remediation in the capacity error text) actually works
+    db = warehouse.load_db("scaledb", vector_scale=2)
+    t = db.create_table(CITIES_SCHEMA)
+
+    def rec(i):
+        return {
+            "ID": i, "Doc": f"d{i}",
+            "EmbeddingEuclidean": QV, "EmbeddingDotProduct": QV,
+            "EmbeddingCosine": QV,
+        }
+
+    assert t.insert([rec(0), rec(1)])["inserted"] == 2
+    with pytest.raises(VectorDBError, match="hold up to 2 records"):
+        t.insert([rec(2)])
+
+    # reload with a larger scale → the SAME table accepts more rows
+    warehouse.unload_db("scaledb")
+    db2 = warehouse.load_db("scaledb", vector_scale=10)
+    t2 = db2.table(CITIES_SCHEMA["name"])
+    assert t2.insert([rec(2)])["inserted"] == 1
+    assert t2.statistics() == {"totalRecords": 3}
+
+    # and reloading with a smaller scale lowers it again
+    warehouse.unload_db("scaledb")
+    db3 = warehouse.load_db("scaledb", vector_scale=3)
+    t3 = db3.table(CITIES_SCHEMA["name"])
+    with pytest.raises(VectorDBError, match="hold up to 3 records"):
+        t3.insert([rec(3)])
+
+
 def test_compact_and_vacuum(warehouse, spark):
     # three appends → three segment dirs; compact folds them into one
     # base segment, keeps data + time travel; vacuum reclaims the rest
@@ -511,7 +544,15 @@ def test_compact_and_vacuum(warehouse, spark):
     assert t.df(version=pre_versions[-1]).count() == 3
     assert len(seg_dirs()) == 4  # three old + one compacted
 
+    # default vacuum honors the retention grace: just-written dirs are
+    # kept for in-flight lock-free readers whose planned scan may still
+    # reference them
     res = t.vacuum()
+    assert res["removedSegments"] == 0
+    assert res["skippedRecent"] == 3
+    assert len(seg_dirs()) == 4
+
+    res = t.vacuum(grace_seconds=0)
     assert res["removedSegments"] == 3
     assert seg_dirs() == [f"base_{t.versions()[-1]}"]
     assert sorted(r["ID"] for r in t.df().select("ID").collect()) == [0, 1, 2]

@@ -141,6 +141,9 @@ class Database:
         return Table(
             self.spark, self._tables[name], os.path.join(self.path, name),
             embedder=embedder,
+            # the database's vectorScale governs capacity on every load
+            # (reference db_mvp.cpp:24,38) — not just at creation
+            capacity_override=self.init_table_scale,
         )
 
     def drop_table(self, name: str) -> None:

@@ -49,7 +49,26 @@ def asof_join(
     integer epoch domain — µs — for mixed ns/µs sources).
     ``right_tiebreak`` breaks equal-timestamp ties (max wins) and makes
     the result deterministic.
+
+    Raises ``ValueError`` on column-name collisions or missing columns
+    instead of silently nulling out left data (the union formulation
+    would otherwise overwrite a left column that shares a payload name).
     """
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload columns collide with left columns: {sorted(clash)}"
+        )
+    missing_l = [c for c in (key, left_ts) if c not in left.columns]
+    if missing_l:
+        raise ValueError(f"left side missing columns: {missing_l}")
+    missing_r = [
+        c
+        for c in (key, right_ts, right_tiebreak, *payload)
+        if c not in right.columns
+    ]
+    if missing_r:
+        raise ValueError(f"right side missing columns: {missing_r}")
     lcols = left.columns
     l = (
         left.withColumn("_t", F.col(left_ts))

@@ -300,17 +300,73 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- embedding cosine dedup
 
+from vectordb_spark.operators.ann import lsh_signature_exprs
 from vectordb_spark.plans import oracle as O
 
+_EMB_SIG_S, _EMB_SIG_D = lsh_signature_exprs("embedding")
+
+# Label blocks bigger than this get split into LSH-signature sub-buckets
+# before the all-pairs stage — the same banding discipline as _BAND_CAP.
+# The bit count adapts to block size (cap·2^bits rows → 2^bits buckets),
+# so expected sub-block size stays ≈ cap and per-block pair counts stay
+# ≈ cap² no matter how hot the label (up to 256 buckets; beyond that the
+# label itself should come from a finer clustering). Below the cap the
+# key is the constant 0 — exact all-pairs, no recall loss. Near-dup
+# pairs almost always share the full signature (that is what makes LSH
+# LSH), so the recall cost of splitting is the usual LSH tradeoff, and
+# both engines compute the identical key, so the oracle match holds even
+# when the cap triggers.
+_COS_BLOCK_CAP = 256
+_COS_MAX_BITS = 8
+
+
+def _sub_case_sql(n_col: str, sig_col: str) -> str:
+    """CASE ladder mapping (block size, signature) → sub-bucket key.
+    Integer-only comparisons, valid verbatim in Spark SQL and DuckDB."""
+    parts = [f"WHEN {n_col} <= {_COS_BLOCK_CAP} THEN 0"]
+    for bits in range(1, _COS_MAX_BITS):
+        parts.append(
+            f"WHEN {n_col} <= {_COS_BLOCK_CAP << bits} THEN {sig_col} % {1 << bits}"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE {sig_col} % {1 << _COS_MAX_BITS} END"
+
+
+def _cos_blocks(e: DataFrame) -> DataFrame:
+    """Pair-stage prep shared by the query and the scale tests: per-row
+    norm, label-block size, and the adaptive sub-bucket key."""
+    from pyspark.sql import Window as W
+
+    return (
+        e.withColumn(
+            "nrm",
+            F.sqrt(F.expr(
+                "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+            )),
+        )
+        .withColumn("sig", F.expr(_EMB_SIG_S))
+        .withColumn("label_n", F.count(F.lit(1)).over(W.partitionBy("label")))
+        .withColumn("sub", F.expr(_sub_case_sql("label_n", "sig")))
+        .drop("sig", "label_n")
+    )
+
+
 _COS_ORACLE = f"""
-WITH e AS (
+WITH e0 AS (
     SELECT vec_id, label, embedding,
-           sqrt({O.duck_dot("embedding", "embedding")}) AS nrm
+           sqrt({O.duck_dot("embedding", "embedding")}) AS nrm,
+           {_EMB_SIG_D} AS sig,
+           COUNT(*) OVER (PARTITION BY label) AS label_n
     FROM embeddings
+),
+e AS (
+    SELECT vec_id, label, embedding, nrm,
+           {_sub_case_sql("label_n", "sig")} AS sub
+    FROM e0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        {O.duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM e a JOIN e b
+  ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
 WHERE {O.duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
 """
 
@@ -320,14 +376,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.35 within label blocks
     (cluster-then-compare — at scale the label comes from KMeans/IVF
     assignment, see operators/ann.py). Norms are precomputed per row —
-    the pair stage does one dot, not three."""
+    the pair stage does one dot, not three. Label blocks above
+    {_COS_BLOCK_CAP} rows are split into adaptive LSH-signature
+    sub-buckets before the self-join so no block ever goes quadratic
+    (see _sub_case_sql); the oracle applies the identical split."""
     from vectordb_spark.functions.distance import dot_product
 
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", F.sqrt(F.expr(
-            "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-        ))
-    )
+    e = _cos_blocks(load_table(spark, sf_dir, "embeddings", rebalance=True))
     a, b = e.alias("a"), e.alias("b")
     cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -336,6 +391,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cosine", cos)

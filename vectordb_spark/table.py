@@ -68,11 +68,17 @@ class Table:
         *,
         embedder=None,
         index_sources: dict[str, str] | None = None,
+        capacity_override: int | None = None,
     ):
         validate_schema(schema)
         self.spark = spark
         self.schema = schema
         self.path = path
+        # Reference parity (db_mvp.cpp:24,38): the database's
+        # init_table_scale applies to every table on EVERY load, so
+        # "unload and reload with a larger vectorScale" actually raises
+        # the limit. Overrides the capacity persisted at creation.
+        self.capacity_override = capacity_override
         self.embedder = embedder
         self._meta_path = os.path.join(path, "_meta.json")
         # index field name -> source STRING field (auto-embedding, §1.4)
@@ -96,6 +102,11 @@ class Table:
     def _load_meta(self) -> dict:
         with open(self._meta_path) as f:
             return json.load(f)
+
+    def _capacity(self, meta: dict) -> int:
+        if self.capacity_override:
+            return int(self.capacity_override)
+        return int(meta.get("capacity") or DEFAULT_CAPACITY)
 
     def _load_index_sources(self) -> dict[str, str]:
         if os.path.exists(self._meta_path):
@@ -162,13 +173,14 @@ class Table:
         "skipped": m}; invalid sparse rows and duplicate PKs skip,
         missing required fields fail the batch (INVALID_RECORD)."""
         meta = self._load_meta()
-        if meta.get("capacity") and len(records) + self._count(meta) > meta["capacity"]:
+        capacity = self._capacity(meta)
+        if len(records) + self._count(meta) > capacity:
             # reference error text verbatim (table_segment_mvp.cpp:476-481);
             # DB_UNEXPECTED_ERROR → HTTP 500, as the reference returns
             raise VectorDBError(
                 "DB_UNEXPECTED_ERROR",
                 f"Currently, each table in this database can hold up to "
-                f"{meta['capacity']} records. To insert more records, please "
+                f"{capacity} records. To insert more records, please "
                 f"unload the database and reload with a larger vectorScale "
                 f"parameter.",
             )
@@ -410,30 +422,53 @@ class Table:
         self._write_base(df, meta, meta["next_row_id"])
         return {"segmentsBefore": n_before, "segmentsAfter": 1}
 
-    def vacuum(self, keep_history: int = 0) -> dict:
-        """Drop time-travel history beyond the newest ``keep_history``
-        entries and delete segment dirs no version references anymore.
-        Single-writer job, like all mutations."""
-        import shutil
+    # Segment dirs younger than this survive vacuum even when
+    # unreferenced: an in-flight reader that loaded the manifest just
+    # before a compact+vacuum may still have them in its planned scan.
+    # Immutable segments + atomic manifest swap make reads lock-free
+    # against appends; this grace window extends that to vacuum
+    # (the Delta VACUUM retention-period discipline, scaled down).
+    VACUUM_GRACE_SECONDS = 300.0
 
+    def vacuum(self, keep_history: int = 0, *, grace_seconds: float | None = None) -> dict:
+        """Drop time-travel history beyond the newest ``keep_history``
+        entries and delete segment dirs no version references anymore —
+        except dirs modified within the retention grace, which an
+        in-flight lock-free reader may still be scanning. Single-writer
+        job, like all mutations."""
+        import shutil
+        import time
+
+        grace = (
+            self.VACUUM_GRACE_SECONDS if grace_seconds is None else grace_seconds
+        )
         meta = self._load_meta()
         hist = meta.get("history", [])
         kept = hist[len(hist) - keep_history :] if keep_history > 0 else []
         referenced = set(meta["files"])
         for h in kept:
             referenced.update(h["files"])
-        removed = 0
+        removed = skipped_recent = 0
+        now = time.time()
         for name in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, name)
             if (
                 (name.startswith("add_") or name.startswith("base_"))
                 and name not in referenced
-                and os.path.isdir(os.path.join(self.path, name))
+                and os.path.isdir(full)
             ):
-                shutil.rmtree(os.path.join(self.path, name))
+                if now - os.path.getmtime(full) < grace:
+                    skipped_recent += 1
+                    continue
+                shutil.rmtree(full)
                 removed += 1
         meta["history"] = kept
         self._save_meta(meta)
-        return {"removedSegments": removed, "keptVersions": len(kept) + 1}
+        return {
+            "removedSegments": removed,
+            "keptVersions": len(kept) + 1,
+            "skippedRecent": skipped_recent,
+        }
 
     # --------------------------------------------------------------- delete
 
@@ -804,7 +839,7 @@ class Table:
             if len(primary_keys) % 32 != 0:
                 masks.append(mask)
         return {
-            "capacity": meta.get("capacity", DEFAULT_CAPACITY),
+            "capacity": self._capacity(meta),
             "recordNumber": record_number,
             "masks": masks,
         }
