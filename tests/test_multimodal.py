@@ -1,20 +1,35 @@
-"""Multimodal plumbing tests: schema, Arrow batch shapes, deterministic
-fake codec, stub boundary for real formats."""
+"""Multimodal tests: schema, Arrow batch shapes, real PGM/PPM/WAV
+codecs, deterministic fake codec, stub boundary for compressed
+formats."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from vectordb_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    extract_audio_features,
     extract_image_features,
     make_fake_image,
+    make_wav,
     resize_images,
     sample_video_frames,
     synthesize_media,
+    _decode_audio,
+    _decode_image,
     _decode_payload,
+    _encode_image,
 )
+
+
+def _pgm(px: np.ndarray) -> bytes:
+    return _encode_image(px, "PGM")
+
+
+def _ppm(px: np.ndarray) -> bytes:
+    return _encode_image(px, "PPM")
 
 
 def test_fake_media_schema(spark):
@@ -50,9 +65,88 @@ def test_resize_roundtrip(spark):
         assert r.meta.width == 4 and r.meta.height == 4
 
 
-def test_real_format_hits_stub_boundary():
+def test_compressed_format_hits_stub_boundary():
     with pytest.raises(NotImplementedError, match="codec"):
         _decode_payload(b"\x89PNG\r\n\x1a\n....", "png")
+    with pytest.raises(NotImplementedError, match="audio"):
+        _decode_audio(b"ID3\x04....", "mp3")
+
+
+def test_pgm_decode_binary_and_ascii():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    # binary P5 (our encoder) round-trips
+    assert np.array_equal(_decode_image(_pgm(px)), px)
+    # ASCII P2 with a comment line decodes to the same raster
+    body = " ".join(str(int(v)) for v in px.flatten())
+    ascii_pgm = f"P2\n# comment\n4 3\n255\n{body}\n".encode()
+    assert np.array_equal(_decode_image(ascii_pgm), px)
+
+
+def test_ppm_decode_and_gray_features(spark):
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200  # pure red block
+    raw = _ppm(rgb)
+    decoded = _decode_image(raw)
+    assert decoded.shape == (4, 4, 3)
+    assert np.array_equal(decoded, rgb)
+    # feature extraction over a mixed-format frame: VDBF + PGM + PPM
+    rows = [
+        (0, "image", make_fake_image(0, 8, 8), ("VDBF", 8, 8, None, None)),
+        (1, "image", _pgm(np.full((5, 5), 7, dtype=np.uint8)), ("PGM", 5, 5, None, None)),
+        (2, "image", raw, ("PPM", 4, 4, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.features for r in extract_image_features(df, bins=8).collect()}
+    assert len(feats) == 3
+    assert all(abs(sum(v) - 1.0) < 1e-5 for v in feats.values())
+    # the constant-gray PGM has all mass in one bin
+    assert max(feats[1]) == 1.0
+
+
+def test_resize_preserves_source_format(spark):
+    grad = np.linspace(0, 255, 64, dtype=np.uint8).reshape(8, 8)
+    rgb = np.repeat(grad[:, :, None], 3, axis=2)
+    rows = [
+        (1, "image", _pgm(grad), ("PGM", 8, 8, None, None)),
+        (2, "image", _ppm(rgb), ("PPM", 8, 8, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    pgm_px = _decode_image(bytes(out[1].content))
+    ppm_px = _decode_image(bytes(out[2].content))
+    assert out[1].meta.format == "PGM" and pgm_px.shape == (4, 4)
+    assert out[2].meta.format == "PPM" and ppm_px.shape == (4, 4, 3)
+    # nearest-neighbor on an axis-aligned gradient == strided sampling
+    yi = (np.arange(4) * 8 // 4).clip(0, 7)
+    assert np.array_equal(pgm_px, grad[np.ix_(yi, yi)])
+
+
+def test_wav_decode_and_audio_features(spark):
+    raw = make_wav(3, rate=8000, ms=125)
+    samples, rate = _decode_audio(raw)
+    assert rate == 8000
+    assert len(samples) == 1000
+    rows = [
+        (i, "audio", make_wav(i), (None, None, None, 250, 8000))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+    feats = {
+        r.media_id: (r.sample_rate, r.features)
+        for r in extract_audio_features(df, frames=8).collect()
+    }
+    assert len(feats) == 6
+    for rate, v in feats.values():
+        assert rate == 8000
+        assert len(v) == 9  # 8 RMS frames + zero-crossing rate
+        assert max(v[:8]) == 1.0  # peak-normalized
+        assert 0.0 < v[8] < 1.0  # a sine crosses zero but not every sample
+    # deterministic across repartitioning
+    feats2 = {
+        r.media_id: (r.sample_rate, r.features)
+        for r in extract_audio_features(df.repartition(2), frames=8).collect()
+    }
+    assert feats == feats2
 
 
 def test_video_frame_sampling(spark):
