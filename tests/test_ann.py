@@ -119,6 +119,68 @@ def test_ivf_autoprobe_caps_scan_fraction(emb, qv):
     assert len(probes) >= 1
 
 
+def test_multiprobe_signature_shells():
+    qsig = 0b1010_0110
+    h1 = A.multiprobe_signatures(qsig, radius=1)
+    h2 = A.multiprobe_signatures(qsig, radius=2)
+    assert len(h1) == len(set(h1)) == 9
+    assert len(h2) == len(set(h2)) == 37
+    assert set(h1) <= set(h2)
+    for s in h2:
+        assert bin(s ^ qsig).count("1") <= 2
+        assert 0 <= s < 256
+
+
+def test_lsh_hamming2_recall_dominates_hamming1(emb, qv):
+    # radius-2 probing strictly contains the radius-1 candidate pool,
+    # so its recall dominates; the scan stays a bounded fraction
+    exact = knn(emb, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id")
+    sig_s, _ = A.lsh_signature_exprs("embedding")
+    sigs = emb.withColumn("sig", F.expr(sig_s))
+    qsig = A.lsh_signature_of(qv)
+    p1 = A.multiprobe_signatures(qsig, radius=1)
+    p2 = A.multiprobe_signatures(qsig, radius=2)
+    m1 = knn(sigs.where(F.col("sig").isin(p1)), "embedding", qv, 10,
+             metric="EUCLIDEAN", id_col="vec_id")
+    m2 = knn(sigs.where(F.col("sig").isin(p2)), "embedding", qv, 10,
+             metric="EUCLIDEAN", id_col="vec_id")
+    r1 = A.recall_at_k(m1, exact, "vec_id", 10)
+    r2 = A.recall_at_k(m2, exact, "vec_id", 10)
+    assert r2 >= r1
+    n1 = sigs.where(F.col("sig").isin(p1)).count()
+    n2 = sigs.where(F.col("sig").isin(p2)).count()
+    assert n1 <= n2 < emb.count() / 2  # 37/256 buckets ≈ 14% expected
+
+
+def test_ivf_exact_fallback_on_unclusterable_data(spark, emb, qv):
+    # random 64-d vectors: separation stats must detect that probing
+    # cannot carry recall and auto-probe must fall back to exact
+    idx = A.IVFIndex(k=16, seed=42)
+    indexed = idx.build(emb, "embedding")
+    assert idx.separation_ratio < idx.SEPARATION_EXACT_FALLBACK
+    exact = knn(emb, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id")
+    res = idx.search(indexed, "embedding", qv, 10, id_col="vec_id")
+    assert idx.last_search_exact_fallback
+    assert A.recall_at_k(res, exact, "vec_id", 10) == 1.0
+    # a pinned nprobe disables the fallback (the explicit knob wins)
+    idx.search(indexed, "embedding", qv, 10, nprobe=2, id_col="vec_id").collect()
+    assert not idx.last_search_exact_fallback
+
+
+def test_ivf_no_fallback_on_clustered_data(spark):
+    # Gaussian blobs: separation stats must keep the probed path
+    d = _blob_df(spark, per_blob=60).cache()
+    try:
+        idx = A.IVFIndex(k=16, seed=42)
+        indexed = idx.build(d, "embedding")
+        assert idx.separation_ratio > idx.SEPARATION_EXACT_FALLBACK
+        q = [float(x) for x in d.where(F.col("vec_id") == 0).head()["embedding"]]
+        idx.search(indexed, "embedding", q, 10, id_col="vec_id").collect()
+        assert not idx.last_search_exact_fallback
+    finally:
+        d.unpersist()
+
+
 def test_lsh_multiprobe_recall_dominates_single_bucket(spark, emb, qv):
     # hamming-1 multi-probe must include the single bucket's candidates
     # and strictly widen the candidate pool (9/256 buckets vs 1/256),

@@ -209,3 +209,75 @@ def test_concurrent_upsert_same_pk(base_url):
     rows = out["result"]["result"]
     assert len(rows) == 1
     assert rows[0]["Doc"] in {f"{t}-{i}" for t in ("a", "b") for i in range(3)}
+
+
+# ----------------------------------------------- cross-PROCESS writers
+
+def _process_bump_worker(args):
+    """Child-process mutation loop: read-modify-write the manifest
+    under the table's cross-process writer lock. No SparkSession —
+    this exercises exactly the lock + atomic-commit layer that two
+    concurrent jobs writing one table share."""
+    path, n_iters = args
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from vectordb_spark.schema import TableSchema, FieldSchema, FieldType
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="locked",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(None, schema, path)
+    for _ in range(n_iters):
+        with t.writer_lock():
+            meta = t._load_meta()
+            time.sleep(0.002)  # widen the load→save window: unlocked
+            meta["next_row_id"] += 1  # interleavings WOULD lose updates
+            meta["version"] += 1
+            t._save_meta(meta)
+    return True
+
+
+def test_cross_process_writer_lock_no_lost_updates(tmp_path):
+    # N processes × M read-modify-write cycles on one manifest: with
+    # the flock every increment lands (no lost update) and the final
+    # manifest is valid JSON; without it the 2ms sleep inside the
+    # critical section makes interleaved load→save cycles collide with
+    # near-certainty.
+    import multiprocessing as mp
+
+    from vectordb_spark.schema import TableSchema, FieldSchema, FieldType
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="locked",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    path = str(tmp_path / "locked")
+    t = Table(None, schema, path)
+    t._init_storage()
+
+    n_procs, n_iters = 4, 25
+    ctx = mp.get_context("spawn")  # never fork the JVM-attached parent
+    with ctx.Pool(n_procs) as pool:
+        results = pool.map(_process_bump_worker, [(path, n_iters)] * n_procs)
+    assert all(results)
+
+    meta = t._load_meta()  # valid JSON → manifest never corrupted
+    assert meta["next_row_id"] == n_procs * n_iters
+    assert meta["version"] == n_procs * n_iters

@@ -131,3 +131,42 @@ def test_engine_table_scan_pushdown(spark, tmp_path):
     topk = t.search_df([0.0, 0.0], limit=3, filter="ID <= 5")
     assert_pushed_filters(topk, "LessThanOrEqual(ID,5)")
     assert_take_ordered(topk)
+
+
+def test_facets_batch_in_single_action(spark, monkeypatch):
+    # N facet specs must run as ONE action (union of tagged branches
+    # over a cached input), not N sequential collects on the serving
+    # path. AQE splits even a single action into per-shuffle-stage
+    # jobs, so the assertion counts DataFrame.collect calls, which is
+    # what "one job per serving request" means at the API boundary.
+    from vectordb_spark.operators.facets import compute_facets, parse_facets
+    from vectordb_spark.schema import FieldType
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)], "ID long, grp int, val double"
+    )
+    fm = {"ID": FieldType.INT8, "grp": FieldType.INT4, "val": FieldType.DOUBLE}
+    specs4 = parse_facets(
+        [
+            {"group": ["grp"], "aggregate": ["COUNT(*)", "SUM(val)"]},
+            {"group": [], "aggregate": ["MIN(ID)", "MAX(val)"]},
+            {"group": ["ID % 2"], "aggregate": ["SUM(ID)"]},
+            {"group": ["grp + 1"], "aggregate": ["COUNT(*)"]},
+        ],
+        fm,
+    )
+    calls = []
+    cls = type(df)  # pyspark.sql.classic.DataFrame in Spark 4
+    real_collect = cls.collect
+    monkeypatch.setattr(
+        cls, "collect", lambda self: (calls.append(1), real_collect(self))[1]
+    )
+    out4 = compute_facets(df, specs4, fm)
+    assert len(calls) == 1, f"facets ran {len(calls)} actions, want 1"
+
+    # demultiplexed results are per-spec and typed
+    assert len(out4) == 4
+    assert {r["grp"] for r in out4[0]} == {0, 1, 2}
+    assert out4[1] == [{"MIN(ID)": 0.0, "MAX(val)": 99.0}]
+    by_key = {r["ID % 2"]: r["SUM(ID)"] for r in out4[2]}
+    assert by_key == {0.0: 2450.0, 1.0: 2500.0}

@@ -73,6 +73,25 @@ def lsh_signature_of(vec: list[float]) -> int:
     return sig
 
 
+def multiprobe_signatures(qsig: int, radius: int = 1, bits: int = 8) -> list[int]:
+    """Multi-probe LSH probe list: every signature within hamming
+    ``radius`` of the query's, nearest tier first. radius 1 → 9 of 256
+    buckets (~3.5% expected scan); radius 2 → 37 (~14%) — the recall
+    tier for corpora whose neighbors straddle two hyperplane
+    boundaries. Still a bucket-equality (partition-pruning) predicate,
+    never a distance scan."""
+    from itertools import combinations
+
+    probes = [qsig]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(bits), r):
+            s = qsig
+            for b in flips:
+                s ^= 1 << b
+            probes.append(s)
+    return probes
+
+
 # ------------------------------------------------------------------- IVF
 
 
@@ -89,6 +108,14 @@ class IVFIndex:
     # covered, but never more than MAX_SCAN_FRACTION of the table
     CAND_PER_K = 32
     MAX_SCAN_FRACTION = 0.25
+    # Planner rule (reference parity in spirit: the reference
+    # brute-forces below 512 vectors, vec_search_executor.hpp:28 — we
+    # also brute-force when the index demonstrably can't help): if the
+    # mean nearest-neighbor distance between centroids is smaller than
+    # the mean intra-cluster radius, the "clusters" overlap so heavily
+    # that probing loses neighbors — fall back to exact KNN. Measured:
+    # 16 Gaussian blobs → ratio ≈ 4-8; uniform random 64-d → ≈ 0.4.
+    SEPARATION_EXACT_FALLBACK = 1.0
 
     def __init__(self, k: int = 16, seed: int = 42, metric: str = "EUCLIDEAN"):
         self.k = k
@@ -96,6 +123,9 @@ class IVFIndex:
         self.metric = metric
         self.centroids: list[list[float]] | None = None
         self.cluster_sizes: dict[int, int] | None = None
+        self.mean_intra_radius: float | None = None
+        self.mean_nn_centroid_dist: float | None = None
+        self.last_search_exact_fallback = False
 
     def build(self, df: DataFrame, vec_col: str) -> DataFrame:
         """Fit KMeans, return df + `_cluster` assignment column. At
@@ -115,7 +145,46 @@ class IVFIndex:
             int(r["_cluster"]): int(r["n"])
             for r in out.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        self._compute_separation_stats(out, vec_col)
         return out
+
+    def _compute_separation_stats(self, indexed: DataFrame, vec_col: str) -> None:
+        """Build-time cluster-quality statistics driving the exact-
+        fallback planner rule in ``search``: mean L2 radius of points
+        around their centroid (one broadcast join + agg over the build
+        output) and mean nearest-neighbor distance between centroids
+        (k² driver-side numpy)."""
+        from vectordb_spark.functions.distance import l2_squared
+
+        cents = np.asarray(self.centroids, dtype=np.float64)
+        if len(cents) > 1:
+            d2 = ((cents[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+            np.fill_diagonal(d2, np.inf)
+            self.mean_nn_centroid_dist = float(np.sqrt(d2.min(axis=1)).mean())
+        else:
+            self.mean_nn_centroid_dist = float("inf")
+        spark = indexed.sparkSession
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "_cluster int, _centroid array<double>",
+        )
+        row = (
+            indexed.join(F.broadcast(cdf), "_cluster")
+            .agg(
+                F.avg(F.sqrt(l2_squared(F.col(vec_col), F.col("_centroid")))).alias("r")
+            )
+            .collect()[0]
+        )
+        self.mean_intra_radius = float(row["r"] or 0.0)
+
+    @property
+    def separation_ratio(self) -> float:
+        """nearest-centroid spacing / mean cluster radius: ≫ 1 on
+        clusterable data, < 1 when the corpus has no cluster structure
+        (IVF's adversarial regime)."""
+        if not self.mean_intra_radius:
+            return float("inf")
+        return (self.mean_nn_centroid_dist or 0.0) / self.mean_intra_radius
 
     def probe_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
         """The ``nprobe`` clusters nearest the query, nearest first.
@@ -169,9 +238,20 @@ class IVFIndex:
     ) -> DataFrame:
         """ANN top-k: prune to probed clusters, exact-KNN re-rank the
         survivors. ``nprobe=None`` (default) auto-plans the probe list
-        from cluster statistics; an int pins it (the reference-style
-        fixed-nprobe knob)."""
+        from cluster statistics — and falls back to EXACT search over
+        the whole table when the build-time separation statistics say
+        the clustering can't carry recall (separation_ratio below
+        SEPARATION_EXACT_FALLBACK). An int ``nprobe`` pins the probe
+        count (the reference-style fixed knob) and disables the
+        fallback."""
+        self.last_search_exact_fallback = False
         if nprobe is None:
+            if self.separation_ratio < self.SEPARATION_EXACT_FALLBACK:
+                self.last_search_exact_fallback = True
+                return knn(
+                    indexed_df, vec_col, query_vector, k,
+                    metric=self.metric, id_col=id_col,
+                )
             clusters = self.plan_probes(query_vector, k)
         else:
             clusters = self.probe_clusters(query_vector, nprobe)

@@ -82,9 +82,23 @@ def compute_facets(
     """Evaluate each facet spec over ``df`` (a search/scan result set —
     reference runs facets over the top-K ids, table_mvp.cpp:386-400).
     Returns one list of group dicts per spec.
+
+    All specs run in ONE action: each spec's aggregation becomes a
+    union branch tagged with its spec index, rows serialized to JSON
+    (types survive: ints/doubles/bools stay typed through the
+    round-trip), collected once, demultiplexed driver-side. The input
+    is cached across the branches so the scan/score subtree computes
+    once, not N times — N facet specs used to cost N sequential jobs
+    on the serving path.
     """
-    out: list[list[dict]] = []
-    for spec in specs:
+    import json
+
+    from functools import reduce
+
+    if not specs:
+        return []
+    branches = []
+    for i, spec in enumerate(specs):
         agg_cols = []
         for func, arg, label in spec.aggregates:
             col = _compile_expr(
@@ -106,5 +120,23 @@ def compute_facets(
             res = df.groupBy(key.alias(spec.group_expr)).agg(*agg_cols)
         else:
             res = df.agg(*agg_cols)
-        out.append([row.asDict() for row in res.collect()])
+        branches.append(
+            res.select(
+                F.lit(i).alias("_spec"),
+                F.to_json(
+                    F.struct(*[res[c].alias(c) for c in res.columns]),
+                    {"ignoreNullFields": "false"},
+                ).alias("_js"),
+            )
+        )
+    cached = df if len(specs) == 1 else df.cache()
+    try:
+        union = reduce(lambda a, b: a.unionByName(b), branches)
+        rows = union.collect()  # the single action
+    finally:
+        if cached is not df:
+            cached.unpersist()
+    out: list[list[dict]] = [[] for _ in specs]
+    for r in rows:
+        out[r["_spec"]].append(json.loads(r["_js"]))
     return out

@@ -88,6 +88,45 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# all xor deltas with popcount 1 or 2 over 8 bits: the hamming-≤2 shell
+_H2_DELTAS = [x for x in range(1, 256) if bin(x).count("1") <= 2]
+
+_MULTIPROBE2_ORACLE = f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding, {_SIG_D} AS sig FROM embeddings
+),
+q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
+SELECT vec_id, label, sig,
+       {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+FROM sigs CROSS JOIN q
+WHERE sig = qsig OR xor(sig, qsig) IN ({", ".join(map(str, _H2_DELTAS))})
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_lsh_multiprobe2", oracle=_MULTIPROBE2_ORACLE)
+def ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-2 multi-probe LSH: the query bucket + all 8 hamming-1 +
+    28 hamming-2 neighbor buckets — 37 of 256 (~14% expected scan), the
+    recall tier for neighbors that fell across two hyperplane
+    boundaries. Candidate set strictly contains the hamming-1 tier's,
+    so recall dominates it (asserted in tests/test_ann.py); the probe
+    list is still a bucket-equality partition-pruning predicate."""
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    probes = A.multiprobe_signatures(A.lsh_signature_of(qv), radius=2)
+    from vectordb_spark.operators.knn import knn
+
+    sigs = emb.withColumn("sig", F.expr(_SIG_S))
+    bucket = sigs.where(F.col("sig").isin(probes))
+    return knn(bucket, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id").select(
+        "vec_id", "label", "sig", F.col("_distance").alias("distance")
+    )
+
+
 @query("ann_ivf_kmeans")  # no oracle: KMeans isn't SQL-replayable; see tests/test_ann.py
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-IVF: batch cluster build (MLlib), nprobe=4 of k=16

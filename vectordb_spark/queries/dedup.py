@@ -320,33 +320,39 @@ _COS_BLOCK_CAP = 256
 _COS_MAX_BITS = 8
 
 
-def _sub_case_sql(n_col: str, sig_col: str) -> str:
+def _sub_case_sql(n_col: str, sig_expr: str) -> str:
     """CASE ladder mapping (block size, signature) → sub-bucket key.
-    Integer-only comparisons, valid verbatim in Spark SQL and DuckDB."""
+    Integer-only comparisons, valid verbatim in Spark SQL and DuckDB.
+    ``sig_expr`` may be a column name or the inlined signature
+    expression — CASE branches evaluate lazily, so inlining means rows
+    in at-or-under-cap blocks never compute the 8 hyperplane dots."""
     parts = [f"WHEN {n_col} <= {_COS_BLOCK_CAP} THEN 0"]
     for bits in range(1, _COS_MAX_BITS):
         parts.append(
-            f"WHEN {n_col} <= {_COS_BLOCK_CAP << bits} THEN {sig_col} % {1 << bits}"
+            f"WHEN {n_col} <= {_COS_BLOCK_CAP << bits} THEN ({sig_expr}) % {1 << bits}"
         )
-    return "CASE " + " ".join(parts) + f" ELSE {sig_col} % {1 << _COS_MAX_BITS} END"
+    return "CASE " + " ".join(parts) + f" ELSE ({sig_expr}) % {1 << _COS_MAX_BITS} END"
 
 
 def _cos_blocks(e: DataFrame) -> DataFrame:
     """Pair-stage prep shared by the query and the scale tests: per-row
-    norm, label-block size, and the adaptive sub-bucket key."""
-    from pyspark.sql import Window as W
+    norm, label-block size, and the adaptive sub-bucket key.
 
+    Block sizes come from a partial-agg groupBy broadcast-joined back —
+    k tiny rows move, not the table (a window over label would shuffle
+    every row just to count). The whole prep therefore stays in the
+    scan stage; the first full-row shuffle is the pair join itself."""
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("label_n"))
     return (
-        e.withColumn(
+        e.join(F.broadcast(counts), "label")
+        .withColumn(
             "nrm",
             F.sqrt(F.expr(
                 "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
             )),
         )
-        .withColumn("sig", F.expr(_EMB_SIG_S))
-        .withColumn("label_n", F.count(F.lit(1)).over(W.partitionBy("label")))
-        .withColumn("sub", F.expr(_sub_case_sql("label_n", "sig")))
-        .drop("sig", "label_n")
+        .withColumn("sub", F.expr(_sub_case_sql("label_n", _EMB_SIG_S)))
+        .drop("label_n")
     )
 
 

@@ -44,7 +44,11 @@ class EngineAPI:
     def __init__(self, spark: SparkSession, warehouse_root: str, *, embedder=None):
         self.warehouse = Warehouse(spark, warehouse_root)
         self.embedder = embedder
-        self._lock = threading.Lock()  # single-writer discipline
+        # In-process request serialization; the cross-PROCESS writer
+        # guarantee lives at the table layer (Table.writer_lock flock,
+        # table.py) so two jobs/servers on one warehouse can't
+        # interleave manifest commits.
+        self._lock = threading.Lock()
 
     # each handler: (payload, path_params, query_params) -> result dict
 

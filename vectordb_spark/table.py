@@ -26,11 +26,19 @@ Deterministic ingest transforms replicated from the reference:
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
 import tempfile
+import threading
+from contextlib import contextmanager
 from typing import Any
+
+try:  # POSIX advisory file locks (Linux/macOS); absent on Windows
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +67,29 @@ DEFAULT_CAPACITY = 2**31 - 1
 DEFAULT_GET_LIMIT = 2**30  # reference web_controller.hpp:904-911
 
 
+def _writer_locked(fn):
+    """Serialize a manifest read-modify-write across THREADS AND
+    PROCESSES: the whole mutation (meta load → segment write → manifest
+    commit) runs under an exclusive flock on ``<table>/_writer.lock``.
+
+    The reference is single-process, so its ``data_update_mutex_``
+    (table_segment_mvp.cpp:456) suffices; at 100 TB multiple jobs write
+    one table, and an in-process ``threading.Lock`` (server.py) cannot
+    exclude a second process — two interleaved load→save cycles would
+    silently drop the first commit. flock conflicts between distinct
+    file descriptors even within one process, so two Table objects on
+    the same path serialize too; a thread-local re-entrancy flag lets
+    nested decorated calls through without self-deadlock.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self.writer_lock():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class Table:
     def __init__(
         self,
@@ -80,6 +111,7 @@ class Table:
         # the limit. Overrides the capacity persisted at creation.
         self.capacity_override = capacity_override
         self.embedder = embedder
+        self._lock_state = threading.local()  # writer_lock re-entrancy
         self._meta_path = os.path.join(path, "_meta.json")
         # index field name -> source STRING field (auto-embedding, §1.4)
         self.index_sources = index_sources or self._load_index_sources()
@@ -102,6 +134,24 @@ class Table:
     def _load_meta(self) -> dict:
         with open(self._meta_path) as f:
             return json.load(f)
+
+    @contextmanager
+    def writer_lock(self):
+        """Exclusive cross-process writer lock for this table (see
+        _writer_locked). Re-entrant per thread; a no-op where fcntl is
+        unavailable."""
+        if fcntl is None or getattr(self._lock_state, "held", False):
+            yield
+            return
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_writer.lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            self._lock_state.held = True
+            try:
+                yield
+            finally:
+                self._lock_state.held = False
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _capacity(self, meta: dict) -> int:
         if self.capacity_override:
@@ -167,6 +217,7 @@ class Table:
 
     # --------------------------------------------------------------- insert
 
+    @_writer_locked
     def insert(self, records: list[dict], *, upsert: bool = False) -> dict:
         """Batch JSON insert (reference S1, web_controller.hpp:436-507 →
         table_segment_mvp.cpp:455-814). Returns {"inserted": n,
@@ -238,6 +289,7 @@ class Table:
             self._append(new_df, meta, next_row_id)
         return {"inserted": len(rows), "skipped": skipped}
 
+    @_writer_locked
     def insert_df(self, df: DataFrame, *, upsert: bool = False) -> dict:
         """Distributed bulk ingest: same semantics, no driver loop.
         PK dedup via window row_number over _row_id (SURVEY.md §1.5)."""
@@ -404,6 +456,7 @@ class Table:
 
     # -------------------------------------------------------- maintenance
 
+    @_writer_locked
     def compact(self, target_partitions: int | None = None) -> dict:
         """Rewrite the current segment list into ONE base segment (a
         new manifest version). Every ``_append`` (point insert,
@@ -430,6 +483,7 @@ class Table:
     # (the Delta VACUUM retention-period discipline, scaled down).
     VACUUM_GRACE_SECONDS = 300.0
 
+    @_writer_locked
     def vacuum(self, keep_history: int = 0, *, grace_seconds: float | None = None) -> dict:
         """Drop time-travel history beyond the newest ``keep_history``
         entries and delete segment dirs no version references anymore —
@@ -472,6 +526,7 @@ class Table:
 
     # --------------------------------------------------------------- delete
 
+    @_writer_locked
     def delete(self, primary_keys: list | None = None, filter: str = "") -> dict:
         """Delete by PK list and/or filter (reference S3,
         db_server.cpp:297-360): with a PK list, a row must match the
@@ -709,6 +764,7 @@ class Table:
 
     # ------------------------------------------------------------- indexes
 
+    @_writer_locked
     def rebuild(
         self, field: str, *, index_type: str = "IVF", k: int = 16, seed: int = 42
     ) -> dict:
