@@ -1,0 +1,43 @@
+"""connected_components: correctness on known graphs, determinism,
+convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectordb_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.comp for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_two_components_min_label(spark):
+    # {1,2,3,4} chained + {10,11}; component = min reachable id
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges_logarithmically(spark):
+    # a 24-node path: propagation alone would need ~24 rounds; with
+    # pointer doubling the label reaches the far end in O(log d)
+    edges = [(i, i + 1) for i in range(24)]
+    got = _cc(spark, edges, max_iter=8)
+    assert set(got.values()) == {0}
+    assert len(got) == 25
+
+
+def test_triangle_plus_pair_matches_clusters(spark):
+    # A~B, B~C without A~C is ONE cluster — the over-delete case pairs
+    # alone get wrong (operators/graph.py module doc)
+    got = _cc(spark, [(5, 7), (7, 9), (20, 21), (21, 20)])
+    assert got == {5: 5, 7: 5, 9: 5, 20: 20, 21: 20}
+
+
+def test_convergence_cap_raises(spark):
+    edges = [(i, i + 1) for i in range(16)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, max_iter=1)

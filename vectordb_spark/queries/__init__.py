@@ -121,6 +121,7 @@ def _load() -> None:
     from vectordb_spark.queries import (  # noqa: F401
         ann,
         core,
+        curation,
         dedup,
         filters,
         extras,
@@ -128,6 +129,7 @@ def _load() -> None:
         joins,
         pipeline,
         sparse,
+        streaming_gate,
         tpch,
         text,
         vector,
