@@ -52,6 +52,14 @@ HEADLINE = [
     "j2_star_join_revenue",
     "sparse_knn_tf_dot",
     "json_props_extract",
+    # round-3 additions
+    "ann_lsh_multiprobe2",
+    "dedup_cluster_components",
+    "sample_stratified",
+    "source_cap_top_quality",
+    "pack_sequences",
+    "asof_join_latest_order",
+    "decontam_ngram_overlap",
 ]
 
 

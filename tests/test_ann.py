@@ -181,6 +181,40 @@ def test_ivf_no_fallback_on_clustered_data(spark):
         d.unpersist()
 
 
+def test_sq8_quantization_error_bound(emb):
+    # |x - q·scale| ≤ scale/2 per element, scale = max|x|/127: the
+    # dequantization error bound that makes the re-rank candidate set
+    # trustworthy
+    from vectordb_spark.operators.quant import quant_scale_exprs, quantize_exprs
+
+    scale_s, _ = quant_scale_exprs("embedding")
+    qz_s, _ = quantize_exprs("embedding", "scale")
+    rows = (
+        emb.withColumn("scale", F.expr(scale_s))
+        .withColumn("q", F.expr(qz_s))
+        .select("embedding", "scale", "q")
+        .limit(50)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        for x, qi in zip(r.embedding, r.q):
+            assert abs(float(x) - qi * r.scale) <= r.scale / 2 + 1e-12
+            # x/scale ∈ [-127, 127] ⇒ floor(·+0.5) ∈ [-127, 127]
+            assert -127 <= qi <= 127
+
+
+def test_sq8_rerank_recall_vs_exact(spark, emb, qv):
+    # the quantized-scan candidates re-ranked exactly must recover the
+    # true top-10 (refine=50 ≫ the approximation error displacement)
+    from vectordb_spark.queries.ann import ann_sq8_rerank
+
+    exact = knn(emb, "embedding", qv, 10, metric="DOT_PRODUCT", id_col="vec_id")
+    approx = ann_sq8_rerank(spark, SF)
+    r = A.recall_at_k(approx, exact, "vec_id", 10)
+    assert r == 1.0, f"sq8-rerank recall@10 {r}"
+
+
 def test_lsh_multiprobe_recall_dominates_single_bucket(spark, emb, qv):
     # hamming-1 multi-probe must include the single bucket's candidates
     # and strictly widen the candidate pool (9/256 buckets vs 1/256),

@@ -127,6 +127,91 @@ def ann_lsh_multiprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_REFINE = 50
+
+
+def _sq8_oracle() -> str:
+    """Built lazily at import: needs the query vector only at run time
+    on the Spark side, but the oracle embeds the quantized literal, so
+    it reads the query vector from the table like every other oracle."""
+    from vectordb_spark.operators.quant import quant_scale_exprs, quantize_exprs
+
+    _, scale_d = quant_scale_exprs("embedding")
+    _, qz_d = quantize_exprs("embedding", "scale")
+    # quantized query = same formulas applied to the vec_id=0 row, all
+    # inside SQL so the oracle is self-contained
+    return f"""
+WITH s AS (
+    SELECT vec_id, label, embedding, {scale_d} AS scale FROM embeddings
+),
+codes AS (
+    SELECT vec_id, label, embedding, scale, {qz_d} AS q FROM s
+),
+qrow AS (SELECT q AS qq, scale AS qscale FROM codes WHERE vec_id = 0),
+approx AS (
+    SELECT vec_id, label, embedding,
+           -((list_reduce(list_transform(list_zip(q, qq), p -> p[1] * p[2]),
+               (a, b) -> a + b) * scale) * qscale) AS approx_dist
+    FROM codes CROSS JOIN qrow
+    ORDER BY approx_dist, vec_id
+    LIMIT {_SQ8_REFINE}
+)
+SELECT vec_id, label,
+       {O.duck_neg_dot("embedding", _QV_SQL)} AS distance
+FROM approx
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_sq8_rerank", oracle=_sq8_oracle())
+def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized scan + exact re-rank: rank the whole table by the
+    int8 approximate (negative) dot — 4× fewer scanned bytes when codes
+    are stored — keep the top {_SQ8_REFINE} candidates, re-rank them
+    with the true float dot. Two TakeOrderedAndProject passes, the
+    second over ≤ {_SQ8_REFINE} rows; the integer dot is exact 64-bit
+    arithmetic, so the approximation is bit-identical to the DuckDB
+    oracle (operators/quant.py)."""
+    from vectordb_spark.functions.distance import (
+        dot_product_distance,
+        vector_literal,
+    )
+    from vectordb_spark.operators.quant import (
+        int_dot_exprs,
+        quant_scale_exprs,
+        quantize_exprs,
+        quantize_vector,
+    )
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    q_codes, q_scale = quantize_vector(qv)
+    scale_s, _ = quant_scale_exprs("embedding")
+    qz_s, _ = quantize_exprs("embedding", "scale")
+    dot_s, _ = int_dot_exprs("q", q_codes)
+    codes = (
+        emb.withColumn("scale", F.expr(scale_s))
+        .withColumn("q", F.expr(qz_s))
+    )
+    approx = (
+        codes.withColumn(
+            "approx_dist", -((F.expr(dot_s) * F.col("scale")) * F.lit(q_scale))
+        )
+        .orderBy("approx_dist", "vec_id")
+        .limit(_SQ8_REFINE)
+    )
+    return (
+        approx.withColumn(
+            "distance", dot_product_distance(F.col("embedding"), vector_literal(qv))
+        )
+        .orderBy("distance", "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "distance")
+    )
+
+
 @query("ann_ivf_kmeans")  # no oracle: KMeans isn't SQL-replayable; see tests/test_ann.py
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-IVF: batch cluster build (MLlib), nprobe=4 of k=16
