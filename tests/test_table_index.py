@@ -89,3 +89,45 @@ def test_index_with_filter(table):
     res = table.search_indexed_df(q, limit=5, nprobe=8, filter="ID <= 20")
     rows = res.collect()
     assert rows and all(r["ID"] <= 20 for r in rows)
+
+
+def test_rebuild_ivf_sq8_stores_codes_not_floats(table, spark):
+    info = table.rebuild("Embedding", index_type="IVF_SQ8", k=8)
+    meta = table._load_meta()
+    idx_meta = meta["indexes"]["Embedding"]
+    assert idx_meta["type"] == "IVF_SQ8"
+    idx_df = spark.read.parquet(os.path.join(table.path, idx_meta["dir"]))
+    # the index holds codes + scale + norm — never the float vectors
+    assert sorted(idx_df.columns) == ["_cluster", "_norm2", "_q", "_row_id", "_scale"]
+    assert dict(idx_df.dtypes)["_q"] == "array<tinyint>"
+    assert idx_df.count() == 200
+    assert info["indexedRecords"] == 200
+
+
+def test_sq8_index_search_matches_exact(table):
+    # quantized probe + exact re-rank must agree with brute force on
+    # the full-probe path (every cluster scanned → candidate superset)
+    table.rebuild("Embedding", index_type="IVF_SQ8", k=8)
+    q = _vec(7)
+    exact = [
+        r["_row_id"]
+        for r in table.search_df(q, query_field="Embedding", limit=5).collect()
+    ]
+    approx = [
+        r["_row_id"]
+        for r in table.search_indexed_df(
+            q, query_field="Embedding", limit=5, nprobe=8
+        ).collect()
+    ]
+    assert approx == exact
+
+
+def test_sq8_index_tail_merge(table):
+    # rows inserted after the rebuild are brute-forced and merged — the
+    # reference's hybrid indexed+tail discipline holds for SQ8 too
+    table.rebuild("Embedding", index_type="IVF_SQ8", k=8)
+    table.insert([{"ID": 900, "Embedding": [0.11, 0.22, 0.33, 0.44]}])
+    got = table.search_indexed_df(
+        [0.11, 0.22, 0.33, 0.44], query_field="Embedding", limit=1, nprobe=8
+    ).collect()
+    assert got[0]["ID"] == 900  # the unindexed row is findable at once

@@ -780,7 +780,8 @@ class Table:
             raise VectorDBError(
                 "INVALID_PAYLOAD", f"Field {field} is not a dense vector field."
             )
-        if index_type.upper() != "IVF":
+        itype = index_type.upper()
+        if itype not in ("IVF", "IVF_SQ8"):
             raise VectorDBError(
                 "NOT_IMPLEMENTED_ERROR", f"Index type {index_type} not supported."
             )
@@ -790,6 +791,28 @@ class Table:
         df = self.df()
         idx = IVFIndex(k=k, seed=seed, metric=f.metric or "EUCLIDEAN")
         assigned = idx.build(df.select("_row_id", field), field)
+        if itype == "IVF_SQ8":
+            # store int8 codes + per-row scale + exact squared norm, NOT
+            # the float vectors: the probe-scan reads 1 byte/dim instead
+            # of 4 — the 4× bandwidth saving is physical, not notional.
+            # Exact distances come from re-joining the base table for
+            # the (small) re-rank candidate set only.
+            from vectordb_spark.functions.distance import dot_product
+            from vectordb_spark.operators.quant import (
+                quant_scale_exprs,
+                quantize_exprs,
+            )
+
+            scale_s, _ = quant_scale_exprs(field)
+            qz_s, _ = quantize_exprs(field, "_scale")
+            assigned = (
+                assigned.withColumn("_scale", F.expr(scale_s))
+                .withColumn("_q", F.expr(qz_s).cast("array<tinyint>"))
+                .withColumn(
+                    "_norm2", dot_product(F.col(field), F.col(field))
+                )
+                .select("_row_id", "_scale", "_q", "_norm2", "_cluster")
+            )
         version = meta.get("indexes", {}).get(field, {}).get("version", 0) + 1
         name = f"index_{field}_v{version}"
         (
@@ -799,7 +822,7 @@ class Table:
         )
         indexed_up_to = meta["next_row_id"]
         meta.setdefault("indexes", {})[field] = {
-            "type": "IVF",
+            "type": itype,
             "k": k,
             "seed": seed,
             "version": version,
@@ -849,7 +872,35 @@ class Table:
         else:
             clusters = idx.probe_clusters(q, nprobe)
         index_df = self.spark.read.parquet(os.path.join(self.path, info["dir"]))
-        cand_ids = index_df.where(F.col("_cluster").isin(clusters)).select("_row_id")
+        probed = index_df.where(F.col("_cluster").isin(clusters))
+        if info.get("type") == "IVF_SQ8":
+            # quantized probe-scan: rank the probed codes by the int8
+            # approximation, keep refine·limit candidate ids — the scan
+            # reads codes (1 B/dim), never float vectors; exact
+            # distances happen below on the candidate join only
+            from vectordb_spark.operators.quant import (
+                int_dot_exprs,
+                quantize_vector,
+            )
+
+            q_codes, q_scale = quantize_vector(q)
+            dot_s, _ = int_dot_exprs("_q", q_codes)
+            approx_dot = F.expr(dot_s) * F.col("_scale") * F.lit(q_scale)
+            metric = info["metric"]
+            if metric == "EUCLIDEAN":
+                qnorm2 = float(sum(float(x) * float(x) for x in q))
+                approx_dist = F.col("_norm2") - 2.0 * approx_dot + F.lit(qnorm2)
+            elif metric == "COSINE":  # ingest-normalized: cos ≡ dot
+                approx_dist = F.lit(1.0) - approx_dot
+            else:  # DOT_PRODUCT: distance = -dot
+                approx_dist = -approx_dot
+            refine = max(4 * limit, 50)
+            probed = (
+                probed.withColumn("_approx", approx_dist)
+                .orderBy(F.col("_approx").asc(), F.col("_row_id").asc())
+                .limit(refine)
+            )
+        cand_ids = probed.select("_row_id")
         base = self.df()
         candidates = base.join(cand_ids, "_row_id", "left_semi").unionByName(
             base.where(F.col("_row_id") >= info["indexed_up_to"])  # unindexed tail
