@@ -131,3 +131,88 @@ def test_sq8_index_tail_merge(table):
         [0.11, 0.22, 0.33, 0.44], query_field="Embedding", limit=1, nprobe=8
     ).collect()
     assert got[0]["ID"] == 900  # the unindexed row is findable at once
+
+
+def test_sq8_search_survives_heavy_deletes(table):
+    # index ids for deleted rows must not consume the refine budget:
+    # delete 75% of rows after the build, search still returns the
+    # exact top-5 of the LIVE rows
+    table.rebuild("Embedding", index_type="IVF_SQ8", k=8)
+    table.delete(filter="ID >= 50")
+    q = _vec(7)
+    exact = [r["_row_id"] for r in table.search_df(q, limit=5).collect()]
+    approx = [
+        r["_row_id"]
+        for r in table.search_indexed_df(q, limit=5, nprobe=8).collect()
+    ]
+    assert approx == exact
+    assert len(approx) == 5
+
+
+def test_persisted_index_separation_fallback(spark, tmp_path):
+    # unclusterable vectors: the persisted index must carry the
+    # separation stats and auto-probe (nprobe=None) must answer
+    # exactly via the fallback — not lose recall probing
+    import numpy as np
+
+    from vectordb_spark.catalog import Warehouse
+
+    rng = np.random.RandomState(3)
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    t = wh.load_db("rnddb").create_table(
+        {
+            "name": "rnd",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {
+                    "name": "Embedding",
+                    "dataType": "VECTOR_FLOAT",
+                    "dimensions": 16,
+                    "metricType": "EUCLIDEAN",
+                },
+            ],
+        }
+    )
+    t.insert(
+        [
+            {"ID": i, "Embedding": [float(x) for x in rng.standard_normal(16)]}
+            for i in range(300)
+        ]
+    )
+    t.rebuild("Embedding", k=16)
+    info = t._load_meta()["indexes"]["Embedding"]
+    assert info["mean_intra_radius"] is not None
+    q = [float(x) for x in rng.standard_normal(16)]
+    exact = [r["_row_id"] for r in t.search_df(q, limit=10).collect()]
+    auto = [
+        r["_row_id"] for r in t.search_indexed_df(q, limit=10).collect()
+    ]
+    assert auto == exact  # fallback fired → exact by construction
+
+
+def test_writer_lock_reentrant_across_handles(tmp_path):
+    # nested same-thread mutations through DIFFERENT Table handles on
+    # one path must re-enter, not self-deadlock on the flock
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="reent",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    path = str(tmp_path / "reent")
+    t1 = Table(None, schema, path)
+    t1._init_storage()
+    t2 = Table(None, schema, path)
+    with t1.writer_lock():
+        with t2.writer_lock():  # would hang before the held-paths fix
+            meta = t2._load_meta()
+            meta["version"] += 1
+            t2._save_meta(meta)
+    assert t1._load_meta()["version"] == 1

@@ -141,19 +141,15 @@ class IVFIndex:
         model = km.fit(vecs)
         self.centroids = [[float(x) for x in c] for c in model.clusterCenters()]
         out = model.transform(vecs).drop("_features")
-        self.cluster_sizes = {
-            int(r["_cluster"]): int(r["n"])
-            for r in out.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        self._compute_separation_stats(out, vec_col)
+        self._compute_build_stats(out, vec_col)
         return out
 
-    def _compute_separation_stats(self, indexed: DataFrame, vec_col: str) -> None:
-        """Build-time cluster-quality statistics driving the exact-
-        fallback planner rule in ``search``: mean L2 radius of points
-        around their centroid (one broadcast join + agg over the build
-        output) and mean nearest-neighbor distance between centroids
-        (k² driver-side numpy)."""
+    def _compute_build_stats(self, indexed: DataFrame, vec_col: str) -> None:
+        """Build-time statistics in ONE Spark action: per-cluster sizes
+        (auto-probe planning) and the mean L2 radius of points around
+        their centroid (exact-fallback planner rule) come from a single
+        broadcast join + groupBy over the build output; mean nearest-
+        neighbor distance between centroids is k² driver-side numpy."""
         from vectordb_spark.functions.distance import l2_squared
 
         cents = np.asarray(self.centroids, dtype=np.float64)
@@ -168,14 +164,20 @@ class IVFIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "_cluster int, _centroid array<double>",
         )
-        row = (
+        rows = (
             indexed.join(F.broadcast(cdf), "_cluster")
+            .groupBy("_cluster")
             .agg(
-                F.avg(F.sqrt(l2_squared(F.col(vec_col), F.col("_centroid")))).alias("r")
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.sqrt(l2_squared(F.col(vec_col), F.col("_centroid")))).alias("rs"),
             )
-            .collect()[0]
+            .collect()
         )
-        self.mean_intra_radius = float(row["r"] or 0.0)
+        self.cluster_sizes = {int(r["_cluster"]): int(r["n"]) for r in rows}
+        total = sum(r["n"] for r in rows)
+        self.mean_intra_radius = (
+            float(sum(r["rs"] for r in rows) / total) if total else 0.0
+        )
 
     @property
     def separation_ratio(self) -> float:

@@ -129,13 +129,17 @@ def compute_facets(
                 ).alias("_js"),
             )
         )
-    cached = df if len(specs) == 1 else df.cache()
+    # cache() returns the SAME DataFrame object, so track the decision
+    # in a flag (an identity check would never release the cache)
+    did_cache = len(specs) > 1
+    if did_cache:
+        df.cache()
     try:
         union = reduce(lambda a, b: a.unionByName(b), branches)
         rows = union.collect()  # the single action
     finally:
-        if cached is not df:
-            cached.unpersist()
+        if did_cache:
+            df.unpersist()
     out: list[list[dict]] = [[] for _ in specs]
     for r in rows:
         out[r["_spec"]].append(json.loads(r["_js"]))

@@ -68,7 +68,10 @@ def connected_components(
             )
         )
         # pointer doubling: follow the label chain one hop — halves the
-        # remaining distance to the component minimum every round
+        # remaining distance to the component minimum every round.
+        # prop is materialized first: the self-join below would
+        # otherwise evaluate the propagation subtree twice per round
+        prop = prop.localCheckpoint()
         new = (
             prop.alias("x")
             .join(

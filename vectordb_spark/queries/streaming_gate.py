@@ -92,9 +92,16 @@ def stream_ingest_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_insert(t, stream, os.path.join(work, "_checkpoint"))
     q.awaitTermination()
 
-    return t.df().groupBy("event_type").agg(
+    out = t.df().groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
         dec_sum("value").alias("sum_value"),
     )
+    # materialize before deleting the temp warehouse the lazy plan
+    # reads — repeated gate runs must not accumulate table copies
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out

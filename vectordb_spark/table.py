@@ -67,6 +67,15 @@ DEFAULT_CAPACITY = 2**31 - 1
 DEFAULT_GET_LIMIT = 2**30  # reference web_controller.hpp:904-911
 
 
+# Re-entrancy registry for writer_lock: thread-local SET OF TABLE PATHS
+# currently held by this thread. Module-level (not per-Table) because
+# nested mutations routinely run through DIFFERENT Table instances on
+# the same path (db.table(name) hands out a fresh handle every call) —
+# a per-instance flag would let the inner call re-flock the same file
+# from a new fd and self-deadlock.
+_WRITER_HELD = threading.local()
+
+
 def _writer_locked(fn):
     """Serialize a manifest read-modify-write across THREADS AND
     PROCESSES: the whole mutation (meta load → segment write → manifest
@@ -78,8 +87,9 @@ def _writer_locked(fn):
     exclude a second process — two interleaved load→save cycles would
     silently drop the first commit. flock conflicts between distinct
     file descriptors even within one process, so two Table objects on
-    the same path serialize too; a thread-local re-entrancy flag lets
-    nested decorated calls through without self-deadlock.
+    the same path serialize too; the thread-local held-paths registry
+    lets nested calls through any handle of the same table without
+    self-deadlock.
     """
 
     @functools.wraps(fn)
@@ -111,7 +121,6 @@ class Table:
         # the limit. Overrides the capacity persisted at creation.
         self.capacity_override = capacity_override
         self.embedder = embedder
-        self._lock_state = threading.local()  # writer_lock re-entrancy
         self._meta_path = os.path.join(path, "_meta.json")
         # index field name -> source STRING field (auto-embedding, §1.4)
         self.index_sources = index_sources or self._load_index_sources()
@@ -138,19 +147,21 @@ class Table:
     @contextmanager
     def writer_lock(self):
         """Exclusive cross-process writer lock for this table (see
-        _writer_locked). Re-entrant per thread; a no-op where fcntl is
-        unavailable."""
-        if fcntl is None or getattr(self._lock_state, "held", False):
+        _writer_locked). Re-entrant per thread across ANY handle of the
+        same table path; a no-op where fcntl is unavailable."""
+        key = os.path.realpath(self.path)
+        held: set = getattr(_WRITER_HELD, "paths", None) or set()
+        if fcntl is None or key in held:
             yield
             return
         os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "_writer.lock"), "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
-            self._lock_state.held = True
+            _WRITER_HELD.paths = held | {key}
             try:
                 yield
             finally:
-                self._lock_state.held = False
+                _WRITER_HELD.paths = _WRITER_HELD.paths - {key}
                 fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _capacity(self, meta: dict) -> int:
@@ -831,6 +842,15 @@ class Table:
             "centroids": idx.centroids,
             "cluster_sizes": {str(c): n for c, n in (idx.cluster_sizes or {}).items()},
             "indexed_up_to": indexed_up_to,
+            # separation statistics → the exact-fallback planner rule
+            # applies to persisted-index searches too (None = +inf)
+            "mean_intra_radius": idx.mean_intra_radius,
+            "mean_nn_centroid_dist": (
+                None
+                if idx.mean_nn_centroid_dist is None
+                or math.isinf(idx.mean_nn_centroid_dist)
+                else idx.mean_nn_centroid_dist
+            ),
         }
         self._save_meta(meta)
         return {"field": field, "version": version, "indexedRecords": indexed_up_to}
@@ -866,14 +886,29 @@ class Table:
         idx.cluster_sizes = {
             int(c): int(n) for c, n in (info.get("cluster_sizes") or {}).items()
         }
+        idx.mean_intra_radius = info.get("mean_intra_radius")
+        nn = info.get("mean_nn_centroid_dist")
+        idx.mean_nn_centroid_dist = float("inf") if nn is None else float(nn)
         q = _normalize_dense_query(query_vector, f)
         if nprobe is None:
+            # the separation planner rule (operators/ann.py): when the
+            # build-time stats say probing can't carry recall, answer
+            # exactly — same fallback the operator-level search applies
+            if idx.separation_ratio < idx.SEPARATION_EXACT_FALLBACK:
+                return self.search_df(
+                    query_vector, query_field=f.name, limit=limit, filter=filter
+                )
             clusters = idx.plan_probes(q, limit)
         else:
             clusters = idx.probe_clusters(q, nprobe)
         index_df = self.spark.read.parquet(os.path.join(self.path, info["dir"]))
         probed = index_df.where(F.col("_cluster").isin(clusters))
+        base = self.df()
         if info.get("type") == "IVF_SQ8":
+            # the index may hold ids for rows deleted/upserted since the
+            # build; drop them BEFORE the refine cut, or a delete-heavy
+            # table would fill the candidate budget with dead ids
+            probed = probed.join(base.select("_row_id"), "_row_id", "left_semi")
             # quantized probe-scan: rank the probed codes by the int8
             # approximation, keep refine·limit candidate ids — the scan
             # reads codes (1 B/dim), never float vectors; exact
@@ -901,7 +936,6 @@ class Table:
                 .limit(refine)
             )
         cand_ids = probed.select("_row_id")
-        base = self.df()
         candidates = base.join(cand_ids, "_row_id", "left_semi").unionByName(
             base.where(F.col("_row_id") >= info["indexed_up_to"])  # unindexed tail
         ).dropDuplicates(["_row_id"])
