@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from vectordb_spark.plans.audit import (
+    plan_of,
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filters,
@@ -170,3 +171,19 @@ def test_facets_batch_in_single_action(spark, monkeypatch):
     assert out4[1] == [{"MIN(ID)": 0.0, "MAX(val)": 99.0}]
     by_key = {r["ID % 2"]: r["SUM(ID)"] for r in out4[2]}
     assert by_key == {0.0: 2450.0, 1.0: 2500.0}
+
+
+def test_source_cap_prunes_map_side(spark, qs):
+    # rank <= N over a window must plan WindowGroupLimit BEFORE the
+    # exchange (partial top-N per map task) — the property that keeps
+    # per-source caps linear at 100 TB
+    plan = plan_of(qs["source_cap_top_quality"](spark, SF))
+    lines = plan.splitlines()
+    exch = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    assert any("WindowGroupLimit" in l for l in lines[exch:]), plan
+
+
+def test_pack_sequences_single_shuffle(spark, qs):
+    # the per-shard running sum needs exactly ONE exchange (on shard)
+    plan = plan_of(qs["pack_sequences"](spark, SF))
+    assert plan.count("+- Exchange") == 1, plan

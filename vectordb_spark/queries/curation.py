@@ -185,3 +185,51 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _SEQ_LEN).cast("long").alias("pack_id"),
         (start % _SEQ_LEN).alias("pack_offset"),
     )
+
+
+# ------------------------------------------- source mixing weights
+
+_MIX_ALPHA = 0.5  # temperature: 1 = proportional, 0 = uniform
+
+
+@query(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n,
+               (SUM(len(string_split(text, ' '))))::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, n, n_tokens, pow(CAST(n AS DOUBLE), {_MIX_ALPHA}) AS p
+        FROM counts
+    )
+    SELECT source, n, n_tokens,
+           p / (SELECT CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) FROM powed)
+               AS weight
+    FROM powed
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the mixture knob of
+    multi-source training sets: weight_s ∝ n_s^{_MIX_ALPHA} (α < 1
+    upweights small sources so one giant crawl doesn't drown the mix).
+    One groupBy over (source) plus a broadcastable scalar normalizer —
+    the weights table is k rows however big the corpus. Emits doc and
+    token counts so the consumer can convert weights to epochs."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    powed = counts.withColumn("p", F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA)))
+    # decimal-exact normalizer: a plain double SUM is partition-order-
+    # dependent in its low bits and would flake the oracle hash
+    total = powed.agg(
+        F.sum(F.col("p").cast("decimal(28,12)")).cast("double").alias("tp")
+    )
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.col("p") / F.col("tp"))
+        .select("source", "n", "n_tokens", "weight")
+    )

@@ -237,3 +237,65 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+_TOP_NGRAMS_K = 10
+
+
+@query(
+    "text_top_bigrams_per_lang",
+    oracle=f"""
+    SELECT lang, bigram, n, rank
+    FROM (
+        SELECT lang, bigram, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n DESC, bigram
+               ) AS rank
+        FROM (
+            SELECT lang, bigram, COUNT(*) AS n
+            FROM (
+                SELECT lang,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                           j -> array_to_string(list_slice(string_split(text, ' '), j, j + 1), ' ')
+                       )) AS bigram
+                FROM documents
+            )
+            GROUP BY lang, bigram
+        )
+    )
+    WHERE rank <= {_TOP_NGRAMS_K}
+    """,
+)
+def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOP_NGRAMS_K} word bigrams per language — the n-gram
+    statistics pass of corpus analysis. Explode → count (partial agg
+    map-side combines the heavy hitters) → per-lang rank with a
+    deterministic (count DESC, bigram) order. At web scale the exact
+    count stays tractable because counting shuffles (lang, bigram,
+    partial_count), never documents; a count-min sketch is the
+    documented swap-in if the bigram vocabulary itself outgrows the
+    shuffle."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) < 2, F.slice(toks, 1, 0)
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), "
+            "j -> concat_ws(' ', slice(split(text, ' '), j, 2)))"
+        )
+    )
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOP_NGRAMS_K)
+        .select("lang", "bigram", "n", "rank")
+    )
