@@ -135,6 +135,7 @@ class Table:
                     "version": 0,
                     "files": [],
                     "next_row_id": 0,
+                    "row_count": 0,
                     "capacity": int(capacity) if capacity else DEFAULT_CAPACITY,
                     "index_sources": self.index_sources,
                 }
@@ -310,19 +311,46 @@ class Table:
         start = meta["next_row_id"]
         cols = [f.name for f in self.schema.fields if not f.is_index_field]
         new_df = df.select(*cols)
-        # assign batch-order row ids (zipWithIndex semantics via
-        # monotonically_increasing_id is non-contiguous; order by it to
-        # get a deterministic batch order)
+        # Assign batch-order row ids WITHOUT a global sort: a
+        # row_number() over a partitionless window would funnel the
+        # whole batch through one task. monotonically_increasing_id
+        # encodes (partition_id << 33) | position, so contiguous ids
+        # fall out of per-partition offsets: one partial-agg action
+        # collects partition counts (a few longs per partition), the
+        # driver prefix-sums them, and a broadcast join adds the
+        # offsets back — the id order is identical to sorting by the
+        # monotonic id, with no single-task stage anywhere.
         new_df = new_df.withColumn("_mono", F.monotonically_increasing_id())
-        w = W.orderBy("_mono")
-        new_df = new_df.withColumn(
-            "_row_id", F.row_number().over(w).cast("long") + F.lit(start - 1)
-        ).drop("_mono")
+        pid = F.shiftrightunsigned(F.col("_mono"), 33)
+        pos = F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
+        pcounts = sorted(
+            (
+                (int(r["_pid"]), int(r["c"]))
+                for r in new_df.select(pid.alias("_pid"))
+                .groupBy("_pid")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        )
+        offsets, acc = [], 0
+        for p, c in pcounts:
+            offsets.append((p, acc))
+            acc += c
         # _row_id values span [start, start+total) over the PRE-dedup
         # batch; rows dropped by PK dedup / anti-join leave holes, so the
         # cursor must advance by the full batch size or later inserts
         # would reuse ids still present in kept rows.
-        total = new_df.count()
+        total = acc
+        off_df = self.spark.createDataFrame(offsets, "_pid long, _off long")
+        new_df = (
+            new_df.withColumn("_pid", pid)
+            .withColumn("_pos", pos)
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(
+                "_row_id", (F.lit(start) + F.col("_off") + F.col("_pos")).cast("long")
+            )
+            .drop("_mono", "_pid", "_pos", "_off")
+        )
         pk_field = self.schema.primary_key
         inserted_df = new_df
         if pk_field is not None:
@@ -434,6 +462,13 @@ class Table:
     # ---------------------------------------------------------------- write
 
     def _count(self, meta: dict) -> int:
+        """Live row count. Maintained transactionally in the manifest
+        (every commit records the delta from parquet footer metadata),
+        so capacity checks / statistics are O(1), not an O(table) scan
+        per insert. Falls back to a real count for pre-row_count
+        manifests."""
+        if meta.get("row_count") is not None:
+            return int(meta["row_count"])
         if not meta["files"]:
             return 0
         return self.df().count()
@@ -443,7 +478,14 @@ class Table:
             {"version": meta["version"], "files": list(meta["files"])}
         )
 
+    def _dir_count(self, name: str) -> int:
+        """Row count of a just-written segment dir — parquet footer
+        metadata only (Spark answers unfiltered count(*) from footers),
+        never a data scan."""
+        return int(self.spark.read.parquet(os.path.join(self.path, name)).count())
+
     def _append(self, new_df: DataFrame, meta: dict, next_row_id: int) -> None:
+        before = self._count(meta)  # resolve before files change (legacy fallback)
         self._record_history(meta)
         version = meta["version"] + 1
         name = f"add_{version}"
@@ -451,6 +493,7 @@ class Table:
         meta["files"].append(name)
         meta["version"] = version
         meta["next_row_id"] = next_row_id
+        meta["row_count"] = before + self._dir_count(name)
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
 
@@ -462,6 +505,7 @@ class Table:
         meta["files"] = [name]
         meta["version"] = version
         meta["next_row_id"] = next_row_id
+        meta["row_count"] = self._dir_count(name)
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
 
@@ -560,11 +604,13 @@ class Table:
         if ast is not None:
             cond = cond & to_spark_column(ast)
         meta = self._load_meta()
-        df = self.df()
-        kept = df.where(~F.coalesce(cond, F.lit(False)))
-        deleted = df.count() - kept.count()
+        before = self._count(meta)
+        kept = self.df().where(~F.coalesce(cond, F.lit(False)))
+        # the consolidation commit records the surviving count from
+        # parquet footers — deleted falls out of the delta, no extra
+        # O(table) count actions
         self._write_base(kept, meta, meta["next_row_id"])
-        return {"deleted": deleted}
+        return {"deleted": before - int(meta["row_count"])}
 
     # ---------------------------------------------------------------- query
 
