@@ -87,27 +87,37 @@ def main() -> None:
     # Warm up the JVM + parquet footers once; not counted.
     qs["s11_statistics"](spark, sf_dir).collect()
 
+    # One failing query must NOT abort the artifact (BENCH_r03 lesson:
+    # a single AnalysisException produced rc=1 and no JSON line at all).
+    # Record the error once, skip its remaining samples, keep going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(runs):
         for name in names:
-            dt = _run_once(qs, name, spark, sf_dir)
+            if name in errors:
+                continue
+            try:
+                dt = _run_once(qs, name, spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — artifact resilience
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                continue
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
     timings = {n: round(t, 4) for n, t in timings.items()}
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

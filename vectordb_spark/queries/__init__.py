@@ -50,7 +50,6 @@ _LOADED = False
 ORACLE_WINDOW: tuple[str, ...] = (
     # tier A — core KNN / windows / text profile
     "t1_knn_l2",
-    "t1_knn_dot",
     "t1_knn_cosine",
     "t2_knn_prefilter",
     "t6_knn_postfilter_distance",
@@ -60,7 +59,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "w3_topn_per_group",
     "w4_latest_per_key",
     "w5_running_total",
-    "text_bpe_token_estimate",
     "text_lang_profile",
     # tier B — reference-parity scan/filter/agg/ANN surface.
     # Round-3 rotation: six stable-green compile-path duplicates
@@ -70,12 +68,8 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # in-window sibling) moved off-window to give the six round-2
     # additions their first independent driver row.
     "s4_full_scan_filter",
-    "s5_pk_point_lookup",
-    "t7_keyset_pagination",
-    "s2_insert_prepare_mask",
     "p2_lang_arith",
     "p6_lang_like_in",
-    "p3_lang_fmod_unary",
     "p8_nearby_geo",
     "a4_facet_group_sum",
     "json_props_extract",
@@ -95,21 +89,38 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "dedup_token_jaccard",
     "dedup_embedding_cosine",
     "dedup_exact_keep_first",
-    "sparse_tf_vectors",
     "sparse_tfidf_weights",
     "sparse_knn_tf_dot",
     "text_token_count",
-    "text_fingerprint",
     "text_lang_id",
     "text_quality_score",
     "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
     "j2_star_join_revenue",
     # round-2 pipeline extensions (p3_lang_concat / dedup_exact_stats
     # moved off-window: same compile paths as in-window siblings, both
     # green in CORRECTNESS_r01)
     "asof_join_latest_order",
     "decontam_ngram_overlap",
+    # Round-4 rotation: nine round-3 additions get their first
+    # independent driver row; rotated out (each green in ≥2 prior
+    # rounds, each sharing a compile path with an in-window sibling):
+    # t1_knn_dot (metric variant of t1_knn_l2/cosine),
+    # text_bpe_token_estimate + text_fingerprint (text-Column path,
+    # 4 siblings stay), s5_pk_point_lookup (IN-list path ≈
+    # p6_lang_like_in), s2_insert_prepare_mask (DML-prep),
+    # p3_lang_fmod_unary (arith path = p2_lang_arith),
+    # t7_keyset_pagination (t7_pagination green r1+r2),
+    # sparse_tf_vectors (sparse path: tfidf + knn stay),
+    # tpch_q3_top_orders (join path = j2 + agg path = tpch_q1).
+    "ann_lsh_multiprobe2",
+    "ann_sq8_rerank",
+    "dedup_cluster_components",
+    "sample_stratified",
+    "source_cap_top_quality",
+    "pack_sequences",
+    "source_mixing_weights",
+    "stream_ingest_count_by_type",
+    "text_top_bigrams_per_lang",
 )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -26,15 +27,40 @@ TESTDATA_TABLES = (
 )
 
 
+def ts_ns(df: DataFrame, col: str = "ts"):
+    """Column expression for ``col`` as epoch-ns BIGINT, whatever the
+    physical type: already-BIGINT ns passes through; timestamp[us] /
+    TIMESTAMP_NTZ converts via ``unix_micros`` (exact under the pinned
+    UTC session TZ). Works on batch and streaming frames (dtypes are
+    known pre-execution in both)."""
+    dt = dict(df.dtypes).get(col, "")
+    if dt.startswith("timestamp"):
+        return F.expr(f"unix_micros(cast({col} as timestamp)) * 1000")
+    return F.col(col)
+
+
+def ts_us(df: DataFrame, col: str = "ts"):
+    """Like :func:`ts_ns` but epoch-µs — integer arithmetic throughout
+    (ns values ~1.7e18 exceed double's 2^53 mantissa, so a float
+    division would corrupt timestamps; ``div`` keeps it exact)."""
+    dt = dict(df.dtypes).get(col, "")
+    if dt.startswith("timestamp"):
+        return F.expr(f"unix_micros(cast({col} as timestamp))")
+    return F.expr(f"{col} div 1000")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, rebalance: bool = False
 ) -> DataFrame:
     """Load one testdata table from ``sf_dir`` as a DataFrame.
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects by default; read it as epoch-nanos BIGINT (exact) and derive
-    calendar values per-query. DuckDB oracle equivalent:
-    ``CAST(epoch_ns(ts) AS BIGINT)``.
+    events.ts is normalized to epoch-nanos BIGINT regardless of how the
+    parquet stores it — TIMESTAMP(NANOS) (older testdata; read via
+    ``nanosAsLong``) or timestamp[us]/TIMESTAMP_NTZ (current testdata;
+    converted with ``unix_micros`` under the pinned UTC session TZ, so
+    the naive value round-trips exactly). Every downstream query does
+    exact integer bucket math on ns; the DuckDB oracle equivalent is
+    ``epoch_ns(ts)``.
 
     ``rebalance=True`` spreads the scan across the cluster when the
     source provides fewer splits than cores (a single-row-group parquet
@@ -51,6 +77,14 @@ def load_table(
     # session can't drift
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        # TIMESTAMP_NTZ → TIMESTAMP cast applies the session TZ (pinned
+        # UTC above), so unix_micros returns the exact naive micros the
+        # oracle's epoch_us/epoch_ns sees; ×1000 restores the ns domain
+        # the query layer's integer bucket math expects.
+        df = df.withColumn(
+            "ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+        )
     if rebalance:
         cores = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < cores:

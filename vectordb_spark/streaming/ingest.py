@@ -125,7 +125,9 @@ def stateful_sessionize(
             columns=["user_id", "session_start_us", "session_end_us", "n_events"],
         )
 
-    with_ts = events.withColumn("tus", F.expr("ts div 1000"))
+    from vectordb_spark.sources.readers import ts_us
+
+    with_ts = events.withColumn("tus", ts_us(events))
     if with_ts.isStreaming:
         with_ts = with_ts.withColumn(
             "_event_time", F.timestamp_micros(F.col("tus"))
@@ -150,8 +152,10 @@ def windowed_event_counts(
     """Watermarked tumbling-window counts — works on a streaming OR
     batch events frame (ts in epoch-ns). The watermark bounds state for
     late data on streams; on batch frames it is a no-op."""
+    from vectordb_spark.sources.readers import ts_us
+
     with_ts = events.withColumn(
-        "_event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        "_event_time", F.timestamp_micros(ts_us(events, ts_col))
     )
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark("_event_time", watermark)
