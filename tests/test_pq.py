@@ -1,0 +1,83 @@
+"""Product-quantization tests (operators/pq.py) — the reference's
+index-agreement discipline (db_server.cpp:1606-1612) applied to PQ:
+trained ADC + re-rank must track brute force, and the build must be
+deterministic under a fixed seed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators import pq as PQ
+from vectordb_spark.operators.knn import knn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def qv(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+
+
+def _recall(approx_ids: set, exact_ids: set) -> float:
+    return len(approx_ids & exact_ids) / len(exact_ids)
+
+
+def test_trained_pq_recall_vs_exact(emb, qv):
+    exact = {
+        r.vec_id
+        for r in knn(emb, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id").collect()
+    }
+    idx = PQ.PQIndex(seed=42).fit(emb, "embedding")
+    got = {r.vec_id for r in idx.search(emb, "embedding", qv, 10, refine=64).collect()}
+    # 64-d near-random vectors are PQ's hardest case; with a 64-wide
+    # exact re-rank the trained codebook must still recover most of the
+    # true top-10 (measured 0.8-1.0 on this data).
+    assert _recall(got, exact) >= 0.6
+
+
+def test_trained_pq_full_refine_is_exact(emb, qv):
+    n = emb.count()
+    exact = [
+        r.vec_id
+        for r in knn(emb, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id").collect()
+    ]
+    idx = PQ.PQIndex(seed=42).fit(emb, "embedding")
+    got = [r.vec_id for r in idx.search(emb, "embedding", qv, 10, refine=n).collect()]
+    # refine = table size → the re-rank sees every row → exact (the T8
+    # brute-force-threshold property, same as IVF full-probe)
+    assert got == exact
+
+
+def test_pq_build_deterministic(emb, qv):
+    cb1 = PQ.PQIndex(seed=7).fit(emb, "embedding").codebook
+    cb2 = PQ.PQIndex(seed=7).fit(emb, "embedding").codebook
+    assert cb1 == cb2
+
+
+def test_seeded_codebook_shape():
+    cb = PQ.seeded_codebook(64)
+    assert len(cb) == PQ.M_SUBSPACES
+    assert all(len(s) == PQ.K_CENTROIDS for s in cb)
+    assert all(len(c) == 64 // PQ.M_SUBSPACES for s in cb for c in s)
+    # import-time constant: same seed → same literals in plan + oracle
+    assert cb == PQ.seeded_codebook(64)
+
+
+def test_adc_table_matches_oracle_semantics():
+    cb = PQ.seeded_codebook(64)
+    q = list(range(-32, 32))
+    table = PQ.adc_table(cb, q)
+    sub = 64 // PQ.M_SUBSPACES
+    # spot-check one entry against the definition
+    mi, ki = 3, 5
+    qs = q[mi * sub : (mi + 1) * sub]
+    want = sum((a - b) * (a - b) for a, b in zip(qs, cb[mi][ki]))
+    assert table[mi][ki] == want

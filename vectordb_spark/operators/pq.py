@@ -1,0 +1,249 @@
+"""Product quantization (PQ) for embedding columns — the code-size tier
+below SQ8 (operators/quant.py) in the vector-search storage hierarchy.
+
+A D-dim float32 vector (256 bytes at D=64) becomes M sub-codes of
+log2(K) bits each (M=8, K=16 → 4 bytes, a 64× compression); search runs
+ADC (asymmetric distance computation): per subspace, the distance from
+the query sub-vector to each of the K centroids is precomputed into an
+M×K lookup table, and a row's approximate distance is the sum of M
+table lookups selected by its codes. Candidates from the ADC ranking
+are then re-ranked with the exact float distance — the same
+quantized-scan → exact-re-rank shape as SQ8 (the standard IVF-PQ /
+Faiss design; the reference itself stores raw float32 + SIMD kernels,
+engine/db/index/space_l2.hpp, so PQ is a beyond-reference scale tier).
+
+Determinism strategy (what makes the operator oracle-checkable): all
+PQ-side arithmetic is INTEGER. Vectors and centroids are quantized onto
+the same fixed grid (``q = floor(x·QMUL + 0.5)``), sub-code assignment
+is an integer-L2 argmin with first-occurrence tie-break, and the ADC
+table holds exact integer distances — so Spark and DuckDB compute
+bit-identical candidate sets, and the float math is confined to the
+final exact re-rank (sequential-fold L2, already bit-stable — see
+plans/oracle.py). Two codebook sources:
+
+- :func:`seeded_codebook` — data-independent pseudo-random centroids
+  (registration-time constant → a full DuckDB oracle, like the LSH
+  hyperplanes in operators/ann.py). Approximation quality is poor, but
+  correctness of the ENCODE → ADC → RERANK machinery is exactly what
+  the gate checks; recall comes from the re-rank candidate width.
+- :class:`PQIndex` — real per-subspace Lloyd's k-means on a seeded
+  sample (numpy, driver-side on ≤ ``train_size`` rows — an index BUILD
+  is a batch job; at 100 TB the sample is still thousands of rows).
+  Quality-tested by recall against brute force in tests/test_pq.py,
+  mirroring the reference's pre/post-rebuild agreement discipline
+  (engine/db/db_server.cpp:1606-1612).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+# Fixed quantization grid: |x| ≤ ~0.6 for unit-ish embeddings → |q| ≤
+# ~127. 200.0 is exactly representable in binary, so x*QMUL is one
+# deterministic rounding in both engines.
+QMUL = 200.0
+
+M_SUBSPACES = 8
+K_CENTROIDS = 16
+
+
+def quantize_query(vec: Sequence[float]) -> list[int]:
+    """Driver-side twin of the in-engine grid quantization."""
+    import math
+
+    return [int(math.floor(float(x) * QMUL + 0.5)) for x in vec]
+
+
+def seeded_codebook(
+    dim: int, m: int = M_SUBSPACES, k: int = K_CENTROIDS, seed: int = 2024
+) -> list[list[list[int]]]:
+    """Data-independent integer codebook: ``m`` subspaces × ``k``
+    centroids × ``dim/m`` ints in [-100, 100]. Deterministic at import
+    time → embeddable as literals in both the Spark plan and the DuckDB
+    oracle."""
+    rng = random.Random(seed)
+    sub = dim // m
+    return [
+        [[rng.randint(-100, 100) for _ in range(sub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def adc_table(codebook: list[list[list[int]]], q_ints: Sequence[int]) -> list[list[int]]:
+    """M×K integer ADC lookup table: exact int L2 from each query
+    sub-vector to each centroid."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    table = []
+    for mi in range(m):
+        qs = q_ints[mi * sub : (mi + 1) * sub]
+        table.append(
+            [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in codebook[mi]]
+        )
+    return table
+
+
+def _spark_arr(vals: Sequence[int]) -> str:
+    return "array(" + ", ".join(f"{v}L" for v in vals) + ")"
+
+
+def _duck_arr(vals: Sequence[int]) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]::BIGINT[]"
+
+
+def grid_exprs(vec_col: str) -> tuple[str, str]:
+    """(spark, duck) expression quantizing a float list column onto the
+    integer grid."""
+    return (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {QMUL} + 0.5) AS BIGINT))",
+        f"list_transform({vec_col}, x -> (floor(CAST(x AS DOUBLE) * {QMUL} + 0.5))::BIGINT)",
+    )
+
+
+def _spark_int_l2(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_int_l2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)"
+    )
+
+
+def adc_exprs(
+    q_col: str, codebook: list[list[list[int]]], table: list[list[int]]
+) -> tuple[str, str]:
+    """(spark, duck) expression for the integer ADC approximate distance
+    of a grid-quantized vector column ``q_col``.
+
+    Per subspace m: code = first-occurrence argmin over the k centroid
+    int-L2 distances (``array_position`` of ``array_min`` — identical
+    1-based first-match semantics as DuckDB ``list_position``), then the
+    contribution is the code's entry in the query's precomputed ADC
+    row. The sum over subspaces is the approximate distance; everything
+    is 64-bit integer arithmetic."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    spark_terms, duck_terms = [], []
+    for mi in range(m):
+        s_sub = f"slice({q_col}, {mi * sub + 1}, {sub})"
+        d_sub = f"{q_col}[{mi * sub + 1}:{mi * sub + sub}]"
+        s_cb = "array(" + ", ".join(_spark_arr(c) for c in codebook[mi]) + ")"
+        d_cb = "[" + ", ".join(_duck_arr(c) for c in codebook[mi]) + "]"
+        s_dists = f"transform({s_cb}, c -> {_spark_int_l2('c', s_sub)})"
+        d_dists = f"list_transform({d_cb}, c -> {_duck_int_l2('c', d_sub)})"
+        s_code = f"array_position({s_dists}, array_min({s_dists}))"
+        d_code = f"list_position({d_dists}, list_min({d_dists}))"
+        spark_terms.append(f"element_at({_spark_arr(table[mi])}, CAST({s_code} AS INT))")
+        duck_terms.append(f"({_duck_arr(table[mi])})[{d_code}]")
+    return " + ".join(spark_terms), " + ".join(duck_terms)
+
+
+def adc_oracle_expr(
+    q_col: str, qq_col: str, codebook: list[list[list[int]]]
+) -> str:
+    """DuckDB twin of :func:`adc_exprs` with the query's grid vector
+    coming from a SQL column (``qq_col``, e.g. a CTE over the vec_id=0
+    row) instead of a Python-precomputed table: per subspace, the
+    contribution is the query-to-centroid int L2 of the centroid the
+    DATA vector assigned to — the same integer ``table[m][code]`` the
+    Spark side looks up."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    terms = []
+    for mi in range(m):
+        d_sub = f"{q_col}[{mi * sub + 1}:{mi * sub + sub}]"
+        q_sub = f"{qq_col}[{mi * sub + 1}:{mi * sub + sub}]"
+        d_cb = "[" + ", ".join(_duck_arr(c) for c in codebook[mi]) + "]"
+        dd = f"list_transform({d_cb}, c -> {_duck_int_l2('c', d_sub)})"
+        qd = f"list_transform({d_cb}, c -> {_duck_int_l2('c', q_sub)})"
+        terms.append(f"({qd})[list_position({dd}, list_min({dd}))]")
+    return " + ".join(terms)
+
+
+class PQIndex:
+    """Trained product-quantization index: per-subspace k-means
+    codebooks (Lloyd's, seeded, on a driver-side sample), integer-grid
+    encoded — the trained twin of :func:`seeded_codebook` with the same
+    encode/ADC/re-rank machinery.
+
+    Build is a batch job (like the reference's background graph rebuild,
+    engine/db/table_mvp.cpp:94-203): sample → train → persist codes.
+    ``codes(df)`` adds the M sub-codes as an array column that a table
+    can store next to the embedding (4 bytes/row at M=8,K=16 vs 256 for
+    the raw float32s — the column a 100 TB ADC scan actually reads).
+    """
+
+    def __init__(
+        self,
+        m: int = M_SUBSPACES,
+        k: int = K_CENTROIDS,
+        *,
+        seed: int = 42,
+        train_size: int = 2048,
+        iters: int = 10,
+    ) -> None:
+        self.m, self.k, self.seed = m, k, seed
+        self.train_size, self.iters = train_size, iters
+        self.codebook: list[list[list[int]]] | None = None
+
+    def fit(self, df, vec_col: str) -> "PQIndex":
+        import numpy as np
+
+        sample = (
+            df.select(vec_col)
+            .orderBy("vec_id")
+            .limit(self.train_size)
+            .toPandas()[vec_col]
+        )
+        X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+        Xq = np.floor(X * QMUL + 0.5)  # train in the grid domain
+        dim = Xq.shape[1]
+        sub = dim // self.m
+        rng = np.random.RandomState(self.seed)
+        cb = []
+        for mi in range(self.m):
+            S = Xq[:, mi * sub : (mi + 1) * sub]
+            cent = S[rng.choice(len(S), size=self.k, replace=False)].copy()
+            for _ in range(self.iters):
+                d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for ki in range(self.k):
+                    mask = assign == ki
+                    if mask.any():
+                        cent[ki] = S[mask].mean(axis=0)
+            cb.append([[int(round(v)) for v in c] for c in cent])
+        self.codebook = cb
+        return self
+
+    def search(self, df, vec_col: str, query_vec, k: int, *, refine: int = 64, id_col: str = "vec_id"):
+        """ADC scan → exact re-rank, same two-pass TakeOrderedAndProject
+        shape as SQ8 (queries/ann.py ann_sq8_rerank)."""
+        from pyspark.sql import functions as F
+
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        assert self.codebook is not None, "fit() first"
+        q_ints = quantize_query(query_vec)
+        table = adc_table(self.codebook, q_ints)
+        grid_s, _ = grid_exprs(vec_col)
+        adc_s, _ = adc_exprs("_pq_grid", self.codebook, table)
+        approx = (
+            df.withColumn("_pq_grid", F.expr(grid_s))
+            .withColumn("_pq_dist", F.expr(adc_s))
+            .orderBy("_pq_dist", id_col)
+            .limit(refine)
+        )
+        return (
+            approx.withColumn(
+                "_distance", l2_squared(F.col(vec_col), vector_literal(query_vec))
+            )
+            .orderBy("_distance", id_col)
+            .limit(k)
+            .drop("_pq_grid", "_pq_dist")
+        )

@@ -212,6 +212,73 @@ def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_REFINE = 64
+
+
+def _pq_oracle() -> str:
+    """PQ-ADC oracle: grid-quantize, assign integer sub-codes against
+    the import-time seeded codebook, sum the query-to-assigned-centroid
+    integer distances, re-rank the top candidates exactly. All
+    candidate math is 64-bit integer → bit-identical to the Spark plan
+    (operators/pq.py determinism strategy)."""
+    from vectordb_spark.operators import pq as PQ
+
+    cb = PQ.seeded_codebook(64)
+    _, grid_d = PQ.grid_exprs("embedding")
+    adc_d = PQ.adc_oracle_expr("q", "qq", cb)
+    return f"""
+WITH g AS (
+    SELECT vec_id, label, embedding, {grid_d} AS q FROM embeddings
+),
+qrow AS (SELECT q AS qq FROM g WHERE vec_id = 0),
+approx AS (
+    SELECT vec_id, label, embedding, {adc_d} AS approx_dist
+    FROM g CROSS JOIN qrow
+    ORDER BY approx_dist, vec_id
+    LIMIT {_PQ_REFINE}
+)
+SELECT vec_id, label,
+       {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+FROM approx
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_pq_adc", oracle=_pq_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search: M=8 sub-codes of K=16 centroids
+    per vector (4 bytes vs 256 — the column a 100 TB approximate scan
+    actually reads), integer ADC ranking, exact L2 re-rank over the top
+    {_PQ_REFINE}. The codebook here is the seeded data-independent one
+    so the full pipeline is oracle-checkable; the trained k-means tier
+    (operators/pq.py PQIndex) is recall-tested in tests/test_pq.py."""
+    from vectordb_spark.functions.distance import l2_squared, vector_literal
+    from vectordb_spark.operators import pq as PQ
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    cb = PQ.seeded_codebook(len(qv))
+    table = PQ.adc_table(cb, PQ.quantize_query(qv))
+    grid_s, _ = PQ.grid_exprs("embedding")
+    adc_s, _ = PQ.adc_exprs("_pq_grid", cb, table)
+    approx = (
+        emb.withColumn("_pq_grid", F.expr(grid_s))
+        .withColumn("approx_dist", F.expr(adc_s))
+        .orderBy("approx_dist", "vec_id")
+        .limit(_PQ_REFINE)
+    )
+    return (
+        approx.withColumn(
+            "distance", l2_squared(F.col("embedding"), vector_literal(qv))
+        )
+        .orderBy("distance", "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "distance")
+    )
+
+
 @query("ann_ivf_kmeans")  # no oracle: KMeans isn't SQL-replayable; see tests/test_ann.py
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-IVF: batch cluster build (MLlib), nprobe=4 of k=16
