@@ -292,3 +292,91 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("long").alias("red_chars"),
         F.md5(red).alias("red_md5"),
     )
+
+
+# ------------------------------------------------- binned range join
+
+_RJ_W_US = 300_000_000  # 5-minute follow-on window, µs
+
+
+_RJ_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+    FROM events
+),
+anchors AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT a.event_id, a.user_id, a.t AS t_us,
+       COUNT(f.event_id) AS n_follow,
+       CAST(COALESCE(SUM(CAST(f.value AS DECIMAL(28,4))), 0) AS DOUBLE)
+           AS follow_value
+FROM anchors a
+LEFT JOIN e f
+  ON f.user_id = a.user_id
+ AND f.t > a.t AND f.t <= a.t + {_RJ_W_US}
+GROUP BY a.event_id, a.user_id, a.t
+"""
+
+
+@query("rj_follow_on_events", oracle=_RJ_ORACLE)
+def rj_follow_on_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: for every purchase event, count + sum the
+    same user's events in the following 5 minutes — the
+    conversion-window / feature-window join.
+
+    Spark has no native band-join physical operator, and the naive
+    formulation (equi-join on user then ``f.t BETWEEN ...``) degrades
+    to per-user cross products. The scale shape used here is BINNED
+    range join: both sides bucket time into window-width bins, anchors
+    probe their own bin and the next (an exploded 2-element array), and
+    the join becomes a pure equi-join on (user_id, bin) — shuffle
+    volume O(rows·2), per-task work bounded by bin population, and AQE
+    can split a hot (user, bin). The exact interval predicate filters
+    the in-bin candidates. DuckDB oracle: the plain inequality join
+    (correct at sf0.01; the binned plan is the 100 TB formulation).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000").alias("t"),
+    )
+    follows = e.select(
+        "user_id",
+        F.col("event_id").alias("f_id"),
+        F.col("value").alias("f_value"),
+        F.col("t").alias("f_t"),
+        F.expr(f"t div {_RJ_W_US}").alias("bin"),
+    )
+    anchors = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("t_us"),
+            F.explode(
+                F.array(
+                    F.expr(f"t div {_RJ_W_US}"),
+                    F.expr(f"t div {_RJ_W_US}") + 1,
+                )
+            ).alias("bin"),
+        )
+    )
+    # left join keeps every anchor probe; the interval predicate lives
+    # INSIDE the aggregates (a where-filter would delete an anchor
+    # whose in-bin candidates all fail the interval — no null row
+    # exists for it, the join matched). count/sum over the CASE keeps
+    # zero-anchors as 0-rows: one shuffle-join + one agg total.
+    in_window = (F.col("f_t") > F.col("t_us")) & (
+        F.col("f_t") <= F.col("t_us") + _RJ_W_US
+    )
+    joined = anchors.join(follows, ["user_id", "bin"], "left")
+    return joined.groupBy("event_id", "user_id", "t_us").agg(
+        F.count(F.when(in_window, F.col("f_id"))).alias("n_follow"),
+        F.coalesce(
+            F.sum(
+                F.when(in_window, F.col("f_value").cast("decimal(28,4)"))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("follow_value"),
+    )

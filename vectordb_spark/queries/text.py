@@ -299,3 +299,135 @@ def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOP_NGRAMS_K)
         .select("lang", "bigram", "n", "rank")
     )
+
+
+# ------------------------------------------- repetition / quality rules
+
+_REP_N = 3  # word n-gram size for the duplicate-fraction signal
+
+
+@query(
+    "text_repetition_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, len(t) AS n_tokens,
+               CASE WHEN len(t) < {_REP_N} THEN []::VARCHAR[]
+                    ELSE list_transform(
+                        generate_series(1, len(t) - {_REP_N - 1}),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+               END AS g
+        FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+           END AS rep_ratio,
+           (CASE WHEN len(g) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+            END) <= 0.5 AS keep
+    FROM grams
+    """,
+)
+def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of duplicate word
+    {_REP_N}-grams (the Gopher/C4 'duplicate n-gram fraction' filter —
+    boilerplate and looped generations score high). Pure Column ops:
+    the gram list is a ``transform`` over an index ``sequence`` (no
+    explode, no shuffle — map-side at any scale); ratio is one double
+    division, identical in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ", -1)
+    grams = F.when(F.size(t) < _REP_N, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ', -1)) - {_REP_N - 1}), "
+            "i -> concat(element_at(split(text, ' ', -1), CAST(i AS INT)), ' ', "
+            "element_at(split(text, ' ', -1), CAST(i + 1 AS INT)), ' ', "
+            "element_at(split(text, ' ', -1), CAST(i + 2 AS INT))))"
+        )
+    )
+    withg = d.select(
+        "doc_id",
+        "lang",
+        F.size(t).cast("long").alias("n_tokens"),
+        grams.alias("g"),
+    )
+    n_g = F.size("g").cast("long")
+    n_d = F.size(F.array_distinct("g")).cast("long")
+    ratio = F.when(n_g == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_d.cast("double") / n_g
+    )
+    return withg.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        n_g.alias("n_grams"),
+        n_d.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+        (ratio <= 0.5).alias("keep"),
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 — adapted to
+# the synthetic corpus' 10-99 token docs)
+_GO_MIN_WORDS, _GO_MAX_WORDS = 20, 100_000
+_GO_MIN_MWL, _GO_MAX_MWL = 2.0, 10.0
+_GO_STOPS = ("the", "a", "key", "row", "data")
+_GO_MIN_STOPS = 2
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               {" + ".join(f"(list_contains(string_split(text, ' '), '{w}'))::INT" for w in _GO_STOPS)}
+                   AS n_stops
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, CAST(n_stops AS BIGINT) AS n_stops,
+           n_words BETWEEN {_GO_MIN_WORDS} AND {_GO_MAX_WORDS} AS ok_words,
+           mean_word_len BETWEEN {_GO_MIN_MWL} AND {_GO_MAX_MWL} AS ok_mwl,
+           n_stops >= {_GO_MIN_STOPS} AS ok_stops,
+           (n_words BETWEEN {_GO_MIN_WORDS} AND {_GO_MAX_WORDS})
+               AND (mean_word_len BETWEEN {_GO_MIN_MWL} AND {_GO_MAX_MWL})
+               AND n_stops >= {_GO_MIN_STOPS} AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules: word-count bounds, mean
+    word length bounds, minimum stop-word hits — the rule battery run
+    before any model-based quality scoring. Map-only Column
+    arithmetic; mean word length exploits the single-space tokenization
+    (chars - spaces) / words so both engines compute one identical
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    n_words = F.size(words).cast("long")
+    mwl = (F.length("text") - (n_words - 1)).cast("double") / n_words
+    n_stops = sum(
+        F.array_contains(words, w).cast("int") for w in _GO_STOPS
+    ).cast("long")
+    ok_w = (n_words >= _GO_MIN_WORDS) & (n_words <= _GO_MAX_WORDS)
+    ok_m = (mwl >= _GO_MIN_MWL) & (mwl <= _GO_MAX_MWL)
+    ok_s = n_stops >= _GO_MIN_STOPS
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        n_stops.alias("n_stops"),
+        ok_w.alias("ok_words"),
+        ok_m.alias("ok_mwl"),
+        ok_s.alias("ok_stops"),
+        (ok_w & ok_m & ok_s).alias("keep"),
+    )
