@@ -60,6 +60,12 @@ HEADLINE = [
     "pack_sequences",
     "asof_join_latest_order",
     "decontam_ngram_overlap",
+    # round-4 additions
+    "ann_pq_adc",
+    "ann_sq8_rerank",
+    "rj_follow_on_events",
+    "text_repetition_ngrams",
+    "text_gopher_rules",
 ]
 
 

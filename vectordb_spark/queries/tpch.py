@@ -28,7 +28,7 @@ from vectordb_spark.sources.readers import load_table
            {O.dec_avg("l_discount", 6)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
-    WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+    WHERE l_shipdate < TIMESTAMP '1998-09-03 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -39,7 +39,14 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
-        li.where(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        # a date_format()-string compare would run a per-row formatter
+        # and hide the predicate from parquet; the timestamp compare is
+        # codegen'd AND pushed to row-group stats (shipdate <= day D ≡
+        # shipdate < D+1 at any time precision)
+        li.where(
+            F.col("l_shipdate")
+            < F.lit("1998-09-03 00:00:00").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
