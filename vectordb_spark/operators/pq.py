@@ -221,6 +221,32 @@ class PQIndex:
         self.codebook = cb
         return self
 
+    def search_ivfpq(
+        self,
+        ivf,
+        indexed,
+        vec_col: str,
+        query_vec,
+        k: int,
+        *,
+        nprobe: int = 4,
+        refine: int = 64,
+        id_col: str = "vec_id",
+    ):
+        """IVF-PQ composite: coarse quantizer prunes to ``nprobe``
+        cluster partitions (at 100 TB: partition pruning on
+        ``_cluster``), PQ-ADC ranks only the probed rows, exact re-rank
+        finishes — the standard billion-scale ANN layout (coarse +
+        fine quantizer). ``ivf`` is a built operators.ann.IVFIndex and
+        ``indexed`` its build() output carrying ``_cluster``."""
+        from pyspark.sql import functions as F
+
+        clusters = ivf.probe_clusters(query_vec, nprobe)
+        probed = indexed.where(F.col("_cluster").isin(clusters))
+        return self.search(
+            probed, vec_col, query_vec, k, refine=refine, id_col=id_col
+        ).drop("_cluster")
+
     def search(self, df, vec_col: str, query_vec, k: int, *, refine: int = 64, id_col: str = "vec_id"):
         """ADC scan → exact re-rank, same two-pass TakeOrderedAndProject
         shape as SQ8 (queries/ann.py ann_sq8_rerank)."""
