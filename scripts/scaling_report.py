@@ -384,6 +384,79 @@ def main() -> None:
         t = timed_min3(run)
         lines.append(f"| {n:,} | {nr:,} | {t} |")
 
+    # ------------------------------------------- PQ ADC serving path
+    lines += [
+        "",
+        "## PQ-ADC over stored codes (M=8 x K=16, trained) vs exact KNN",
+        "",
+        "Codes are a build-time batch column (4 bytes/row vs 256 for the",
+        "floats); the serving scan ranks by 8 integer lookups/row and",
+        "touches the float column only for the 64 re-rank rows. Both",
+        "sides memory-cached (plan cost, not disk):",
+        "",
+        "| rows | exact s | adc+rerank s | speedup |",
+        "|---|---|---|---|",
+    ]
+    from vectordb_spark.operators.pq import PQIndex
+
+    for n in VEC_SIZES:
+        df = spark.read.parquet(synth_vectors(spark, n))
+        pqi = PQIndex(seed=42).fit(df, "embedding")
+        coded = pqi.codes(df, "embedding").cache()
+        coded.count()
+        t_exact = timed_min3(
+            lambda: knn(coded, "embedding", q, 10, metric="EUCLIDEAN", id_col="vec_id").collect()
+        )
+        t_adc = timed_min3(
+            lambda: pqi.search_codes(coded, "embedding", "_pq_codes", q, 10, refine=64).collect()
+        )
+        lines.append(
+            f"| {n:,} | {t_exact} | {t_adc} | {t_exact / t_adc:.1f}x |"
+        )
+        coded.unpersist()
+
+    # ---------------------------------------------- binned range join
+    lines += [
+        "",
+        "## Binned range join (rj_follow_on_events shape)",
+        "",
+        "Interval join as equi-join on (key, time-bin): anchors probe 2",
+        "bins via explode, interval predicate in conditional aggregates.",
+        "Anchors = rows/10, window = 1000 ticks over a 1M-tick domain:",
+        "",
+        "| rows | output anchors | min s |",
+        "|---|---|---|",
+    ]
+    W = 1000
+    for n in (250_000, 1_000_000, 4_000_000):
+        nkeys = n // 50
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % nkeys).alias("user_id"),
+            (F.col("id") * 7919 % 1_000_000).alias("t"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        )
+        anchors = ev.where(F.col("event_id") % 10 == 0).select(
+            "event_id", "user_id", F.col("t").alias("t_us"),
+            F.explode(F.array(F.expr(f"t div {W}"), F.expr(f"t div {W}") + 1)).alias("bin"),
+        )
+        follows = ev.select(
+            "user_id", F.col("event_id").alias("f_id"),
+            F.col("value").alias("f_value"), F.col("t").alias("f_t"),
+            F.expr(f"t div {W}").alias("bin"),
+        )
+        in_w = (F.col("f_t") > F.col("t_us")) & (F.col("f_t") <= F.col("t_us") + W)
+
+        def run_rj():
+            anchors.join(follows, ["user_id", "bin"], "left").groupBy(
+                "event_id", "user_id", "t_us"
+            ).agg(
+                F.count(F.when(in_w, F.col("f_id"))).alias("n_follow"),
+            ).count()
+
+        t = timed_min3(run_rj)
+        lines.append(f"| {n:,} | {n // 10:,} | {t} |")
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )

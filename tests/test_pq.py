@@ -121,3 +121,16 @@ def test_ivfpq_recall_and_pruning(emb, qv):
         assert len(got & exact) >= len(ivf_only & exact) - 2
     finally:
         indexed.unpersist()
+
+
+def test_stored_codes_path_matches_inline(emb, qv):
+    # codes() + search_codes() must equal search() (same codebook, same
+    # refine): the stored-code column is a pure precomputation
+    idx = PQ.PQIndex(seed=42).fit(emb, "embedding")
+    with_codes = idx.codes(emb, "embedding").cache()
+    try:
+        a = [(r.vec_id, r._distance) for r in idx.search(emb, "embedding", qv, 10, refine=64).collect()]
+        b = [(r.vec_id, r._distance) for r in idx.search_codes(with_codes, "embedding", "_pq_codes", qv, 10, refine=64).collect()]
+        assert a == b
+    finally:
+        with_codes.unpersist()

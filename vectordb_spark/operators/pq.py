@@ -144,6 +144,31 @@ def adc_exprs(
     return " + ".join(spark_terms), " + ".join(duck_terms)
 
 
+def encode_expr(q_col: str, codebook: list[list[list[int]]]) -> str:
+    """Spark expression producing the M-element code array for a
+    grid-quantized vector column — the BUILD-time path: codes are
+    computed once and stored (4 bytes/row), queries never touch the
+    float column until re-rank."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    parts = []
+    for mi in range(m):
+        s_sub = f"slice({q_col}, {mi * sub + 1}, {sub})"
+        s_cb = "array(" + ", ".join(_spark_arr(c) for c in codebook[mi]) + ")"
+        s_dists = f"transform({s_cb}, c -> {_spark_int_l2('c', s_sub)})"
+        parts.append(f"array_position({s_dists}, array_min({s_dists}))")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def adc_from_codes_expr(codes_col: str, table: list[list[int]]) -> str:
+    """Spark expression for the ADC distance over a STORED code array:
+    M lookups + adds per row, no float math, no per-query encode."""
+    return " + ".join(
+        f"element_at({_spark_arr(table[mi])}, CAST(element_at({codes_col}, {mi + 1}) AS INT))"
+        for mi in range(len(table))
+    )
+
+
 def adc_oracle_expr(
     q_col: str, qq_col: str, codebook: list[list[list[int]]]
 ) -> str:
@@ -220,6 +245,43 @@ class PQIndex:
             cb.append([[int(round(v)) for v in c] for c in cent])
         self.codebook = cb
         return self
+
+    def codes(self, df, vec_col: str, *, out_col: str = "_pq_codes"):
+        """Append the stored-code column (build-time batch job)."""
+        from pyspark.sql import functions as F
+
+        assert self.codebook is not None, "fit() first"
+        grid_s, _ = grid_exprs(vec_col)
+        return df.withColumn("_pq_grid", F.expr(grid_s)).withColumn(
+            out_col, F.expr(encode_expr("_pq_grid", self.codebook))
+        ).drop("_pq_grid")
+
+    def search_codes(
+        self, df, vec_col: str, codes_col: str, query_vec, k: int, *, refine: int = 64, id_col: str = "vec_id"
+    ):
+        """ADC over stored codes → exact re-rank: the serving path once
+        ``codes()`` ran at build time. The ranking pass reads only the
+        4-byte code column; the float column is touched for ≤ refine
+        rows."""
+        from pyspark.sql import functions as F
+
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        assert self.codebook is not None, "fit() first"
+        table = adc_table(self.codebook, quantize_query(query_vec))
+        approx = (
+            df.withColumn("_pq_dist", F.expr(adc_from_codes_expr(codes_col, table)))
+            .orderBy("_pq_dist", id_col)
+            .limit(refine)
+        )
+        return (
+            approx.withColumn(
+                "_distance", l2_squared(F.col(vec_col), vector_literal(query_vec))
+            )
+            .orderBy("_distance", id_col)
+            .limit(k)
+            .drop("_pq_dist")
+        )
 
     def search_ivfpq(
         self,

@@ -380,3 +380,98 @@ def rj_follow_on_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("follow_value"),
     )
+
+
+# --------------------------------------------- end-to-end curation
+
+_CUR_STOPS = ("the", "a", "key", "row", "data")
+
+
+_CURATE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w
+    FROM documents
+),
+q AS (
+    SELECT doc_id, lang, n_chars, text,
+           len(w) AS n_words,
+           CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+           {" + ".join(f"(list_contains(w, '{s}'))::INT" for s in _CUR_STOPS)} AS n_stops,
+           CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+           END AS g
+    FROM t
+),
+kept AS (
+    SELECT doc_id, lang, n_chars, text FROM q
+    WHERE n_words BETWEEN 20 AND 100000
+      AND mwl BETWEEN 2.0 AND 10.0
+      AND n_stops >= 2
+      AND (CASE WHEN len(g) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+           END) <= 0.5
+),
+keepers AS (
+    SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+final AS (
+    SELECT k.doc_id, k.lang, k.n_chars FROM kept k
+    JOIN keepers s ON k.doc_id = s.doc_id
+)
+SELECT CASE WHEN ({_H_D.replace("doc_id", "final.doc_id")}) % 100 < 80 THEN 'train'
+            WHEN ({_H_D.replace("doc_id", "final.doc_id")}) % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, COUNT(*)::BIGINT AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM final GROUP BY 1, 2
+"""
+
+
+@query("curate_end_to_end", oracle=_CURATE_ORACLE)
+def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline as ONE declarative plan: quality
+    rules (Gopher battery + duplicate-3-gram repetition cap) → exact
+    dedup keep-first → deterministic hash split → per-(split, lang)
+    accounting. Demonstrates that each stage is a composable DataFrame
+    transform — Catalyst fuses the quality filters into the scan
+    projection, the dedup is one hash shuffle, the split adds none.
+    100 TB shape: filter (map) → shuffle on text-hash → broadcast-free
+    self-semi-join on keeper ids → map split → final agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    n_words = F.size(w).cast("long")
+    mwl = (F.length("text") - (n_words - 1)).cast("double") / n_words
+    n_stops = sum(F.array_contains(w, s).cast("int") for s in _CUR_STOPS)
+    grams = F.when(F.size(w) < 3, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ', -1)) - 2), "
+            "i -> concat(element_at(split(text, ' ', -1), CAST(i AS INT)), ' ', "
+            "element_at(split(text, ' ', -1), CAST(i + 1 AS INT)), ' ', "
+            "element_at(split(text, ' ', -1), CAST(i + 2 AS INT))))"
+        )
+    )
+    n_g = F.size(grams)
+    rep = F.when(n_g == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_g
+    )
+    kept = d.where(
+        (n_words >= 20)
+        & (n_words <= 100_000)
+        & (mwl >= 2.0)
+        & (mwl <= 10.0)
+        & (n_stops >= 2)
+        & (rep <= 0.5)
+    ).select("doc_id", "lang", "n_chars", "text")
+    keepers = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    final = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    bucket = F.expr(f"({_H_S}) % 100")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return final.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
