@@ -66,6 +66,7 @@ HEADLINE = [
     "rj_follow_on_events",
     "text_repetition_ngrams",
     "text_gopher_rules",
+    "curate_end_to_end",
 ]
 
 

@@ -71,7 +71,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "p2_lang_arith",
     "p6_lang_like_in",
     "p8_nearby_geo",
-    "a4_facet_group_sum",
     "json_props_extract",
     "fusion_rrf",
     "ann_lsh_bucketed",
@@ -88,19 +87,15 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "dedup_simhash_nearmiss",
     "dedup_token_jaccard",
     "dedup_embedding_cosine",
-    "dedup_exact_keep_first",
     "sparse_tfidf_weights",
-    "sparse_knn_tf_dot",
     "text_token_count",
     "text_lang_id",
-    "text_quality_score",
     "tpch_q1_pricing_summary",
     "j2_star_join_revenue",
     # round-2 pipeline extensions (p3_lang_concat / dedup_exact_stats
     # moved off-window: same compile paths as in-window siblings, both
     # green in CORRECTNESS_r01)
     "asof_join_latest_order",
-    "decontam_ngram_overlap",
     # Round-4 rotation: nine round-3 additions get their first
     # independent driver row; rotated out (each green in ≥2 prior
     # rounds, each sharing a compile path with an in-window sibling):
@@ -121,6 +116,19 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "source_mixing_weights",
     "stream_ingest_count_by_type",
     "text_top_bigrams_per_lang",
+    # Round-4 additions (selfcheck-green at the driver SF) take their
+    # first driver row immediately; rotated out to make room (each
+    # green r2+r3, each with an in-window compile-path sibling):
+    # a4_facet_group_sum (agg path = a5 + tpch_q1), text_quality_score
+    # (text battery: token_count + lang_id stay), dedup_exact_keep_first
+    # (exact-dedup stage lives inside curate_end_to_end),
+    # decontam_ngram_overlap (shingle machinery = dedup_minhash_lsh),
+    # sparse_knn_tf_dot (sparse path: tfidf stays; dot fold = t1_knn).
+    "ann_pq_adc",
+    "rj_follow_on_events",
+    "text_repetition_ngrams",
+    "text_gopher_rules",
+    "curate_end_to_end",
 )
 
 
