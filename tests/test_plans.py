@@ -187,3 +187,31 @@ def test_pack_sequences_single_shuffle(spark, qs):
     # the per-shard running sum needs exactly ONE exchange (on shard)
     plan = plan_of(qs["pack_sequences"](spark, SF))
     assert plan.count("+- Exchange") == 1, plan
+
+
+def test_range_join_is_hash_join(spark, qs):
+    # binned formulation: the interval join must be a shuffled hash
+    # join on (user_id, bin) — a BroadcastNestedLoopJoin here means the
+    # plan degraded to the naive inequality form
+    from vectordb_spark.plans.audit import assert_no_cartesian, plan_of
+
+    df = qs["rj_follow_on_events"](spark, SF)
+    assert_no_cartesian(df)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_q1_shipdate_pushed(spark, qs):
+    from vectordb_spark.plans.audit import assert_pushed_filters
+
+    df = qs["tpch_q1_pricing_summary"](spark, SF)
+    assert_pushed_filters(df, "LessThan(l_shipdate")
+
+
+def test_repetition_is_map_only(spark, qs):
+    # no Exchange anywhere: the duplicate-ngram fraction is map-side
+    from vectordb_spark.plans.audit import plan_of
+
+    plan = plan_of(qs["text_repetition_ngrams"](spark, SF))
+    assert "Exchange" not in plan
