@@ -251,3 +251,44 @@ def w6_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+_SLIDE_NS = 1_800_000_000_000  # 30 min slide, 1 h length = 2 windows/event
+
+
+@query(
+    "w7_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type, value,
+               unnest([ (epoch_ns(ts) // {_SLIDE_NS}) * {_SLIDE_NS},
+                        (epoch_ns(ts) // {_SLIDE_NS}) * {_SLIDE_NS} - {_SLIDE_NS} ])
+                   AS window_start_ns
+        FROM events
+    )
+    SELECT window_start_ns, event_type,
+           COUNT(*) AS n_events,
+           {O.dec_sum("value")} AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def w7_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h windows every 30 min): each event
+    lands in exactly len/slide = 2 windows, materialized by a
+    2-element explode before the aggregate — the batch twin of
+    ``F.window(ts, '1 hour', '30 minutes')`` with the same integer-ns
+    bucket discipline as w1 (no float time). Shuffle volume is
+    2× rows of narrow (bucket, type, value) triples; partial
+    aggregation still combines map-side."""
+    e = load_table(spark, sf_dir, "events")
+    s0 = F.expr(f"(ts div {_SLIDE_NS}) * {_SLIDE_NS}")
+    assigned = e.select(
+        "event_type",
+        "value",
+        F.explode(F.array(s0, s0 - _SLIDE_NS)).alias("window_start_ns"),
+    )
+    return assigned.groupBy("window_start_ns", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
