@@ -438,24 +438,33 @@ def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: filter (map) → shuffle on text-hash → broadcast-free
     self-semi-join on keeper ids → map split → final agg.
     """
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ", -1)
-    n_words = F.size(w).cast("long")
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    # token array aliased in its own Project (CollapseProject keeps
+    # non-cheap multi-referenced aliases) and grams built by zipping
+    # slices, never element_at-in-a-lambda — predicate pushdown inlines
+    # these expressions into the filter, where a per-access split would
+    # be O(tokens²) interpreted (see text_repetition_ngrams)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        F.split(F.col("text"), " ", -1).alias("w"),
+    )
+    grams = F.when(F.size("w") < 3, F.array().cast("array<string>")).otherwise(
+        F.expr("zip_with(zip_with(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), (x, y) -> concat(x, ' ', y)), slice(w, 3, size(w) - 2), (xy, z) -> concat(xy, ' ', z))")
+    )
+    staged = toks.select(
+        "doc_id", "lang", "n_chars", "text", "w", grams.alias("g")
+    )
+    n_words = F.size("w").cast("long")
     mwl = (F.length("text") - (n_words - 1)).cast("double") / n_words
-    n_stops = sum(F.array_contains(w, s).cast("int") for s in _CUR_STOPS)
-    grams = F.when(F.size(w) < 3, F.array().cast("array<string>")).otherwise(
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ', -1)) - 2), "
-            "i -> concat(element_at(split(text, ' ', -1), CAST(i AS INT)), ' ', "
-            "element_at(split(text, ' ', -1), CAST(i + 1 AS INT)), ' ', "
-            "element_at(split(text, ' ', -1), CAST(i + 2 AS INT))))"
-        )
-    )
-    n_g = F.size(grams)
+    n_stops = sum(F.array_contains("w", s).cast("int") for s in _CUR_STOPS)
+    n_g = F.size("g")
     rep = F.when(n_g == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_g
+        F.lit(1.0) - F.size(F.array_distinct("g")).cast("double") / n_g
     )
-    kept = d.where(
+    kept = staged.where(
         (n_words >= 20)
         & (n_words <= 100_000)
         & (mwl >= 2.0)

@@ -339,21 +339,29 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate and looped generations score high). Pure Column ops:
     the gram list is a ``transform`` over an index ``sequence`` (no
     explode, no shuffle — map-side at any scale); ratio is one double
-    division, identical in DuckDB."""
-    d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ", -1)
-    grams = F.when(F.size(t) < _REP_N, F.array().cast("array<string>")).otherwise(
-        F.expr(
-            f"transform(sequence(1, size(split(text, ' ', -1)) - {_REP_N - 1}), "
-            "i -> concat(element_at(split(text, ' ', -1), CAST(i AS INT)), ' ', "
-            "element_at(split(text, ' ', -1), CAST(i + 1 AS INT)), ' ', "
-            "element_at(split(text, ' ', -1), CAST(i + 2 AS INT))))"
-        )
+    division, identical in DuckDB.
+
+    The token array is aliased in its OWN Project (``w``) before the
+    gram build references it 3× per index: Catalyst's CollapseProject
+    keeps expensive multi-referenced aliases materialized, so the
+    split runs once per row; the gram build zips three SLICES of the
+    array instead of indexing per gram (element_at-in-a-lambda runs
+    interpreted — no codegen subexpression elimination — so an inlined
+    split would re-run per access, O(tokens²); measured 20s vs 0.4s at
+    sf0.1)."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ", -1).alias("w")
     )
-    withg = d.select(
+    grams = F.when(
+        F.size("w") < _REP_N, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr("zip_with(zip_with(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), (x, y) -> concat(x, ' ', y)), slice(w, 3, size(w) - 2), (xy, z) -> concat(xy, ' ', z))")
+    )
+    withg = toks.select(
         "doc_id",
         "lang",
-        F.size(t).cast("long").alias("n_tokens"),
+        F.size("w").cast("long").alias("n_tokens"),
         grams.alias("g"),
     )
     n_g = F.size("g").cast("long")
