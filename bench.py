@@ -71,9 +71,12 @@ HEADLINE = [
 
 
 def _run_once(qs, name: str, spark, sf_dir: str) -> float:
+    # collect() for every query: count() lets Spark prune the whole
+    # projection (a map-only text query "ran" in 0.01s while computing
+    # nothing), which silently un-benches map-side operators
     t0 = time.time()
     df = qs[name](spark, sf_dir)
-    n = df.count() if name.startswith("text_") else len(df.collect())
+    n = len(df.collect())
     assert n >= 0
     return time.time() - t0
 
