@@ -349,7 +349,7 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted — no codegen subexpression elimination — so an inlined
     split would re-run per access, O(tokens²); measured 20s vs 0.4s at
     sf0.1)."""
-    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.split(F.col("text"), " ", -1).alias("w")
     )
