@@ -233,3 +233,51 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("weight", F.col("p") / F.col("tp"))
         .select("source", "n", "n_tokens", "weight")
     )
+
+
+# ------------------------------------------- keep-best dedup decision
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH cc AS ({_CC_ORACLE}),
+j AS (
+    SELECT d.doc_id, d.lang, d.n_chars, COALESCE(c.comp, d.doc_id) AS comp
+    FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, lang, CAST(comp AS BIGINT) AS comp,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       (row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) = 1)
+           AS keep
+FROM j
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END STATE: every document gets a keep/drop decision.
+    Near-dup clusters (connected components over verified MinHash
+    pairs) elect one keeper each — the longest member, ties to the
+    smallest doc_id (content-keeps-the-most heuristic; swap the ORDER
+    BY for any quality score); docs in no cluster keep themselves
+    (comp = own id via the left join + coalesce). One extra shuffle on
+    comp over the components output — the pair graph is tiny relative
+    to the corpus, so the window partitions are near-singleton at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = dedup_cluster_components(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    j = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
+    )
+    w = W.partitionBy("comp").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        "lang",
+        "comp",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
