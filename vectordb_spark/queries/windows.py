@@ -292,3 +292,34 @@ def w7_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value").alias("sum_value"),
     )
+
+
+_DAY_NS = 24 * _HOUR_NS
+
+
+@query(
+    "w8_rollup_grains",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // {_DAY_NS}) * {_DAY_NS} AS day_ns,
+           (epoch_ns(ts) // {_HOUR_NS}) * {_HOUR_NS} AS hour_ns,
+           COUNT(*) AS n_events,
+           {O.dec_sum("value")} AS sum_value
+    FROM events
+    GROUP BY ROLLUP(1, 2)
+    """,
+)
+def w8_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (the hypertable/continuous-aggregate
+    shape): hourly, daily, and grand-total rows from ONE pass via
+    ROLLUP grouping sets — Spark computes all three grains in a single
+    shuffle with map-side partial aggregation instead of three jobs.
+    NULL grain columns mark the aggregated-out levels (data buckets are
+    never null, so the marker is unambiguous); integer-ns bucket math
+    as in w1."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"(ts div {_DAY_NS}) * {_DAY_NS}")
+    hour = F.expr(f"(ts div {_HOUR_NS}) * {_HOUR_NS}")
+    return e.rollup(day.alias("day_ns"), hour.alias("hour_ns")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
