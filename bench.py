@@ -67,6 +67,10 @@ HEADLINE = [
     "text_repetition_ngrams",
     "text_gopher_rules",
     "curate_end_to_end",
+    "t9_knn_batch",
+    "w7_sliding_window",
+    "w8_rollup_grains",
+    "dedup_keep_best",
 ]
 
 

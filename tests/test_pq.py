@@ -134,3 +134,27 @@ def test_stored_codes_path_matches_inline(emb, qv):
         assert a == b
     finally:
         with_codes.unpersist()
+
+
+def test_batch_knn_gemm_agrees_with_window_plan(emb, qv):
+    # the GEMM partial-top-k scale path must agree with the
+    # deterministic window plan (and thus with the per-query exact knn)
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.operators.knn import batch_knn, batch_knn_gemm
+
+    qids = [0, 7, 42]
+    qrows = emb.where(F.col("vec_id").isin(qids)).select("vec_id", "embedding").collect()
+    queries_df = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r.query_id, r.vec_id)
+        for r in batch_knn(emb, "embedding", queries_df, 10, id_col="vec_id").collect()
+    }
+    qlist = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    b = {
+        (r.query_id, r.vec_id)
+        for r in batch_knn_gemm(emb, "embedding", qlist, 10, id_col="vec_id").collect()
+    }
+    assert a == b

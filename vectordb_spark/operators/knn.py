@@ -66,3 +66,107 @@ def knn(
     if id_col is not None:
         order.append(F.col(id_col).asc())
     return out.orderBy(*order).limit(k)
+
+
+def batch_knn(
+    df: DataFrame,
+    vector_col: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    distance_col: str = "_distance",
+) -> DataFrame:
+    """Multi-query exact KNN in ONE corpus pass (the batch-serving
+    shape; the reference scores one query per request,
+    vec_search_executor.cpp:717-935 — amortizing the scan across Q
+    queries is the Spark-native win). Broadcast the Q query vectors,
+    score Q distances per row (codegen'd fold), rank per query.
+
+    The rank is a window over (query, distance): shuffle volume is
+    rows×Q scored pairs, acceptable to ~10⁷×Q. For the 100 TB serving
+    path use :func:`batch_knn_gemm`, which collapses each scan
+    partition to ≤ Q·k rows BEFORE any shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    from vectordb_spark.functions.distance import l2_squared
+
+    scored = df.crossJoin(F.broadcast(queries)).withColumn(
+        distance_col, l2_squared(F.col(vector_col), F.col(query_vec_col))
+    )
+    w = W.partitionBy(query_id_col).orderBy(distance_col, id_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", query_vec_col)
+    )
+
+
+def batch_knn_gemm(
+    df: DataFrame,
+    vector_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    distance_col: str = "_distance",
+) -> DataFrame:
+    """Scale path for multi-query KNN: per Arrow batch, one float64
+    GEMM scores all Q queries at once (‖x−q‖² = ‖x‖² − 2x·q + ‖q‖²),
+    a partial top-k per query leaves each partition as ≤ Q·k rows, and
+    the driver-side final rank runs over the tiny union — the Faiss
+    batch-scoring layout expressed as ``mapInPandas``. Python is
+    justified here exactly like the multimodal codec: a dense GEMM is
+    not expressible as a fused Column op, and Arrow batching keeps it
+    vectorized (no per-row Python).
+
+    Numeric note: GEMM accumulates in a different order than the
+    sequential Column fold, so distances can differ in the last ulp —
+    agreement with :func:`knn` is asserted in tests (exact on this
+    data), but the ORACLE-grade deterministic path stays `batch_knn`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    qids = [int(q) for q, _ in queries]
+    Q = np.array([v for _, v in queries], dtype=np.float64)  # Q×D
+    qn = (Q * Q).sum(axis=1)  # ‖q‖²
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(distance_col, T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            ids = pdf[id_col].to_numpy()
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Q.T) + qn[None, :]
+            rows = []
+            for qi in range(len(qids)):
+                col = d2[:, qi]
+                top = np.argsort(col, kind="stable")[: k]
+                # stable argsort + id tiebreak for equal distances
+                top = sorted(top, key=lambda i: (col[i], ids[i]))
+                rows += [(qids[qi], int(ids[i]), float(col[i])) for i in top]
+            yield pd.DataFrame(rows, columns=["query_id", id_col, distance_col])
+
+    partial = df.select(id_col, vector_col).mapInPandas(score, out_schema)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(distance_col, id_col)
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

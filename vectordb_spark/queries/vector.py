@@ -177,3 +177,48 @@ def a5_facets_over_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("count_rows"),
         dec_sum(F.col("_distance"), scale=8).alias("sum_distance"),
     )
+
+
+_BATCH_QIDS = (0, 1, 2, 3, 4)
+
+
+@query(
+    "t9_knn_batch",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id IN {tuple(_BATCH_QIDS)}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               {O.duck_l2_sq("e.embedding", "q.qv")} AS distance
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, label, distance FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY distance, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def t9_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query KNN: 5 query vectors scored in one corpus
+    pass (broadcast queries × codegen'd distance fold × per-query
+    rank) — the batch-serving shape the reference's one-query-per-
+    request executor can't amortize. The GEMM partial-top-k variant
+    (operators/knn.py batch_knn_gemm) is the 100 TB path, agreement-
+    tested; this plan is the deterministic oracle-grade twin."""
+    from vectordb_spark.operators.knn import batch_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.where(F.col("vec_id").isin(list(_BATCH_QIDS)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    res = batch_knn(emb, "embedding", queries, 10, id_col="vec_id")
+    return res.select(
+        "query_id", "vec_id", "label", F.col("_distance").alias("distance")
+    )
