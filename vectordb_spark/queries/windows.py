@@ -323,3 +323,75 @@ def w8_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value").alias("sum_value"),
     )
+
+
+@query(
+    "w9_ntile_length_deciles",
+    oracle="""
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM (
+        SELECT lang, n_chars,
+               ntile(10) OVER (PARTITION BY lang
+                               ORDER BY n_chars, doc_id) AS decile
+        FROM documents
+    )
+    GROUP BY lang, decile
+    """,
+)
+def w9_ntile_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length deciles via ntile — the
+    distribution-profiling pass before length-based curation cuts.
+    Partitioned by lang so every window is parallel (a GLOBAL ntile
+    would be a single-partition window — the known scale trap; at
+    100 TB global quantiles come from approx_percentile boundaries +
+    a bucket join instead)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select("lang", "n_chars", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "w10_interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events
+    )
+    SELECT event_type, COUNT(gap) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS avg_gap_us,
+           MAX(gap) AS max_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def w10_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type (lag window over
+    (user, type) — parallel partitions — then one agg): the
+    session-gap calibration query that picks sessionization thresholds
+    like w2's 30 min. Integer-µs gaps summed exactly; the average is
+    one double division in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    tus = F.expr("ts div 1000")
+    w = W.partitionBy("user_id", "event_type").orderBy(tus, "event_id")
+    g = e.select(
+        "event_type", (tus - F.lag(tus).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap_us"),
+        (F.sum("gap").cast("double") / F.count("gap")).alias("avg_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+    )
