@@ -178,3 +178,65 @@ def sparse_knn_tf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "distance")
     )
+
+
+_NORM_DOC_D = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(tf_values, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_Q_D = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(q_val, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "sparse_knn_l2",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, {_IDX_D} AS indices, {_VAL_D} AS tf_values
+        FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+    ),
+    q AS (
+        SELECT indices AS q_idx, tf_values AS q_val FROM tf WHERE doc_id = 0
+    )
+    SELECT doc_id,
+           ({_NORM_DOC_D}) - 2.0 * ({_DOT_D}) + ({_NORM_Q_D}) AS distance
+    FROM tf CROSS JOIN q
+    ORDER BY distance, doc_id
+    LIMIT 10
+    """,
+)
+def sparse_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse KNN under EUCLIDEAN: squared L2 composed as
+    ||a||² − 2⟨a,b⟩ + ||b||² (each term a deterministic sequential
+    fold, so the composition is bit-stable across engines — the direct
+    pairwise (a−b)² form can't merge sparse index sets
+    deterministically). Completes the reference's three sparse metrics
+    as gate queries (dot: sparse_knn_tf_dot; cosine is
+    ingest-normalized dot, sparse_l2_normalize)."""
+    from vectordb_spark.functions.distance import sparse_l2_squared
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    tf = d.select("doc_id", F.expr(_TH_S).alias("hs")).select(
+        "doc_id",
+        F.struct(
+            F.expr(_IDX_S).alias("indices"),
+            F.expr(_VAL_S).alias("values"),
+        ).alias("vec"),
+    )
+    qrow = tf.where(F.col("doc_id") == 0).select("vec").head()
+    q_idx = [int(i) for i in qrow[0]["indices"]]
+    q_val = [float(v) for v in qrow[0]["values"]]
+    qcol = F.struct(
+        F.array(*[F.lit(i) for i in q_idx]).alias("indices"),
+        F.array(*[F.lit(v) for v in q_val]).cast("array<float>").alias("values"),
+    )
+    out = tf.withColumn("distance", sparse_l2_squared(F.col("vec"), qcol))
+    return (
+        out.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "distance")
+    )
