@@ -71,6 +71,9 @@ HEADLINE = [
     "w7_sliding_window",
     "w8_rollup_grains",
     "dedup_keep_best",
+    "sparse_knn_l2",
+    "w9_ntile_length_deciles",
+    "w10_interarrival_stats",
 ]
 
 
