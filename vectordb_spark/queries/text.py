@@ -439,3 +439,64 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_s.alias("ok_stops"),
         (ok_w & ok_m & ok_s).alias("keep"),
     )
+
+
+# --------------------------------------------------- fuzzy matching
+
+# misspelled probes → nearest corpus token (vocab normalization for
+# noisy text; OCR/typo cleanup). Probes chosen to hit distinct corpus
+# words at edit distance 1-2.
+_FUZZY_PROBES = ("tabel", "window", "qery", "merg", "colum")
+
+
+@query(
+    "text_fuzzy_match",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    probes AS (
+        SELECT unnest(ARRAY[{", ".join(repr(p) for p in _FUZZY_PROBES)}]) AS probe
+    ),
+    scored AS (
+        SELECT p.probe, v.token,
+               CAST(levenshtein(p.probe, v.token) AS BIGINT) AS dist
+        FROM probes p CROSS JOIN vocab v
+    )
+    SELECT probe, token AS best_token, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe
+                                     ORDER BY dist, token) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary match: each probe term finds its nearest corpus
+    token by Levenshtein distance (typo/OCR normalization). Distinct
+    corpus tokens (one shuffle, vocabulary-sized) × a broadcast probe
+    list, integer edit-distance (identical DP in both engines), then a
+    per-probe argmin window over the tiny scored set. At 100 TB the
+    vocab distinct is the only data-sized stage; everything after is
+    vocabulary-sized."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ", -1)).alias("token"))
+        .distinct()
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in _FUZZY_PROBES], "probe string"
+    )
+    scored = vocab.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        "token",
+        F.levenshtein("probe", "token").cast("long").alias("dist"),
+    )
+    w = W.partitionBy("probe").orderBy("dist", "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("probe", F.col("token").alias("best_token"), "dist")
+    )
