@@ -500,3 +500,90 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("probe", F.col("token").alias("best_token"), "dist")
     )
+
+
+# ------------------------------------------- incremental / cross-source
+
+
+_INCR_SPLIT = 400  # doc_id < 400 = existing corpus, >= 400 = incoming
+
+
+@query(
+    "dedup_incremental_newdocs",
+    oracle=f"""
+    SELECT n.doc_id, n.lang, n.source
+    FROM documents n
+    WHERE n.doc_id >= {_INCR_SPLIT}
+      AND NOT EXISTS (
+          SELECT 1 FROM documents e
+          WHERE e.doc_id < {_INCR_SPLIT} AND md5(e.text) = md5(n.text)
+      )
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental_newdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch keeps only docs
+    whose content hash is NOT already in the existing corpus — the
+    anti-join every append-only corpus pipeline runs per batch. At
+    100 TB the existing side is a pre-computed hash index (one narrow
+    md5 column, bucketed by hash); the anti-join shuffles hashes only,
+    never text."""
+    d = load_table(spark, sf_dir, "documents")
+    existing = d.where(F.col("doc_id") < _INCR_SPLIT).select(
+        F.md5("text").alias("h")
+    )
+    incoming = d.where(F.col("doc_id") >= _INCR_SPLIT).select(
+        "doc_id", "lang", "source", F.md5("text").alias("h")
+    )
+    return (
+        incoming.join(existing, "h", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH h AS (
+        SELECT source,
+               md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS hash
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared
+    FROM h a JOIN h b ON a.hash = b.hash AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: shared 5-token document
+    prefixes between source pairs (the boilerplate-overlap signal —
+    which crawls/vendors copy each other's headers; full-content
+    overlap is the same plan with md5(text)). Self-join on the 128-bit
+    prefix hash with source_a < source_b: shuffle carries
+    (hash, source) pairs only; a boilerplate prefix shared by many
+    sources fans out to source-pair counts, bounded by sources², not
+    the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " ", -1), 1, 5))
+        ).alias("hash"),
+    )
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hash") == F.col("b.hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
