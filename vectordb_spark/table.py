@@ -110,6 +110,7 @@ class Table:
         embedder=None,
         index_sources: dict[str, str] | None = None,
         capacity_override: int | None = None,
+        partition_by: str | None = None,
     ):
         validate_schema(schema)
         self.spark = spark
@@ -124,6 +125,11 @@ class Table:
         self._meta_path = os.path.join(path, "_meta.json")
         # index field name -> source STRING field (auto-embedding, §1.4)
         self.index_sources = index_sources or self._load_index_sources()
+        # storage partition column (hive-style segment layout): scans
+        # filtered on it prune whole directories — the 100 TB
+        # data-skipping lever. Persisted at create; the manifest wins
+        # on reopen so two writers can't disagree about layout.
+        self.partition_by = self._load_partition_by() or partition_by
 
     # ---------------------------------------------------------------- meta
 
@@ -138,6 +144,7 @@ class Table:
                     "row_count": 0,
                     "capacity": int(capacity) if capacity else DEFAULT_CAPACITY,
                     "index_sources": self.index_sources,
+                    "partition_by": self.partition_by,
                 }
             )
 
@@ -174,6 +181,17 @@ class Table:
         if os.path.exists(self._meta_path):
             return self._load_meta().get("index_sources", {})
         return {}
+
+    def _load_partition_by(self) -> str | None:
+        if os.path.exists(self._meta_path):
+            return self._load_meta().get("partition_by")
+        return None
+
+    def _write_segment(self, df: DataFrame, name: str) -> None:
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(os.path.join(self.path, name))
 
     def _save_meta(self, meta: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -212,6 +230,15 @@ class Table:
             return self.spark.createDataFrame(
                 [], self.schema.to_spark_schema(with_row_id=True)
             )
+        if self.partition_by and len(paths) > 1:
+            # each segment dir is its own hive-partitioned root; a
+            # multi-path read would try to treat them as partition
+            # siblings of one table. Per-segment reads unioned by name
+            # keep the per-segment PartitionFilters pruning intact.
+            from functools import reduce
+
+            dfs = [self.spark.read.parquet(q) for q in paths]
+            return reduce(lambda a, b: a.unionByName(b), dfs)
         return self.spark.read.parquet(*paths)
 
     def versions(self) -> list[int]:
@@ -489,7 +516,7 @@ class Table:
         self._record_history(meta)
         version = meta["version"] + 1
         name = f"add_{version}"
-        new_df.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        self._write_segment(new_df, name)
         meta["files"].append(name)
         meta["version"] = version
         meta["next_row_id"] = next_row_id
@@ -501,7 +528,7 @@ class Table:
         self._record_history(meta)
         version = meta["version"] + 1
         name = f"base_{version}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        self._write_segment(df, name)
         meta["files"] = [name]
         meta["version"] = version
         meta["next_row_id"] = next_row_id
