@@ -222,3 +222,61 @@ def t9_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", "label", F.col("_distance").alias("distance")
     )
+
+
+@query(
+    "vec_centroid_per_label",
+    oracle="""
+    WITH px AS (
+        SELECT label, t.pos, embedding[t.pos] AS val
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS t(pos)
+    ),
+    a AS (
+        SELECT label, pos,
+               (CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 1e12) / COUNT(*) AS avgv,
+               COUNT(*) AS n
+        FROM px GROUP BY label, pos
+    )
+    SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+           array_agg(avgv ORDER BY pos) AS centroid
+    FROM a GROUP BY label
+    """,
+)
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroid (mean vector per label) — the
+    declarative core of k-means/IVF training and class-prototype
+    models, as a plain query. posexplode → per-(label, position)
+    integer-exact mean (inputs quantized to 1e-12 on the half-up
+    integer grid — floor(x·1e12+0.5), identical in both engines unlike
+    decimal casts whose midpoint rounding mode differs — summed as
+    BIGINT, so partition order and engine cannot change a bit) →
+    re-assemble via
+    sort_array over (pos, avg) structs. Shuffle carries scalar
+    (label, pos, val) triples — dim × rows narrow rows, the standard
+    tall layout for vector aggregation at scale (never a Python UDAF
+    holding whole vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    a = px.groupBy("label", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            )
+            / F.count(F.lit(1))
+        ).alias("avgv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return a.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "avgv"))),
+            lambda s: s.getField("avgv"),
+        ).alias("centroid"),
+    )
