@@ -395,3 +395,69 @@ def w10_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("gap").cast("double") / F.count("gap")).alias("avg_gap_us"),
         F.max("gap").alias("max_gap_us"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    v AS (
+        SELECT user_id, MIN(tus) AS tv FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.tus) AS tc
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.tus > v.tv
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.tus) AS tp
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.tus > c.tc
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click — the
+    strictly-ordered step semantics (a purchase before the click does
+    not count). Three stage aggregates, each a shuffle on user_id that
+    AQE coalesces; the per-stage frames carry one (user, ts) row per
+    user, so every join after stage 1 is tiny. Integer-µs comparisons
+    throughout."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("tus") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("tus") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
