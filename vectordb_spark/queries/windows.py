@@ -461,3 +461,50 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
         )
     )
+
+
+_WEEK_NS = 7 * _DAY_NS
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id, MIN(epoch_ns(ts) // {_WEEK_NS}) AS w0
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {_WEEK_NS} AS w FROM events
+    )
+    SELECT f.w0 * {_WEEK_NS} AS cohort_week_ns,
+           CAST(a.w - f.w0 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted in each later week they were active — the
+    (cohort, offset) triangle every growth dashboard draws. Two
+    aggregates sharing the user_id shuffle + one join on the
+    per-user frames (rows = users, not events, after stage 1); the
+    distinct-week projection bounds the active set at users × weeks.
+    Integer-ns week buckets as everywhere (COUNT(*) is per
+    (user, week) distinct row, so no COUNT DISTINCT shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.expr(f"ts div {_WEEK_NS}")
+    f = (
+        e.select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("w0"))
+    )
+    a = e.select("user_id", w.alias("w")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            (F.col("w0") * _WEEK_NS).alias("cohort_week_ns"),
+            (F.col("w") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
