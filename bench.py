@@ -74,6 +74,11 @@ HEADLINE = [
     "sparse_knn_l2",
     "w9_ntile_length_deciles",
     "w10_interarrival_stats",
+    "vec_centroid_per_label",
+    "text_fuzzy_match",
+    "dedup_incremental_newdocs",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 
