@@ -67,6 +67,16 @@ SHOWCASE = {
         "the cap split into LSH-signature sub-buckets evaluated lazily "
         "in a CASE — no single-task pair stage, no unbounded block."
     ),
+    "funnel_conversion": (
+        "Staged min-ts funnel: three aggregates share the user_id "
+        "shuffle key; post-stage-1 frames are one row per user, so "
+        "the chained joins are user-sized, never event-sized."
+    ),
+    "vec_centroid_per_label": (
+        "Tall vector aggregation: posexplode to (label, pos, val) "
+        "scalars, integer-grid exact mean per position, re-assembled "
+        "by sort_array — no Python UDAF holds whole vectors."
+    ),
     "t9_knn_batch": (
         "Batch multi-query KNN: Q broadcast query vectors scored in "
         "one corpus pass; the only shuffle carries (query, distance, "
