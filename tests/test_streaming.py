@@ -214,3 +214,42 @@ def test_stateful_sessionize_timeout_flush(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_sliding_counts_stream_matches_batch(spark, tmp_path):
+    """Sliding (hopping) windows agree between the batch frame and the
+    streamed frame — the w7 shape on the stream surface."""
+    import shutil
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in windowed_event_counts(
+            batch, window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    assert len({k[0] for k in want}) > len(
+        {k[0] for k in (
+            (r.window_start, r.event_type)
+            for r in windowed_event_counts(batch).collect()
+        )}
+    ), "slide should produce more distinct window starts than tumbling"
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    out = windowed_event_counts(stream, window="1 hour", slide="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .outputMode("complete")
+        .queryName("slide_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    assert got == want

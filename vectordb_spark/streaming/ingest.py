@@ -146,12 +146,16 @@ def windowed_event_counts(
     *,
     ts_col: str = "ts",
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     key_col: str = "event_type",
 ) -> DataFrame:
-    """Watermarked tumbling-window counts — works on a streaming OR
-    batch events frame (ts in epoch-ns). The watermark bounds state for
-    late data on streams; on batch frames it is a no-op."""
+    """Watermarked tumbling (or, with ``slide``, sliding/hopping)
+    window counts — works on a streaming OR batch events frame (ts in
+    epoch-ns). ``F.window`` assigns each event to window/slide
+    overlapping windows; the watermark bounds state for late data on
+    streams; on batch frames it is a no-op. Batch twin of the w1/w7
+    queries (queries/windows.py)."""
     from vectordb_spark.sources.readers import ts_us
 
     with_ts = events.withColumn(
@@ -159,9 +163,12 @@ def windowed_event_counts(
     )
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark("_event_time", watermark)
-    return with_ts.groupBy(
-        F.window("_event_time", window).alias("w"), F.col(key_col)
-    ).agg(
+    win = (
+        F.window("_event_time", window, slide)
+        if slide
+        else F.window("_event_time", window)
+    )
+    return with_ts.groupBy(win.alias("w"), F.col(key_col)).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
