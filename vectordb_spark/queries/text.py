@@ -587,3 +587,64 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------- LM-style fluency score
+
+
+@query(
+    "text_bigram_familiarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    model AS (
+        SELECT g, COUNT(*) AS freq FROM grams GROUP BY g
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(m.freq) AS BIGINT) AS familiarity_mass,
+           CAST(SUM(m.freq) AS DOUBLE) / COUNT(*) AS mean_bigram_freq
+    FROM grams d JOIN model m ON d.g = m.g
+    GROUP BY d.doc_id
+    """,
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style fluency proxy: the corpus is its own bigram language
+    model; each document scores the mean corpus-frequency of its
+    bigrams (repetitive/boilerplate text scores high, rare-vocabulary
+    text low — the shape of a perplexity filter WITHOUT ln(), whose
+    last-ulp differs between libm and the JVM and would break the
+    oracle hash; a monotone transform applied client-side reorders
+    nothing). Two shuffles: the model groupBy and the score join —
+    both on the bigram string; at 100 TB the model side is
+    vocabulary², not corpus, sized, and broadcastable once counted.
+    Gram arrays by slice-zip (never per-index split re-evaluation —
+    see text_repetition_ngrams)."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = d.select("doc_id", F.split(F.col("text"), " ", -1).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+                "(x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("g"),
+    )
+    model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        grams.join(model, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("familiarity_mass"),
+            (F.sum("freq").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bigram_freq"
+            ),
+        )
+    )
