@@ -254,3 +254,31 @@ def a7_percentile_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.99)").alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_HIST_BUCKET = (
+    "CAST(CASE WHEN value < 0.0 THEN 0 "
+    "WHEN value >= 100.0 THEN 21 "
+    "ELSE floor(CAST(value AS DOUBLE) / 5.0) + 1 END AS BIGINT)"
+)
+
+
+@query(
+    "a8_value_histogram",
+    oracle=f"""
+    SELECT event_type, {_HIST_BUCKET} AS bucket, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def a8_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram per event type: 20 bins of width 5 over
+    [0, 100) with under/overflow buckets 0 and 21 (the explicit
+    floor-division formula — DuckDB has no width_bucket, and one
+    shared formula beats two builtins with different edge rules).
+    Map-side partial agg; output is types × 22 buckets regardless of
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.expr(_HIST_BUCKET).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
