@@ -13,18 +13,16 @@ DRIVER_WINDOW = 50
 # The reference's identity: vector search + the window surface. These
 # must never fall out of the checked window.
 # t1_knn_dot rotated off-window in round 4 (green r1+r2+r3; same
-# compile path as the two metrics that stay).
+# compile path as the two metrics that stay); w1/w3/w4/w5 rotated
+# off-window in round 5 (green r2+r3+r4; window-function path held by
+# w2 + w6 + the four w7-w10 newcomers).
 CORE = [
     "t1_knn_l2",
     "t1_knn_cosine",
     "t2_knn_prefilter",
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",
-    "w1_tumbling_window",
     "w2_sessionize",
-    "w3_topn_per_group",
-    "w4_latest_per_key",
-    "w5_running_total",
 ]
 
 
@@ -40,16 +38,25 @@ def test_window_fits_driver_cap():
     assert len(set(ORACLE_WINDOW)) == DRIVER_WINDOW
 
 
-def test_round2_additions_rotated_in():
-    # the six round-2 queries that had never had a driver row (VERDICT
-    # r2, "Next round" #2) must hold window slots this round
+def test_round5_additions_rotated_in():
+    # the fifteen round-4 queries that had never had a driver row
+    # (VERDICT r4, "Next round" #1) must hold window slots this round
     for name in [
-        "ann_lsh_multiprobe",
-        "w6_gapfill_hourly",
-        "a7_percentile_facets",
-        "chunk_documents_overlap",
-        "split_hash_assign",
-        "pii_redact",
+        "w7_sliding_window",
+        "w8_rollup_grains",
+        "w9_ntile_length_deciles",
+        "w10_interarrival_stats",
+        "funnel_conversion",
+        "cohort_retention",
+        "a8_value_histogram",
+        "dedup_keep_best",
+        "dedup_incremental_newdocs",
+        "dedup_cross_source_overlap",
+        "sparse_knn_l2",
+        "t9_knn_batch",
+        "vec_centroid_per_label",
+        "text_fuzzy_match",
+        "text_bigram_familiarity",
     ]:
         assert name in ORACLE_WINDOW, name
 

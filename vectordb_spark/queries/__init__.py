@@ -48,65 +48,30 @@ _LOADED = False
 # queries (same compile path, pytest-covered) or beyond-reference
 # extras that went green in round 1.
 ORACLE_WINDOW: tuple[str, ...] = (
-    # tier A — core KNN / windows / text profile
+    # tier A — core KNN / window-function / streaming surface
     "t1_knn_l2",
     "t1_knn_cosine",
     "t2_knn_prefilter",
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",
-    "w1_tumbling_window",
     "w2_sessionize",
-    "w3_topn_per_group",
-    "w4_latest_per_key",
-    "w5_running_total",
-    "text_lang_profile",
-    # tier B — reference-parity scan/filter/agg/ANN surface.
-    # Round-3 rotation: six stable-green compile-path duplicates
-    # (p3_lang_div_double, p5_lang_not_or, a4_global_agg,
-    # a2_facet_expr_key, s11_statistics, t7_pagination — each green in
-    # CORRECTNESS_r01 AND r02, each sharing a compile path with an
-    # in-window sibling) moved off-window to give the six round-2
-    # additions their first independent driver row.
-    "s4_full_scan_filter",
-    "p2_lang_arith",
-    "p6_lang_like_in",
+    "w6_gapfill_hourly",
+    # tier B — reference-parity scan/filter/agg/ANN surface
     "p8_nearby_geo",
-    "json_props_extract",
     "fusion_rrf",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "ann_ivf_kmeans",
     "semantic_text_search",
-    "w6_gapfill_hourly",
     "a7_percentile_facets",
-    "chunk_documents_overlap",
-    "split_hash_assign",
-    "pii_redact",
     # tier C — LLM-pipeline operators
     "dedup_minhash_lsh",
-    "dedup_simhash_nearmiss",
-    "dedup_token_jaccard",
     "dedup_embedding_cosine",
     "sparse_tfidf_weights",
     "text_token_count",
     "text_lang_id",
-    "tpch_q1_pricing_summary",
     "j2_star_join_revenue",
-    # round-2 pipeline extensions (p3_lang_concat / dedup_exact_stats
-    # moved off-window: same compile paths as in-window siblings, both
-    # green in CORRECTNESS_r01)
     "asof_join_latest_order",
-    # Round-4 rotation: nine round-3 additions get their first
-    # independent driver row; rotated out (each green in ≥2 prior
-    # rounds, each sharing a compile path with an in-window sibling):
-    # t1_knn_dot (metric variant of t1_knn_l2/cosine),
-    # text_bpe_token_estimate + text_fingerprint (text-Column path,
-    # 4 siblings stay), s5_pk_point_lookup (IN-list path ≈
-    # p6_lang_like_in), s2_insert_prepare_mask (DML-prep),
-    # p3_lang_fmod_unary (arith path = p2_lang_arith),
-    # t7_keyset_pagination (t7_pagination green r1+r2),
-    # sparse_tf_vectors (sparse path: tfidf + knn stay),
-    # tpch_q3_top_orders (join path = j2 + agg path = tpch_q1).
     "ann_lsh_multiprobe2",
     "ann_sq8_rerank",
     "dedup_cluster_components",
@@ -116,19 +81,42 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "source_mixing_weights",
     "stream_ingest_count_by_type",
     "text_top_bigrams_per_lang",
-    # Round-4 additions (selfcheck-green at the driver SF) take their
-    # first driver row immediately; rotated out to make room (each
-    # green r2+r3, each with an in-window compile-path sibling):
-    # a4_facet_group_sum (agg path = a5 + tpch_q1), text_quality_score
-    # (text battery: token_count + lang_id stay), dedup_exact_keep_first
-    # (exact-dedup stage lives inside curate_end_to_end),
-    # decontam_ngram_overlap (shingle machinery = dedup_minhash_lsh),
-    # sparse_knn_tf_dot (sparse path: tfidf stays; dot fold = t1_knn).
     "ann_pq_adc",
     "rj_follow_on_events",
     "text_repetition_ngrams",
     "text_gopher_rules",
     "curate_end_to_end",
+    # Round-5 rotation: the fifteen round-4 additions — all judge-
+    # selfcheck green at sf0.01 but never through the driver's
+    # independent gate — take their first driver row. Rotated out to
+    # make room (each driver-green in ≥2 prior rounds, each with an
+    # in-window compile-path sibling): s4_full_scan_filter +
+    # p2_lang_arith + p6_lang_like_in (expr-language path also
+    # exercised by t2_knn_prefilter's filter and the text battery),
+    # json_props_extract (projection path = t1 family),
+    # w1_tumbling/w3_topn/w4_latest/w5_running (window path: w2 + w6
+    # stay, w7-w10 come in), text_lang_profile (text battery: 4
+    # siblings stay), dedup_simhash_nearmiss + dedup_token_jaccard
+    # (banded-candidate dedup path: minhash + embedding-cosine +
+    # cluster-components stay, 3 dedup newcomers come in),
+    # tpch_q1_pricing_summary (agg path = a5/a7/curate),
+    # chunk_documents_overlap + split_hash_assign + pii_redact
+    # (map-side pipeline path: rj/asof/curate stay).
+    "w7_sliding_window",
+    "w8_rollup_grains",
+    "w9_ntile_length_deciles",
+    "w10_interarrival_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "a8_value_histogram",
+    "dedup_keep_best",
+    "dedup_incremental_newdocs",
+    "dedup_cross_source_overlap",
+    "sparse_knn_l2",
+    "t9_knn_batch",
+    "vec_centroid_per_label",
+    "text_fuzzy_match",
+    "text_bigram_familiarity",
 )
 
 
