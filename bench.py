@@ -79,6 +79,9 @@ HEADLINE = [
     "dedup_incremental_newdocs",
     "funnel_conversion",
     "cohort_retention",
+    # round-5 additions — these two landed after the r4 list froze
+    "a8_value_histogram",
+    "text_bigram_familiarity",
 ]
 
 
@@ -121,8 +124,12 @@ def main() -> None:
             try:
                 dt = _run_once(qs, name, spark, sf_dir)
             except Exception as exc:  # noqa: BLE001 — artifact resilience
+                # Keep any earlier successful timing: dropping it would
+                # silently shrink the headline total on a flaky one-off
+                # failure and make cross-round totals incomparable. The
+                # error string records the flakiness alongside the best
+                # good sample.
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                timings.pop(name, None)
                 continue
             if name not in timings or dt < timings[name]:
                 timings[name] = dt

@@ -41,3 +41,36 @@ def test_convergence_cap_raises(spark):
     edges = [(i, i + 1) for i in range(16)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, edges, max_iter=1)
+
+
+def test_two_driver_actions_per_round(spark, monkeypatch):
+    # The iteration loop must stay at 2 driver actions per round: one
+    # eager checkpoint that materializes prop+new in a single job (prop
+    # is lazily checkpointed into it) and one count over the cached
+    # blocks for convergence. A regression to the old 3-action shape
+    # (separate prop checkpoint, or a join-based convergence count)
+    # shows up here as extra eager checkpoints or counts.
+    # patch the concrete class (Spark 4 splits classic/connect; the
+    # abstract pyspark.sql.DataFrame's methods are overridden)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"eager_checkpoint": 0, "count": 0}
+    orig_lc, orig_count = DataFrame.localCheckpoint, DataFrame.count
+
+    def lc(self, eager=True):
+        if eager:
+            calls["eager_checkpoint"] += 1
+        return orig_lc(self, eager=eager)
+
+    def cnt(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lc)
+    monkeypatch.setattr(DataFrame, "count", cnt)
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    connected_components(df)
+    # setup: 2 eager checkpoints (sym, initial labels); the single edge
+    # converges in 2 rounds (change, then no-change) at 2 actions each
+    assert calls == {"eager_checkpoint": 2 + 2, "count": 2}

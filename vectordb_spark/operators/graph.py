@@ -57,6 +57,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        # ``ocomp`` threads the start-of-round label through the round
+        # so convergence is a column comparison on the round's output —
+        # no extra join against ``labels`` and no third job.
         prop = (
             labels.alias("l")
             .join(nbr, F.col("l.node") == nbr["a"], "left")
@@ -65,13 +68,17 @@ def connected_components(
                 F.least(
                     F.col("l.comp"), F.coalesce(F.col("nbr_min"), F.col("l.comp"))
                 ).alias("comp"),
+                F.col("l.comp").alias("ocomp"),
             )
         )
         # pointer doubling: follow the label chain one hop — halves the
         # remaining distance to the component minimum every round.
-        # prop is materialized first: the self-join below would
-        # otherwise evaluate the propagation subtree twice per round
-        prop = prop.localCheckpoint()
+        # prop is LAZILY checkpointed: lineage is cut and the RDD is
+        # persisted, but materialization folds into the eager
+        # checkpoint of ``new`` below (block-manager locking computes
+        # each partition once even though the self-join reads it from
+        # two stages) — one job instead of two.
+        prop = prop.localCheckpoint(eager=False)
         new = (
             prop.alias("x")
             .join(
@@ -86,16 +93,14 @@ def connected_components(
                 F.least(
                     F.col("x.comp"), F.coalesce(F.col("pcomp"), F.col("x.comp"))
                 ).alias("comp"),
+                F.col("x.ocomp").alias("ocomp"),
             )
-            .localCheckpoint()  # cut lineage BEFORE the convergence count
+            .localCheckpoint()  # round action 1: materialize prop + new
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
+        # round action 2: a scan of the cached checkpoint blocks — the
+        # per-round driver cost is now 2 jobs, not 3 (and no shuffle).
+        changed = new.where(F.col("comp") != F.col("ocomp")).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(
