@@ -53,6 +53,73 @@ def test_partitioned_roundtrip_and_append(ptable, spark):
     assert t2.df().count() == 21
 
 
+def test_numeric_partition_values_keep_declared_type(spark, tmp_path):
+    # hive partition values are directory names; Spark's partition type
+    # inference would read numeric-looking STRING values back as INT,
+    # drifting from the declared schema (and two segments could even
+    # infer different types and break the unionByName read)
+    schema = TableSchema(
+        name="docs_p",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="shard", field_type=FieldType.STRING),
+            FieldSchema(
+                name="vec",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=2,
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "docs_p"), partition_by="shard")
+    t._init_storage()
+    t.insert(
+        [
+            {"id": 1, "shard": "001", "vec": [0.0, 0.0]},
+            {"id": 2, "shard": "2", "vec": [0.0, 0.0]},
+        ]
+    )
+    t.insert([{"id": 3, "shard": "0042", "vec": [0.0, 0.0]}])  # second segment
+    df = t.df()
+    assert dict(df.dtypes)["shard"] == "string"
+    got = {r.id: r.shard for r in df.collect()}
+    # leading zeros survive only if the string type is restored before
+    # the value round-trips through the directory name... they don't in
+    # hive layout ("001" IS the dir name, inference made it int 1, the
+    # cast back gives "1"); what the schema contract guarantees is the
+    # TYPE. Pin the type and the castability, not zero-padding.
+    assert all(isinstance(v, str) for v in got.values())
+
+
+def test_reopen_without_manifest_key_stays_unpartitioned(spark, tmp_path):
+    # an existing manifest that lacks partition_by means the table IS
+    # unpartitioned — a constructor argument on reopen must not
+    # introduce a mixed flat/hive layout
+    schema = TableSchema(
+        name="plain",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="etype", field_type=FieldType.STRING),
+            FieldSchema(
+                name="vec",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=2,
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "plain"))
+    t._init_storage()
+    meta = t._load_meta()
+    meta.pop("partition_by", None)  # simulate an older-format manifest
+    t._save_meta(meta)
+    t.insert([{"id": 1, "etype": "a", "vec": [0.0, 0.0]}])
+    t2 = Table(spark, schema, str(tmp_path / "plain"), partition_by="etype")
+    assert t2.partition_by is None
+    t2.insert([{"id": 2, "etype": "b", "vec": [0.0, 0.0]}])
+    assert t2.df().count() == 2
+
+
 def test_partitioned_compact_preserves_layout(ptable):
     ptable.insert([{"id": 200, "etype": "view", "vec": [2.0, 2.0]}])
     ptable.compact()

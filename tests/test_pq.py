@@ -158,3 +158,37 @@ def test_batch_knn_gemm_agrees_with_window_plan(emb, qv):
         for r in batch_knn_gemm(emb, "embedding", qlist, 10, id_col="vec_id").collect()
     }
     assert a == b
+
+
+def test_fit_on_tiny_segment_and_custom_id_col(spark):
+    # fewer rows than k centroids (tiny segment) must train, not raise;
+    # and the sampling order column is a parameter, not hard-coded
+    import vectordb_spark.operators.pq as PQ
+
+    rows = [(i, [float(i) / 7.0] * 8) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    idx = PQ.PQIndex(m=2, k=16, seed=1).fit(df, "embedding", id_col="doc_id")
+    got = idx.search(df, "embedding", [0.1] * 8, 3, id_col="doc_id").collect()
+    assert [r.doc_id for r in got] == [1, 0, 2]
+
+
+def test_batch_knn_gemm_id_tiebreak_at_k_boundary(spark):
+    # duplicate vectors straddling the per-partition k boundary: the id
+    # tie-break must participate in the truncation (lexsort), not only
+    # in a post-sort — a distance-only partial top-k can drop the
+    # smaller-id duplicate and diverge from knn()'s (distance, id) order
+    from vectordb_spark.operators.knn import batch_knn_gemm
+
+    # ids deliberately DESCENDING in insertion order so position order
+    # (argsort fallback) disagrees with id order on ties; all vectors
+    # equidistant from the query except one closer decoy
+    rows = [(int(9 - i), [1.0, 0.0]) for i in range(9)] + [(100, [0.5, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    got = [
+        (r.vec_id, r._distance)
+        for r in batch_knn_gemm(df, "embedding", [(0, [0.0, 0.0])], 5).collect()
+    ]
+    # decoy first, then the four SMALLEST ids among the nine tied rows
+    assert [v for v, _ in got] == [100, 1, 2, 3, 4]

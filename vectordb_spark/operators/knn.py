@@ -155,9 +155,13 @@ def batch_knn_gemm(
             rows = []
             for qi in range(len(qids)):
                 col = d2[:, qi]
-                top = np.argsort(col, kind="stable")[: k]
-                # stable argsort + id tiebreak for equal distances
-                top = sorted(top, key=lambda i: (col[i], ids[i]))
+                # lexsort keys run minor→major: sorts by (distance, id),
+                # so the id tie-break participates in the k-truncation
+                # itself — a tied row with a smaller id past position k
+                # would be dropped by a distance-only argsort, diverging
+                # from knn()'s deterministic (distance, id) order on
+                # duplicate vectors
+                top = np.lexsort((ids, col))[:k]
                 rows += [(qids[qi], int(ids[i]), float(col[i])) for i in top]
             yield pd.DataFrame(rows, columns=["query_id", id_col, distance_col])
 

@@ -217,16 +217,18 @@ class PQIndex:
         self.train_size, self.iters = train_size, iters
         self.codebook: list[list[list[int]]] | None = None
 
-    def fit(self, df, vec_col: str) -> "PQIndex":
+    def fit(self, df, vec_col: str, *, id_col: str = "vec_id") -> "PQIndex":
         import numpy as np
 
         sample = (
             df.select(vec_col)
-            .orderBy("vec_id")
+            .orderBy(id_col)
             .limit(self.train_size)
             .toPandas()[vec_col]
         )
         X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+        if len(X) == 0:
+            raise ValueError("PQIndex.fit: no training rows")
         Xq = np.floor(X * QMUL + 0.5)  # train in the grid domain
         dim = Xq.shape[1]
         sub = dim // self.m
@@ -234,7 +236,13 @@ class PQIndex:
         cb = []
         for mi in range(self.m):
             S = Xq[:, mi * sub : (mi + 1) * sub]
-            cent = S[rng.choice(len(S), size=self.k, replace=False)].copy()
+            # tiny segments: fewer rows than k would make a
+            # no-replacement draw raise — seed with replacement then
+            # (duplicate seeds collapse to duplicate centroids, which
+            # ADC tolerates: the min over the table is unchanged)
+            cent = S[
+                rng.choice(len(S), size=self.k, replace=len(S) < self.k)
+            ].copy()
             for _ in range(self.iters):
                 d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
                 assign = d2.argmin(axis=1)

@@ -251,8 +251,10 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact mean (inputs quantized to 1e-12 on the half-up
     integer grid — floor(x·1e12+0.5), identical in both engines unlike
     decimal casts whose midpoint rounding mode differs — summed as
-    BIGINT, so partition order and engine cannot change a bit) →
-    re-assemble via
+    DECIMAL(38,0), so partition order and engine cannot change a bit;
+    DuckDB's SUM(BIGINT) promotes to HUGEINT the same way. A plain
+    BIGINT sum would silently wrap around ~1.5e7 rows per (label, pos)
+    at |val|≈0.6; decimal headroom is ~1e26 rows) → re-assemble via
     sort_array over (pos, avg) structs. Shuffle carries scalar
     (label, pos, val) triples — dim × rows narrow rows, the standard
     tall layout for vector aggregation at scale (never a Python UDAF
@@ -265,7 +267,7 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.expr(
                         "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
-                    )
+                    ).cast("decimal(38,0)")
                 ).cast("double")
                 / F.lit(1e12)
             )

@@ -127,9 +127,15 @@ class Table:
         self.index_sources = index_sources or self._load_index_sources()
         # storage partition column (hive-style segment layout): scans
         # filtered on it prune whole directories — the 100 TB
-        # data-skipping lever. Persisted at create; the manifest wins
-        # on reopen so two writers can't disagree about layout.
-        self.partition_by = self._load_partition_by() or partition_by
+        # data-skipping lever. Persisted at create; on reopen the
+        # manifest wins OUTRIGHT — a manifest without the key means
+        # "unpartitioned", not a fall-through to the constructor
+        # argument (which would silently mix partitioned and flat
+        # segments in one table).
+        if os.path.exists(self._meta_path):
+            self.partition_by = self._load_partition_by()
+        else:
+            self.partition_by = partition_by
 
     # ---------------------------------------------------------------- meta
 
@@ -237,9 +243,33 @@ class Table:
             # keep the per-segment PartitionFilters pruning intact.
             from functools import reduce
 
-            dfs = [self.spark.read.parquet(q) for q in paths]
+            dfs = [
+                self._restore_partition_type(self.spark.read.parquet(q))
+                for q in paths
+            ]
             return reduce(lambda a, b: a.unionByName(b), dfs)
-        return self.spark.read.parquet(*paths)
+        return self._restore_partition_type(self.spark.read.parquet(*paths))
+
+    def _restore_partition_type(self, df: DataFrame) -> DataFrame:
+        """Hive partition values are directory NAMES; Spark's partition
+        type inference (on by default) reads numeric-looking STRING
+        values back as integers — and could even infer different types
+        for different segments, breaking the unionByName above. Cast
+        the partition column back to its declared schema type so the
+        read schema never drifts from the table schema."""
+        if not self.partition_by:
+            return df
+        declared = self.schema.to_spark_schema(with_row_id=True)
+        if self.partition_by not in df.columns or self.partition_by not in {
+            f.name for f in declared.fields
+        }:
+            return df
+        target = declared[self.partition_by].dataType
+        if df.schema[self.partition_by].dataType == target:
+            return df
+        return df.withColumn(
+            self.partition_by, F.col(self.partition_by).cast(target)
+        )
 
     def versions(self) -> list[int]:
         meta = self._load_meta()
