@@ -167,6 +167,33 @@ def test_ivf_exact_fallback_on_unclusterable_data(spark, emb, qv):
     assert not idx.last_search_exact_fallback
 
 
+def test_ivf_fallback_ranks_with_pq_adc_when_attached(spark, emb, qv):
+    # the unclusterable-corpus fallback with an attached PQ index must
+    # take the stored-code ADC path (full scan of the 4-byte code
+    # column + exact re-rank) and hold recall, instead of raw-float
+    # brute force
+    import vectordb_spark.operators.pq as PQ
+
+    idx = A.IVFIndex(k=16, seed=42)
+    indexed = idx.build(emb, "embedding")
+    assert idx.separation_ratio < idx.SEPARATION_EXACT_FALLBACK
+    pq = PQ.PQIndex(seed=42).fit(emb, "embedding")
+    with_codes = pq.codes(indexed, "embedding").cache()
+    try:
+        idx.attach_pq(pq)
+        exact = knn(emb, "embedding", qv, 10, metric="EUCLIDEAN", id_col="vec_id")
+        res = idx.search(with_codes, "embedding", qv, 10, id_col="vec_id")
+        assert idx.last_search_exact_fallback
+        assert idx.last_search_path == "pq_adc"
+        assert "_cluster" not in res.columns
+        assert A.recall_at_k(res, exact, "vec_id", 10) >= 0.9
+        # without the code column the fallback stays raw exact
+        idx.search(indexed, "embedding", qv, 10, id_col="vec_id").collect()
+        assert idx.last_search_path == "exact"
+    finally:
+        with_codes.unpersist()
+
+
 def test_ivf_no_fallback_on_clustered_data(spark):
     # Gaussian blobs: separation stats must keep the probed path
     d = _blob_df(spark, per_blob=60).cache()

@@ -247,6 +247,127 @@ def _process_bump_worker(args):
     return True
 
 
+def _process_cas_worker(args):
+    """Child-process commit loop WITHOUT the writer lock — simulating a
+    writer on a DIFFERENT host, where flock (advisory, host-local)
+    gives no protection and only the manifest-version CAS inside
+    _save_meta stands between the writers. Returns (wins, losses)."""
+    path, n_iters = args
+    import random
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from vectordb_spark.schema import (
+        FieldSchema,
+        FieldType,
+        TableSchema,
+        VectorDBError,
+    )
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="locked",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(None, schema, path)
+    wins = losses = 0
+    for _ in range(n_iters):
+        base = t._load_meta()
+        time.sleep(random.random() * 0.01)  # widen the stale window
+        base["version"] += 1
+        base["next_row_id"] += 1
+        try:
+            t._save_meta(base)
+            wins += 1
+        except VectorDBError as e:
+            assert e.code == "CONCURRENT_WRITE"
+            losses += 1  # clean loss: retry from a fresh read next loop
+    return wins, losses
+
+
+def test_cross_host_stale_writer_loses_cleanly(tmp_path):
+    # Two "hosts" (lock-free processes) race commits on one manifest.
+    # The CAS in _save_meta must turn every stale commit into a
+    # CONCURRENT_WRITE error instead of a silent lost update: the final
+    # version equals exactly the number of wins, and history is intact.
+    import multiprocessing as mp
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="locked",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    path = str(tmp_path / "cas")
+    t = Table(None, schema, path)
+    t._init_storage()
+
+    n_procs, n_iters = 3, 20
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(n_procs) as pool:
+        results = pool.map(_process_cas_worker, [(path, n_iters)] * n_procs)
+    wins = sum(w for w, _ in results)
+    losses = sum(l for _, l in results)
+    assert wins + losses == n_procs * n_iters
+    assert losses > 0  # the race actually happened
+    meta = t._load_meta()
+    # hard-link claims make the seq a true CAS: exactly one winner per
+    # commit, so every win is exactly one bump — no lost updates even
+    # in the microsecond claim window (unlike check-then-swap)
+    assert meta["version"] == wins
+    assert meta["next_row_id"] == wins
+    assert meta["seq"] == wins + 1  # +1 for _init_storage's commit
+
+
+def test_stale_commit_aborts_and_preserves_winner(tmp_path):
+    # deterministic single-process replay of the cross-host scenario:
+    # writer B loads at version 0, writer A commits version 1, B's
+    # commit must abort with CONCURRENT_WRITE and leave A's manifest
+    from vectordb_spark.schema import (
+        FieldSchema,
+        FieldType,
+        TableSchema,
+        VectorDBError,
+    )
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="locked",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(None, schema, str(tmp_path / "st"))
+    t._init_storage()
+    stale = t._load_meta()  # writer B's view
+    fresh = t._load_meta()
+    fresh["version"], fresh["files"] = 1, ["add_1"]
+    t._save_meta(fresh)  # writer A commits
+    stale["version"], stale["files"] = 1, ["add_1b"]
+    with pytest.raises(VectorDBError) as exc:
+        t._save_meta(stale)
+    assert exc.value.code == "CONCURRENT_WRITE"
+    assert t._load_meta()["files"] == ["add_1"]  # A's commit survived
+
+
 def test_cross_process_writer_lock_no_lost_updates(tmp_path):
     # N processes × M read-modify-write cycles on one manifest: with
     # the flock every increment lands (no lost update) and the final

@@ -126,6 +126,27 @@ class IVFIndex:
         self.mean_intra_radius: float | None = None
         self.mean_nn_centroid_dist: float | None = None
         self.last_search_exact_fallback = False
+        # which plan the last auto-probe search took:
+        # "probe" | "exact" | "pq_adc"
+        self.last_search_path: str | None = None
+        self._pq = None
+        self._pq_codes_col = "_pq_codes"
+        self._pq_refine: int | None = None
+
+    def attach_pq(self, pq_index, *, codes_col: str = "_pq_codes",
+                  refine: int | None = None) -> "IVFIndex":
+        """Attach a trained PQIndex (operators/pq.py) whose stored-code
+        column rides next to the vectors. When the separation-ratio
+        planner rejects probing (unclusterable corpus), the fallback
+        then ranks with PQ-ADC over the 4-byte codes and exact-re-ranks
+        ``refine`` rows — a full scan still, but over a 64× narrower
+        column than raw float brute force. L2 only (COSINE is stored
+        normalized, where L2 ORDER matches, but the reported distance
+        would not — keep the raw exact fallback there)."""
+        self._pq = pq_index
+        self._pq_codes_col = codes_col
+        self._pq_refine = refine
+        return self
 
     def build(self, df: DataFrame, vec_col: str) -> DataFrame:
         """Fit KMeans, return df + `_cluster` assignment column. At
@@ -245,11 +266,30 @@ class IVFIndex:
         the clustering can't carry recall (separation_ratio below
         SEPARATION_EXACT_FALLBACK). An int ``nprobe`` pins the probe
         count (the reference-style fixed knob) and disables the
-        fallback."""
+        fallback. With an attached PQ index (``attach_pq``) and its
+        code column present, the fallback ranks via PQ-ADC over the
+        stored 4-byte codes + exact re-rank instead of raw-float brute
+        force — a full scan still, but over a 64× narrower column
+        (SCALING.md has the measured row)."""
         self.last_search_exact_fallback = False
+        self.last_search_path = "probe"
         if nprobe is None:
             if self.separation_ratio < self.SEPARATION_EXACT_FALLBACK:
                 self.last_search_exact_fallback = True
+                if (
+                    self._pq is not None
+                    and self.metric == "EUCLIDEAN"
+                    and id_col is not None
+                    and self._pq_codes_col in indexed_df.columns
+                ):
+                    self.last_search_path = "pq_adc"
+                    refine = self._pq_refine or max(64, 16 * k)
+                    out = self._pq.search_codes(
+                        indexed_df, vec_col, self._pq_codes_col,
+                        query_vector, k, refine=refine, id_col=id_col,
+                    )
+                    return out.drop("_cluster") if "_cluster" in out.columns else out
+                self.last_search_path = "exact"
                 return knn(
                     indexed_df, vec_col, query_vector, k,
                     metric=self.metric, id_col=id_col,

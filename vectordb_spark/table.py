@@ -155,8 +155,36 @@ class Table:
             )
 
     def _load_meta(self) -> dict:
+        # Roll-forward read: the versioned commit files (_meta.s{N}.json,
+        # the atomic CAS tokens — see _save_meta) are authoritative; the
+        # _meta.json pointer is best-effort (a writer crashing between
+        # link and replace leaves it one commit behind). Retry covers a
+        # concurrent GC unlinking an old token between list and open.
+        for _ in range(3):
+            seqs = self._seq_manifests()
+            if not seqs:
+                break
+            try:
+                with open(self._seq_path(seqs[-1])) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                continue
         with open(self._meta_path) as f:
             return json.load(f)
+
+    def _seq_path(self, seq: int) -> str:
+        return os.path.join(self.path, f"_meta.s{int(seq)}.json")
+
+    def _seq_manifests(self) -> list[int]:
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[7:-5])
+            for n in names
+            if n.startswith("_meta.s") and n.endswith(".json") and n[7:-5].isdigit()
+        )
 
     @contextmanager
     def writer_lock(self):
@@ -200,15 +228,55 @@ class Table:
         writer.parquet(os.path.join(self.path, name))
 
     def _save_meta(self, meta: dict) -> None:
+        """Manifest commit as a TRUE compare-and-swap. The flock writer
+        lock serializes writers on one host, but flock is
+        advisory-LOCAL — two Spark drivers on different HOSTS against
+        shared POSIX storage each hold their own lock, and a plain
+        read-modify-replace would silently clobber the other's
+        committed segments. Every commit therefore claims the next
+        commit sequence number by hard-linking the fully-written
+        manifest to ``_meta.s{seq}.json``: link(2) is atomic-exclusive,
+        so exactly ONE writer ever owns a given seq — a writer holding
+        a stale manifest (stale seq) or racing for the same seq loses
+        with a clean CONCURRENT_WRITE instead of a lost update, and
+        retries from a fresh load. ``seq`` is orthogonal to the data
+        ``version`` (vacuum and index rebuild commit without bumping
+        the version; every save bumps seq). The ``_meta.json`` pointer
+        is kept for inspection/back-compat; _load_meta treats the
+        newest seq token as authoritative (crash between link and
+        replace loses nothing)."""
         os.makedirs(self.path, exist_ok=True)
+        base_seq = int(meta.get("seq") or 0)
+        meta["seq"] = base_seq + 1
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump(meta, f)
+            try:
+                os.link(tmp, self._seq_path(base_seq + 1))
+            except FileExistsError:
+                raise VectorDBError(
+                    "CONCURRENT_WRITE",
+                    f"Commit {base_seq + 1} was claimed by another writer "
+                    "(different host?) after this one loaded the manifest; "
+                    "reload the table and retry.",
+                ) from None
             os.replace(tmp, self._meta_path)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        self._gc_seq_manifests()
+
+    # retained seq tokens: enough that a reader between list and open
+    # never sees its chosen (max) token GC'd by the next few commits
+    SEQ_MANIFEST_RETENTION = 4
+
+    def _gc_seq_manifests(self) -> None:
+        for s in self._seq_manifests()[: -self.SEQ_MANIFEST_RETENTION]:
+            try:
+                os.unlink(self._seq_path(s))
+            except FileNotFoundError:
+                pass
 
     # ---------------------------------------------------------------- read
 
