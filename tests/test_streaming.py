@@ -158,6 +158,67 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_watermark_evicts_late_rows(spark, tmp_path):
+    # the eviction side of the watermark contract (the oracle gate
+    # stream_late_window_upsert proves the MERGE side with a
+    # span-exceeding delay). Spark guarantees the drop only once the
+    # window's state has been cleaned up ("data later than the
+    # watermark may or may not be included" — Structured Streaming
+    # guide), so the sequence is: create the hour-0 window, advance the
+    # watermark past it (evicts its state), THEN deliver a late row for
+    # it — which must be dropped, not re-emitted as a fresh count
+    HOUR_NS = 3_600_000_000_000
+    b0 = [(i, i * 1_000_000_000, 7, "click", 1.0, "{}") for i in range(5)] + [
+        (50, 10 * HOUR_NS, 7, "click", 1.0, "{}")
+    ]
+    b1 = [(60, 10 * HOUR_NS + 1_000_000_000, 7, "click", 1.0, "{}")]
+    b2 = [(200, 30 * 1_000_000_000, 7, "click", 1.0, "{}")]  # 9h late
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1, b2]):
+        half = tmp_path / f"half{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(half))
+        part = next(
+            n for n in os.listdir(half)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        dst = src / f"b{i}.parquet"
+        os.rename(half / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_event_counts(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_evict").collect()
+    by_hour = {}
+    for r in rows:
+        by_hour.setdefault(int(r.window_start.timestamp()) // 3600, []).append(
+            r.n_events
+        )
+    # hour-0 emitted once (count 5) before eviction; the late row must
+    # NOT have re-emitted it as a fresh count-1 window
+    assert by_hour[0] == [5]
+    assert max(by_hour[10]) == 2
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+
 def test_stateful_sessionize_timeout_flush(spark, tmp_path):
     """The state-timeout path end-to-end: a user who goes quiet must
     have their OPEN session flushed by the processing-time timeout when

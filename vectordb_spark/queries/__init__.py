@@ -79,7 +79,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "source_cap_top_quality",
     "pack_sequences",
     "source_mixing_weights",
-    "stream_ingest_count_by_type",
+    # round-5: the late-data/watermark gate replaces the in-order
+    # replay gate (green r3+r4; same readStream→foreachBatch→Table
+    # machinery, which the late gate also exercises — plus watermark,
+    # update-mode emission, and PK-upsert merge of out-of-order rows)
+    "stream_late_window_upsert",
     "text_top_bigrams_per_lang",
     "ann_pq_adc",
     "rj_follow_on_events",

@@ -105,3 +105,120 @@ def stream_ingest_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_HOUR_US = 3_600_000_000
+
+_LATE_ORACLE = f"""
+SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_late_window_upsert", oracle=_LATE_ORACLE)
+def stream_late_window_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data gate: events split into TWO stream files by event_id
+    parity — the second micro-batch therefore delivers rows with
+    timestamps far EARLIER than the first batch's maximum (a genuine
+    out-of-order tail, not in-order replay). The stream runs the
+    watermarked tumbling-window aggregate (streaming/ingest.py
+    windowed_event_counts: F.window is pure epoch arithmetic, so the
+    buckets are timezone-independent) in UPDATE mode; each micro-batch
+    emits the windows it changed and foreachBatch PK-upserts them into
+    an engine Table — late rows UPDATE the window rows batch 1 already
+    committed. The oracle is the plain batch GROUP BY over all events:
+    equality proves every late row merged into its window (dropped or
+    double-counted late data cannot hash-match). The watermark delay
+    exceeds the data span, so state eviction never races the finite
+    replay — eviction semantics are covered by
+    tests/test_streaming.py::test_watermark_evicts_late_rows."""
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.streaming.ingest import stream_insert, windowed_event_counts
+    from vectordb_spark.table import Table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    work = tempfile.mkdtemp(prefix="vdb_stream_late_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    # two single-file halves; mtimes force batch order (FileStreamSource
+    # orders by modification time): evens first, odds = the late tail
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        half_dir = os.path.join(work, f"half{i}")
+        ev.where(pred).coalesce(1).write.parquet(half_dir)
+        part = next(
+            n for n in os.listdir(half_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(half_dir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windows = windowed_event_counts(
+        stream, window="1 hour", watermark="3650 days"
+    ).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "min_value",
+        "max_value",
+    )
+    upserts = windows.withColumn(
+        "pk", F.concat_ws("|", F.col("window_start_us"), F.col("event_type"))
+    ).withColumn("Emb", F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>"))
+
+    table_schema = TableSchema(
+        name="window_counts",
+        fields=[
+            FieldSchema(name="pk", field_type=FieldType.STRING, primary_key=True),
+            FieldSchema(name="window_start_us", field_type=FieldType.INT8),
+            FieldSchema(name="event_type", field_type=FieldType.STRING),
+            FieldSchema(name="n_events", field_type=FieldType.INT8),
+            FieldSchema(name="min_value", field_type=FieldType.DOUBLE),
+            FieldSchema(name="max_value", field_type=FieldType.DOUBLE),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, table_schema, os.path.join(work, "window_counts"))
+    t._init_storage()
+    q = stream_insert(
+        t,
+        upserts,
+        os.path.join(work, "_checkpoint"),
+        upsert=True,
+        output_mode="update",
+    )
+    q.awaitTermination()
+
+    out = t.df().select(
+        "window_start_us", "event_type", "n_events", "min_value", "max_value"
+    )
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out

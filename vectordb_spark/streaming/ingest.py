@@ -29,6 +29,7 @@ def stream_insert(
     *,
     upsert: bool = False,
     trigger_available_now: bool = True,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Pipe a streaming DataFrame into a Table via foreachBatch.
 
@@ -36,6 +37,12 @@ def stream_insert(
     last-wins inside each micro-batch, then against the table) — the
     reference's WAL-replay ordering guarantee, expressed as micro-batch
     ordering.
+
+    ``output_mode="update"`` + ``upsert=True`` is the aggregated-stream
+    merge sink: each micro-batch emits the (key, aggregate) rows it
+    changed and the PK upsert folds them into the table — late
+    (out-of-order) events update the windows they belong to instead of
+    being appended as duplicates.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -44,7 +51,7 @@ def stream_insert(
         table.insert_df(batch_df, upsert=upsert)
 
     writer = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(_sink)
     )
