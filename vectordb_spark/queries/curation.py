@@ -262,7 +262,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (comp = own id via the left join + coalesce). One extra shuffle on
     comp over the components output — the pair graph is tiny relative
     to the corpus, so the window partitions are near-singleton at any
-    scale."""
+    scale.
+
+    As a GATE query this recomputes the MinHash→CC pipeline so it
+    stands alone; a production run that needs both the cluster map and
+    the decisions should materialize `dedup_cluster_components` once
+    (`cc.localCheckpoint()` or persist to parquet — its output is the
+    natural pipeline checkpoint) and feed this election from it."""
     docs = load_table(spark, sf_dir, "documents")
     cc = dedup_cluster_components(spark, sf_dir)
     from pyspark.sql import Window as W
