@@ -120,6 +120,63 @@ def test_reopen_without_manifest_key_stays_unpartitioned(spark, tmp_path):
     assert t2.df().count() == 2
 
 
+def test_clustered_compact_probe_prunes_partitions(spark, tmp_path):
+    # compact(cluster_by=vec): the OPTIMIZE-style rewrite — IVF probe
+    # lists become PartitionFilters on the BASE scan (file pruning, no
+    # index dir join-back), appends self-assign their cluster from the
+    # persisted centroids, and probe search agrees with exact
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(0)
+    centers = rng.standard_normal((8, 8)) * 10.0
+    schema = TableSchema(
+        name="clustered",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="vec",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=8,
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "clustered"))
+    t._init_storage()
+    recs = []
+    rid = 0
+    for c in range(8):
+        for p in centers[c] + rng.standard_normal((40, 8)) * 0.3:
+            recs.append({"id": rid, "vec": [float(x) for x in p]})
+            rid += 1
+    t.insert(recs)
+    res = t.compact(cluster_by="vec", k=8, seed=42)
+    assert res["segmentsAfter"] == 1
+    assert t.partition_by == "_cluster"
+
+    qv = [float(x) for x in centers[3] + rng.standard_normal(8) * 0.3]
+    probed = t.search_clustered_df(qv, limit=5, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    exact = t.search_df(qv, limit=5)
+    got = [r.id for r in probed.collect()]
+    want = [r.id for r in exact.collect()]
+    assert got == want  # well-separated blobs: probe recall is exact
+
+    # appended rows self-assign: the segment lands partitioned and a
+    # reopened handle still probes them
+    t.insert([{"id": 9000, "vec": [float(x) for x in centers[3]]}])
+    t2 = Table(spark, schema, t.path)
+    assert t2.partition_by == "_cluster"
+    hit = t2.search_clustered_df([float(x) for x in centers[3]], limit=1, nprobe=1)
+    assert [r.id for r in hit.collect()] == [9000]
+    # every segment carries the hive _cluster layout
+    assert t2.df().where(F.col("_cluster").isNull()).count() == 0
+
+
 def test_partitioned_compact_preserves_layout(ptable):
     ptable.insert([{"id": 200, "etype": "view", "vec": [2.0, 2.0]}])
     ptable.compact()

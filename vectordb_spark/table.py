@@ -222,6 +222,10 @@ class Table:
         return None
 
     def _write_segment(self, df: DataFrame, name: str) -> None:
+        if self.partition_by == "_cluster" and "_cluster" not in df.columns:
+            # clustered layout (compact(cluster_by=...)): appended
+            # segments self-assign from the persisted centroids
+            df = self._assign_cluster(df)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
@@ -637,7 +641,14 @@ class Table:
     # -------------------------------------------------------- maintenance
 
     @_writer_locked
-    def compact(self, target_partitions: int | None = None) -> dict:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        *,
+        cluster_by: str | None = None,
+        k: int = 16,
+        seed: int = 42,
+    ) -> dict:
         """Rewrite the current segment list into ONE base segment (a
         new manifest version). Every ``_append`` (point insert,
         streaming micro-batch) adds a parquet dir, so ingest-heavy
@@ -646,14 +657,98 @@ class Table:
         (reference X3's rebuild discipline applied to storage). Old
         versions stay readable (time travel) until ``vacuum``. Safe
         with concurrent readers: the write lands in a fresh dir and the
-        manifest swap is atomic."""
+        manifest swap is atomic.
+
+        ``cluster_by=<dense vector field>`` is the OPTIMIZE-style
+        clustered rewrite (the Delta ZORDER idea applied to IVF): fit
+        KMeans on the field, write the base hive-partitioned by the
+        ``_cluster`` assignment, and persist the centroids in the
+        manifest — from then on a probe query's cluster list is a
+        PartitionFilters predicate on the BASE scan (whole directories
+        skipped, no separate index dir to join back), and later appends
+        self-assign their ``_cluster`` from the stored centroids at
+        write time (codegen nearest-centroid, k inline distance
+        expressions) so the layout survives ingest."""
         meta = self._load_meta()
         n_before = len(meta["files"])
         df = self.df()
+        if cluster_by is not None:
+            f = self.schema.get(cluster_by)
+            if f is None or not f.field_type.is_dense_vector:
+                raise VectorDBError(
+                    "INVALID_PAYLOAD",
+                    f"Field {cluster_by} is not a dense vector field.",
+                )
+            from vectordb_spark.operators.ann import IVFIndex
+
+            idx = IVFIndex(k=k, seed=seed, metric=f.metric or "EUCLIDEAN")
+            df = idx.build(df.drop("_cluster"), cluster_by)
+            meta["cluster_layout"] = {
+                "field": cluster_by,
+                "k": k,
+                "seed": seed,
+                "metric": f.metric or "EUCLIDEAN",
+                "centroids": idx.centroids,
+                "cluster_sizes": {
+                    str(c): n for c, n in (idx.cluster_sizes or {}).items()
+                },
+                "mean_intra_radius": idx.mean_intra_radius,
+                "mean_nn_centroid_dist": (
+                    None
+                    if idx.mean_nn_centroid_dist is None
+                    or math.isinf(idx.mean_nn_centroid_dist)
+                    else idx.mean_nn_centroid_dist
+                ),
+            }
+            meta["partition_by"] = self.partition_by = "_cluster"
         if target_partitions:
             df = df.coalesce(max(1, int(target_partitions)))
         self._write_base(df, meta, meta["next_row_id"])
         return {"segmentsBefore": n_before, "segmentsAfter": 1}
+
+    def _cluster_layout_index(self, meta: dict | None = None):
+        """Reconstruct the coarse quantizer from the manifest's
+        persisted cluster layout (None if the table was never
+        cluster-compacted)."""
+        from vectordb_spark.operators.ann import IVFIndex
+
+        info = (meta or self._load_meta()).get("cluster_layout")
+        if not info:
+            return None
+        idx = IVFIndex(k=info["k"], seed=info["seed"], metric=info["metric"])
+        idx.centroids = info["centroids"]
+        idx.cluster_sizes = {
+            int(c): int(n) for c, n in (info.get("cluster_sizes") or {}).items()
+        }
+        idx.mean_intra_radius = info.get("mean_intra_radius")
+        nn = info.get("mean_nn_centroid_dist")
+        idx.mean_nn_centroid_dist = float("inf") if nn is None else float(nn)
+        return idx
+
+    def _assign_cluster(self, df: DataFrame) -> DataFrame:
+        """Nearest stored centroid as a codegen Column — k inline
+        distance expressions + array argmin, no shuffle, no UDF. Keeps
+        appended segments in the clustered layout."""
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        info = self._load_meta().get("cluster_layout")
+        if not info:
+            raise VectorDBError(
+                "INVALID_PAYLOAD",
+                "Table is partitioned by _cluster but has no cluster "
+                "layout in the manifest.",
+            )
+        field = info["field"]
+        dists = F.array(
+            *[
+                l2_squared(F.col(field), vector_literal(c))
+                for c in info["centroids"]
+            ]
+        )
+        return df.withColumn(
+            "_cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
 
     # Segment dirs younger than this survive vacuum even when
     # unreferenced: an in-flight reader that loaded the manifest just
@@ -1121,6 +1216,60 @@ class Table:
         if post:
             out = out.where(to_spark_column(ast))
         return out.orderBy(F.col("_distance").asc(), F.col("_row_id").asc()).limit(limit)
+
+    def search_clustered_df(
+        self,
+        query_vector,
+        *,
+        query_field: str | None = None,
+        limit: int,
+        nprobe: int | None = None,
+        filter: str = "",
+    ) -> DataFrame:
+        """Probe search over a cluster-compacted BASE table
+        (``compact(cluster_by=...)``): the probe list is a
+        partition-pruning predicate on the base scan itself
+        (PartitionFilters on ``_cluster`` — whole directories skipped
+        at file-listing time), with no index dir and no candidate
+        join-back. Segments appended since the clustered compact carry
+        write-time assignments (``_write_segment``), so there is no
+        unindexed tail to merge either. Falls back to exact search when
+        the table has no cluster layout for the field, or when the
+        stored separation statistics reject probing (same planner rule
+        as ``search_indexed_df``)."""
+        f = self._resolve_query_field(query_field, None)
+        meta = self._load_meta()
+        idx = self._cluster_layout_index(meta)
+        if idx is None or meta.get("cluster_layout", {}).get("field") != f.name:
+            return self.search_df(
+                query_vector, query_field=f.name, limit=limit, filter=filter
+            )
+        q = _normalize_dense_query(query_vector, f)
+        if nprobe is None:
+            if idx.separation_ratio < idx.SEPARATION_EXACT_FALLBACK:
+                return self.search_df(
+                    query_vector, query_field=f.name, limit=limit, filter=filter
+                )
+            clusters = idx.plan_probes(q, limit)
+        else:
+            clusters = idx.probe_clusters(q, nprobe)
+        out = self.df().where(
+            F.col("_cluster").isin([int(c) for c in clusters])
+        )
+        ast = parse_filter(filter, self.field_map())
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        dist = distance_for_metric(idx.metric, F.col(f.name), qcol)
+        post = ast is not None and references_distance(ast)
+        if ast is not None and not post:
+            out = out.where(to_spark_column(ast))
+        out = out.withColumn("_distance", dist)
+        if post:
+            out = out.where(to_spark_column(ast))
+        return (
+            out.orderBy(F.col("_distance").asc(), F.col("_row_id").asc())
+            .limit(limit)
+            .drop("_cluster")
+        )
 
     def insert_prepare(self, primary_keys: list | None = None) -> dict:
         """Reference S2 (table_segment_mvp.cpp:816-876): capacity,
