@@ -24,7 +24,9 @@ TMP = "/tmp/vdb_scaling"
 VEC_SIZES = [100_000, 500_000, 2_000_000]
 DOC_SIZES = [10_000, 50_000, 200_000]
 DIM = 64
-VOCAB = [f"w{i}" for i in range(400)]
+# includes the curation stopword battery so the quality filter keeps a
+# realistic fraction of synthetic docs instead of zero
+VOCAB = [f"w{i}" for i in range(395)] + ["the", "a", "key", "row", "data"]
 
 
 def synth_vectors(spark, n: int) -> str:
@@ -456,6 +458,105 @@ def main() -> None:
 
         t = timed_min3(run_rj)
         lines.append(f"| {n:,} | {n // 10:,} | {t} |")
+
+    # ----------------------- IVF fallback now ranks via PQ-ADC (round 5)
+    lines += [
+        "",
+        "## IVF separation fallback via PQ-ADC (round 5)",
+        "",
+        "With a PQ index attached (`IVFIndex.attach_pq`), the",
+        "unclusterable-corpus fallback ranks over the stored 4-byte code",
+        "column + exact re-rank instead of raw-float brute force. Same",
+        "automatic trigger (separation_ratio < 1), measurably cheaper scan,",
+        "recall vs exact top-10 (random 64-d — the regime that triggers it):",
+        "",
+        "| rows | path taken | exact s | fallback s | recall@10 |",
+        "|---|---|---|---|---|",
+    ]
+    stats_df = spark.read.parquet(synth_vectors(spark, VEC_SIZES[0])).cache()
+    idx_f = IVFIndex(k=16, seed=42)
+    idx_f.build(stats_df, "embedding")  # records separation stats (<1 here)
+    stats_df.unpersist()
+    pq_f = None
+    for n in (VEC_SIZES[0], VEC_SIZES[-1]):
+        df = spark.read.parquet(synth_vectors(spark, n))
+        if pq_f is None:
+            pq_f = PQIndex(seed=42).fit(df, "embedding")
+            idx_f.attach_pq(pq_f)
+        coded = pq_f.codes(df, "embedding").cache()
+        coded.count()
+        exact_df = knn(coded, "embedding", q, 10, metric="EUCLIDEAN", id_col="vec_id")
+        t_exact = timed_min3(lambda: exact_df.collect())
+        t_fb = timed_min3(
+            lambda: idx_f.search(coded, "embedding", q, 10, id_col="vec_id").collect()
+        )
+        res = idx_f.search(coded, "embedding", q, 10, id_col="vec_id")
+        rec = recall_at_k(res, exact_df, "vec_id", 10)
+        assert idx_f.last_search_path == "pq_adc", idx_f.last_search_path
+        lines.append(f"| {n:,} | pq_adc | {t_exact} | {t_fb} | {rec:.2f} |")
+        coded.unpersist()
+
+    # -------------------- connected components rows-vs-time (round 5)
+    lines += [
+        "",
+        "## Connected components (2 driver actions/round) on pair graphs",
+        "",
+        "Dedup-shaped graphs: near-dup groups of ~20 docs with random",
+        "intra-group pair edges (what banded candidate generation emits —",
+        "diameter 2-3, converges in a handful of rounds) at three sizes,",
+        "plus the adversarial shape: one PATH of n nodes, where min-label",
+        "propagation alone would need n rounds and the pointer-doubling",
+        "step delivers O(log n). Time is min-of-3 end-to-end (labels to",
+        "convergence + count):",
+        "",
+        "| graph | nodes | edges | min s |",
+        "|---|---|---|---|",
+    ]
+    from vectordb_spark.operators.graph import connected_components
+
+    G = 20
+    for nodes in (100_000, 400_000, 1_600_000):
+        nedges = nodes * 2
+        edges = spark.range(nedges).select(
+            ((F.col("id") % nodes)).alias("src"),
+            (
+                ((F.col("id") % nodes) / G).cast("long") * G
+                + (F.col("id") * 7919) % G
+            ).alias("dst"),
+        )
+        run = lambda: connected_components(edges, "src", "dst").count()  # noqa: E731
+        t = timed_min3(run)
+        lines.append(f"| dedup groups (~{G}) | {nodes:,} | {nedges:,} | {t} |")
+    for nodes in (16_384, 65_536):
+        edges = spark.range(nodes - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        run = lambda: connected_components(  # noqa: E731
+            edges, "src", "dst", max_iter=40
+        ).count()
+        t = timed_min3(run)
+        lines.append(f"| adversarial path | {nodes:,} | {nodes - 1:,} | {t} |")
+
+    # ------------------------- curate_end_to_end rows-vs-time (round 5)
+    lines += [
+        "",
+        "## Curation pipeline end-to-end (filter → exact-dedup → decontam → stats)",
+        "",
+        "The composed `curate_end_to_end` shape over synthetic documents",
+        "(10% near-dups), pointing the query at the synthetic corpus:",
+        "",
+        "| docs | min s |",
+        "|---|---|",
+    ]
+    from vectordb_spark.queries.pipeline import curate_end_to_end
+
+    for n in DOC_SIZES:
+        synth_docs(spark, n)
+        link_dir = f"{TMP}/sf_docs_{n}"
+        run = lambda: curate_end_to_end(spark, link_dir).collect()  # noqa: E731
+        run()  # warm plan
+        t = timed_min3(run)
+        lines.append(f"| {n:,} | {t} |")
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"

@@ -43,6 +43,24 @@ def test_convergence_cap_raises(spark):
         _cc(spark, edges, max_iter=1)
 
 
+def test_stats_estimate_stays_bounded_across_rounds(spark):
+    # localCheckpoint propagates the checkpointed plan's size estimate,
+    # and the size-only join estimator multiplies children — without a
+    # stats reset at each round boundary the estimate's DIGIT COUNT
+    # doubles per round and high-round-count graphs (long cycles) hang
+    # the driver in BigInt multiplication during planning. A 100-node
+    # path needs ~7 doubling rounds; the returned frame's estimate must
+    # stay at the default-leaf scale, not 2^rounds digits.
+    edges = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, max_iter=15)
+    assert out.groupBy("comp").count().count() == 1
+    size = int(
+        str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert size < 10**25, f"stats estimate exploded: {size:.3e}"
+
+
 def test_two_driver_actions_per_round(spark, monkeypatch):
     # The iteration loop must stay at 2 driver actions per round: one
     # eager checkpoint that materializes prop+new in a single job (prop

@@ -32,6 +32,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _reset_stats(df: DataFrame) -> DataFrame:
+    """Rebuild the frame from its (already materialized) RDD with fresh
+    leaf statistics. ``localCheckpoint`` truncates LINEAGE but carries
+    the checkpointed plan's estimated sizeInBytes into the new leaf,
+    and Catalyst's size-only join estimate is the cartesian PRODUCT of
+    its children — so the estimate's digit count doubles every round
+    and by round ~20 the driver spends minutes multiplying
+    million-digit BigInts inside stats estimation (the loop looks
+    hung; observed live on a 100k-node cycle graph). Re-wrapping the
+    RDD resets the leaf to the default size estimate, making per-round
+    planning cost constant. JVM-side Row conversion only — rows never
+    cross into Python."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.createDataFrame(df._jdf.javaRDD(), df._jdf.schema())
+    return _CDF(jdf, spark)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -44,8 +63,8 @@ def connected_components(
     deterministic canonical representative."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint()
-    labels = (
+    sym = _reset_stats(sym.localCheckpoint())
+    labels = _reset_stats(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
@@ -97,6 +116,7 @@ def connected_components(
             )
             .localCheckpoint()  # round action 1: materialize prop + new
         )
+        new = _reset_stats(new)
         # round action 2: a scan of the cached checkpoint blocks — the
         # per-round driver cost is now 2 jobs, not 3 (and no shuffle).
         changed = new.where(F.col("comp") != F.col("ocomp")).count()
