@@ -216,3 +216,68 @@ def test_writer_lock_reentrant_across_handles(tmp_path):
             meta["version"] += 1
             t2._save_meta(meta)
     assert t1._load_meta()["version"] == 1
+
+
+def test_rebuild_ivf_pq_stores_codes_and_codebook(table, spark):
+    info = table.rebuild("Embedding", index_type="IVF_PQ", k=8)
+    meta = table._load_meta()
+    idx_meta = meta["indexes"]["Embedding"]
+    assert idx_meta["type"] == "IVF_PQ"
+    assert idx_meta["pq_codebook"]  # trained fine-quantizer persisted
+    idx_df = spark.read.parquet(os.path.join(table.path, idx_meta["dir"]))
+    # the index holds sub-codes only — never the float vectors
+    assert sorted(idx_df.columns) == ["_cluster", "_pq_codes", "_row_id"]
+    assert idx_df.count() == 200
+    assert info["indexedRecords"] == 200
+
+
+def test_ivf_pq_search_matches_exact_and_merges_tail(table):
+    table.rebuild("Embedding", index_type="IVF_PQ", k=8)
+    q = _vec(7)
+    exact = [r["_row_id"] for r in table.search_df(q, limit=5).collect()]
+    approx = [
+        r["_row_id"]
+        for r in table.search_indexed_df(q, limit=5, nprobe=8).collect()
+    ]
+    assert approx == exact
+    # unindexed tail merges
+    table.insert([{"ID": 900, "Embedding": [0.11, 0.22, 0.33, 0.44]}])
+    got = table.search_indexed_df(
+        [0.11, 0.22, 0.33, 0.44], limit=1, nprobe=8
+    ).collect()
+    assert got[0]["ID"] == 900
+
+
+def test_ivf_pq_survives_heavy_deletes(table):
+    table.rebuild("Embedding", index_type="IVF_PQ", k=8)
+    table.delete(filter="ID >= 50")
+    q = _vec(7)
+    exact = [r["_row_id"] for r in table.search_df(q, limit=5).collect()]
+    approx = [
+        r["_row_id"]
+        for r in table.search_indexed_df(q, limit=5, nprobe=8).collect()
+    ]
+    assert approx == exact
+
+
+def test_ivf_pq_rejects_dot_product(spark, tmp_path):
+    from vectordb_spark.schema import VectorDBError
+
+    wh = Warehouse(spark, str(tmp_path / "whdot"))
+    t = wh.load_db("dotdb").create_table(
+        {
+            "name": "dots",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {
+                    "name": "Embedding",
+                    "dataType": "VECTOR_FLOAT",
+                    "dimensions": 4,
+                    "metricType": "DOT_PRODUCT",
+                },
+            ],
+        }
+    )
+    t.insert([{"ID": i, "Embedding": _vec(i)} for i in range(10)])
+    with pytest.raises(VectorDBError, match="IVF_PQ"):
+        t.rebuild("Embedding", index_type="IVF_PQ", k=2)

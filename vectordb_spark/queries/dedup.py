@@ -409,3 +409,96 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ------------------------------------------- shared-substring pairs
+
+# Winnowing-lite fingerprints: hash every K_SUB-token gram, keep the
+# grams whose hash ≡ 0 (mod P_SEL). Selection depends only on CONTENT,
+# so a substring copied into another document at ANY offset selects the
+# same fingerprints — the alignment problem that breaks strided
+# shingling (doc B's copy starting at offset 7 shares no stride-25
+# boundary with doc A). This is the scalable form of exact-substring
+# dedup (Lee et al., "Deduplicating Training Data Makes Language
+# Models Better"): suffix-array matches become fingerprint equi-joins.
+K_SUB = 12
+P_SEL = 4
+# fingerprints present in more docs than this are boilerplate
+# stop-grams (headers, licenses): dropping them is both standard
+# practice and the skew guard that keeps the self-join off hot keys
+FP_DOC_CAP = 16
+
+_SUBG_S, _SUBG_D = D.portable_hash64(
+    f"array_join(slice(w, i + 1, {K_SUB}), ' ')",
+    f"array_to_string(list_slice(w, i + 1, i + {K_SUB}), ' ')",
+    seed="sub",
+)
+
+_FPS_S = f"""
+CASE WHEN size(w) >= {K_SUB} THEN
+  array_distinct(filter(
+    transform(sequence(0, size(w) - {K_SUB}), i -> {_SUBG_S}),
+    h -> h % {P_SEL} = 0))
+ELSE array() END
+"""
+
+_FPS_D = f"""
+CASE WHEN len(w) >= {K_SUB} THEN
+  list_distinct(list_filter(
+    list_transform(range(0, len(w) - {K_SUB} + 1), i -> {_SUBG_D}),
+    h -> h % {P_SEL} = 0))
+ELSE [] END
+"""
+
+_SUBSTR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+fps AS (
+    SELECT DISTINCT doc_id, UNNEST({_FPS_D}) AS fp FROM toks
+),
+ok AS (
+    SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {FP_DOC_CAP}
+),
+f2 AS (
+    SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM ok)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS shared_fps
+FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_substring_fingerprint", oracle=_SUBSTR_ORACLE)
+def dedup_substring_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing verbatim ≥ {K_SUB}-token substrings, via
+    content-defined fingerprint selection (hash every {K_SUB}-gram,
+    keep hash ≡ 0 mod {P_SEL}) — offset-independent, so copies at any
+    alignment collide. Fingerprints in more than {FP_DOC_CAP} docs are
+    boilerplate stop-grams, dropped before pairing (also the skew
+    guard: no fingerprint key ever joins more than {FP_DOC_CAP}² rows).
+    Plan: map-side gram hashing → explode → one shuffle on fp for the
+    cap + the equi-self-join → pair count agg. Linear in corpus size +
+    output pairs; never all-pairs."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = d.select("doc_id", F.split("text", " ", -1).alias("w"))
+    fps = toks.select(
+        "doc_id", F.explode(F.expr(_FPS_S)).alias("fp")
+    ).dropDuplicates(["doc_id", "fp"])
+    from pyspark.sql import Window as W
+
+    fp_n = F.count(F.lit(1)).over(W.partitionBy("fp"))
+    f2 = fps.withColumn("_n", fp_n).where(F.col("_n") <= FP_DOC_CAP).drop("_n")
+    a, b = f2.alias("a"), f2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )

@@ -1058,9 +1058,17 @@ class Table:
                 "INVALID_PAYLOAD", f"Field {field} is not a dense vector field."
             )
         itype = index_type.upper()
-        if itype not in ("IVF", "IVF_SQ8"):
+        if itype not in ("IVF", "IVF_SQ8", "IVF_PQ"):
             raise VectorDBError(
                 "NOT_IMPLEMENTED_ERROR", f"Index type {index_type} not supported."
+            )
+        if itype == "IVF_PQ" and (f.metric or "EUCLIDEAN") == "DOT_PRODUCT":
+            # ADC approximates L2; COSINE is stored normalized (L2
+            # order == cosine order) but raw dot has no such bridge
+            raise VectorDBError(
+                "NOT_IMPLEMENTED_ERROR",
+                "IVF_PQ ranks candidates by L2 ADC; use IVF or IVF_SQ8 "
+                "for DOT_PRODUCT fields.",
             )
         from vectordb_spark.operators.ann import IVFIndex
 
@@ -1090,6 +1098,24 @@ class Table:
                 )
                 .select("_row_id", "_scale", "_q", "_norm2", "_cluster")
             )
+        pq_codebook = None
+        if itype == "IVF_PQ":
+            # coarse quantizer (_cluster) for pruning + fine quantizer
+            # (PQ codes, 4 bytes/row at M=8×K=16) for ranking: the
+            # probe-scan reads M nibbles/row instead of 4·dim bytes;
+            # float vectors are touched only for the re-rank candidates
+            from vectordb_spark.operators.pq import PQIndex
+
+            # M must divide the dimension (each subspace = dim/M
+            # contiguous components); largest of 8/4/2/1 that does
+            m_sub = next(m for m in (8, 4, 2, 1) if (f.dimension or 0) % m == 0)
+            pqi = PQIndex(m=m_sub, seed=seed).fit(
+                df.select("_row_id", field), field, id_col="_row_id"
+            )
+            pq_codebook = pqi.codebook
+            assigned = pqi.codes(assigned, field).select(
+                "_row_id", "_pq_codes", "_cluster"
+            )
         version = meta.get("indexes", {}).get(field, {}).get("version", 0) + 1
         name = f"index_{field}_v{version}"
         (
@@ -1108,6 +1134,7 @@ class Table:
             "centroids": idx.centroids,
             "cluster_sizes": {str(c): n for c, n in (idx.cluster_sizes or {}).items()},
             "indexed_up_to": indexed_up_to,
+            "pq_codebook": pq_codebook,
             # separation statistics → the exact-fallback planner rule
             # applies to persisted-index searches too (None = +inf)
             "mean_intra_radius": idx.mean_intra_radius,
@@ -1159,16 +1186,26 @@ class Table:
         if nprobe is None:
             # the separation planner rule (operators/ann.py): when the
             # build-time stats say probing can't carry recall, answer
-            # exactly — same fallback the operator-level search applies
+            # exactly — same fallback the operator-level search applies.
+            # An IVF_PQ index keeps its stored-code advantage instead:
+            # rank ALL clusters by ADC over the 4-byte codes + exact
+            # re-rank (clusters=None drops the probe filter below)
             if idx.separation_ratio < idx.SEPARATION_EXACT_FALLBACK:
-                return self.search_df(
-                    query_vector, query_field=f.name, limit=limit, filter=filter
-                )
-            clusters = idx.plan_probes(q, limit)
+                if info.get("type") != "IVF_PQ":
+                    return self.search_df(
+                        query_vector, query_field=f.name, limit=limit, filter=filter
+                    )
+                clusters = None
+            else:
+                clusters = idx.plan_probes(q, limit)
         else:
             clusters = idx.probe_clusters(q, nprobe)
         index_df = self.spark.read.parquet(os.path.join(self.path, info["dir"]))
-        probed = index_df.where(F.col("_cluster").isin(clusters))
+        probed = (
+            index_df
+            if clusters is None
+            else index_df.where(F.col("_cluster").isin(clusters))
+        )
         base = self.df()
         if info.get("type") == "IVF_SQ8":
             # the index may hold ids for rows deleted/upserted since the
@@ -1198,6 +1235,27 @@ class Table:
             refine = max(4 * limit, 50)
             probed = (
                 probed.withColumn("_approx", approx_dist)
+                .orderBy(F.col("_approx").asc(), F.col("_row_id").asc())
+                .limit(refine)
+            )
+        elif info.get("type") == "IVF_PQ":
+            # ADC over stored codes (M integer table lookups/row) ranks
+            # the probed — or, in the fallback, ALL — rows; exact
+            # re-rank happens on the candidate join below. Same
+            # dead-id discipline as SQ8.
+            from vectordb_spark.operators.pq import (
+                adc_from_codes_expr,
+                adc_table,
+                quantize_query,
+            )
+
+            probed = probed.join(base.select("_row_id"), "_row_id", "left_semi")
+            table = adc_table(info["pq_codebook"], quantize_query(q))
+            refine = max(4 * limit, 64)
+            probed = (
+                probed.withColumn(
+                    "_approx", F.expr(adc_from_codes_expr("_pq_codes", table))
+                )
                 .orderBy(F.col("_approx").asc(), F.col("_row_id").asc())
                 .limit(refine)
             )
