@@ -464,37 +464,63 @@ def main() -> None:
         "",
         "## IVF separation fallback via PQ-ADC (round 5)",
         "",
-        "With a PQ index attached (`IVFIndex.attach_pq`), the",
-        "unclusterable-corpus fallback ranks over the stored 4-byte code",
-        "column + exact re-rank instead of raw-float brute force. Same",
-        "automatic trigger (separation_ratio < 1), measurably cheaper scan,",
-        "recall vs exact top-10 (random 64-d — the regime that triggers it):",
+        "With a PQ index attached (`IVFIndex.attach_pq` — an explicit",
+        "opt-in; without it the fallback stays raw exact at recall 1.0),",
+        "the unclusterable-corpus fallback ranks over the stored 4-byte",
+        "code column + exact re-rank. The regime that triggers it —",
+        "distance-concentrated random vectors — is also the regime where",
+        "4-bit ADC ranking is noisiest, so a FIXED refine collapses",
+        "recall; measured at 2M rows (random 64-d), recall@10 vs the",
+        "refine budget:",
         "",
-        "| rows | path taken | exact s | fallback s | recall@10 |",
-        "|---|---|---|---|---|",
+        "| refine rows | % of corpus | recall@10 | rank+rerank s |",
+        "|---|---|---|---|",
     ]
     stats_df = spark.read.parquet(synth_vectors(spark, VEC_SIZES[0])).cache()
     idx_f = IVFIndex(k=16, seed=42)
     idx_f.build(stats_df, "embedding")  # records separation stats (<1 here)
     stats_df.unpersist()
-    pq_f = None
-    for n in (VEC_SIZES[0], VEC_SIZES[-1]):
-        df = spark.read.parquet(synth_vectors(spark, n))
-        if pq_f is None:
-            pq_f = PQIndex(seed=42).fit(df, "embedding")
-            idx_f.attach_pq(pq_f)
-        coded = pq_f.codes(df, "embedding").cache()
-        coded.count()
-        exact_df = knn(coded, "embedding", q, 10, metric="EUCLIDEAN", id_col="vec_id")
-        t_exact = timed_min3(lambda: exact_df.collect())
-        t_fb = timed_min3(
-            lambda: idx_f.search(coded, "embedding", q, 10, id_col="vec_id").collect()
+    n_big = VEC_SIZES[-1]
+    df_big = spark.read.parquet(synth_vectors(spark, n_big))
+    pq_f = PQIndex(seed=42).fit(df_big, "embedding")
+    coded = pq_f.codes(df_big, "embedding").cache()
+    coded.count()
+    exact_df = knn(coded, "embedding", q, 10, metric="EUCLIDEAN", id_col="vec_id")
+    t_exact = timed_min3(lambda: exact_df.collect())
+    for refine in (4_000, 16_000, n_big // 50, 64_000):
+        res = pq_f.search_codes(
+            coded, "embedding", "_pq_codes", q, 10, refine=refine
         )
-        res = idx_f.search(coded, "embedding", q, 10, id_col="vec_id")
+        t_r = timed_min3(lambda: res.collect())
         rec = recall_at_k(res, exact_df, "vec_id", 10)
-        assert idx_f.last_search_path == "pq_adc", idx_f.last_search_path
-        lines.append(f"| {n:,} | pq_adc | {t_exact} | {t_fb} | {rec:.2f} |")
-        coded.unpersist()
+        lines.append(
+            f"| {refine:,} | {100.0 * refine / n_big:.1f}% | {rec:.2f} | {t_r} |"
+        )
+    # the shipped default: refine = 2% of indexed rows (auto-scaled)
+    idx_f.attach_pq(pq_f)
+    # cluster_sizes came from the 100k build; rescale to this corpus so
+    # the auto-refine sees the real row count
+    idx_f.cluster_sizes = {
+        c: int(v * n_big / max(1, sum(idx_f.cluster_sizes.values())))
+        for c, v in idx_f.cluster_sizes.items()
+    }
+    t_fb = timed_min3(
+        lambda: idx_f.search(coded, "embedding", q, 10, id_col="vec_id").collect()
+    )
+    res = idx_f.search(coded, "embedding", q, 10, id_col="vec_id")
+    rec = recall_at_k(res, exact_df, "vec_id", 10)
+    assert idx_f.last_search_path == "pq_adc", idx_f.last_search_path
+    lines += [
+        "",
+        f"Shipped default (refine = 2% of indexed rows): recall@10 "
+        f"**{rec:.2f}** at {t_fb}s vs exact {t_exact}s on {n_big:,} rows.",
+        "Local CPU-bound timing is near parity at this refine; the 100 TB",
+        "win is bytes scanned — the ranking pass reads 4 B/row of codes",
+        "instead of 256 B/row of floats (64×), which is the disk-bound",
+        "cost at scale. Recall-critical callers keep the raw exact",
+        "fallback by simply not attaching a PQ index.",
+    ]
+    coded.unpersist()
 
     # -------------------- connected components rows-vs-time (round 5)
     lines += [

@@ -283,7 +283,16 @@ class IVFIndex:
                     and self._pq_codes_col in indexed_df.columns
                 ):
                     self.last_search_path = "pq_adc"
-                    refine = self._pq_refine or max(64, 16 * k)
+                    # refine scales with the corpus: on the very
+                    # distance-concentrated data that triggers this
+                    # fallback, 4-bit ADC ranking is noisy and a fixed
+                    # refine collapses recall (measured at 2M random
+                    # 64-d rows: refine 1k/4k/16k/64k → recall
+                    # 0.3/0.7/0.8/1.0). 2% of the indexed rows holds
+                    # ~0.95+ while the ranking scan still reads 4-byte
+                    # codes instead of 4·dim-byte floats
+                    total = sum((self.cluster_sizes or {}).values())
+                    refine = self._pq_refine or max(64, 16 * k, total // 50)
                     out = self._pq.search_codes(
                         indexed_df, vec_col, self._pq_codes_col,
                         query_vector, k, refine=refine, id_col=id_col,

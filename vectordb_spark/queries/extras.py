@@ -60,6 +60,122 @@ def p8_nearby_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ geo radius JOIN
+
+# Deterministic coordinates packed into a ±15°/±30° band so the
+# 300 km discs actually contain cross-table points at every scale
+# factor (the p8 derivation spreads over the whole globe — fine for a
+# single 2000 km disc, empty for pairwise 300 km discs at small SF)
+_GJ_CLAT_S = "CAST(c_custkey % 30 AS DOUBLE) - 15.0 + 0.25"
+_GJ_CLON_S = "CAST((c_custkey * 7) % 60 AS DOUBLE) - 30.0 + 0.25"
+_SLAT_S = "CAST(s_suppkey % 30 AS DOUBLE) - 15.0 + 0.75"
+_SLON_S = "CAST((s_suppkey * 11) % 60 AS DOUBLE) - 30.0 + 0.75"
+
+_GJ_R_KM = 300.0
+_GJ_CELL_DEG = 6  # 360/6 = 60 lon cells
+# Completeness bound: restricted to |lat| <= 60 deg, one lon degree is
+# >= 55.5 km, so a 300 km radius spans <= 5.41 lon degrees <= one
+# 6-degree cell — the 3x3 neighbor probe provably covers the disc.
+_GJ_LAT_MAX = 60.0
+
+_GJ_ORACLE = f"""
+WITH c AS (
+    SELECT c_custkey, {_GJ_CLAT_S} AS lat, {_GJ_CLON_S} AS lon FROM customer
+    WHERE abs({_GJ_CLAT_S}) <= {_GJ_LAT_MAX}
+),
+s AS (
+    SELECT s_suppkey, {_SLAT_S} AS lat, {_SLON_S} AS lon,
+           CAST(floor((({_SLAT_S}) + 90.0) / {_GJ_CELL_DEG}) AS BIGINT) AS cla,
+           CAST(floor((({_SLON_S}) + 180.0) / {_GJ_CELL_DEG}) AS BIGINT) % 60 AS clo
+    FROM supplier
+    WHERE abs({_SLAT_S}) <= {_GJ_LAT_MAX}
+),
+probes AS (
+    SELECT c.*,
+           CAST(floor((lat + 90.0) / {_GJ_CELL_DEG}) AS BIGINT) + d.dla AS cla,
+           ((CAST(floor((lon + 180.0) / {_GJ_CELL_DEG}) AS BIGINT) + d.dlo) % 60 + 60) % 60 AS clo
+    FROM c, (SELECT a.dla, b.dlo
+             FROM (VALUES (-1), (0), (1)) a(dla),
+                  (VALUES (-1), (0), (1)) b(dlo)) d
+),
+pairs AS (
+    SELECT p.c_custkey, s.s_suppkey,
+           2.0 * 6371.0 * atan2(
+               sqrt(pow(sin(radians(s.lat - p.lat) / 2), 2)
+                    + cos(radians(p.lat)) * cos(radians(s.lat))
+                      * pow(sin(radians(s.lon - p.lon) / 2), 2)),
+               sqrt(1 - (pow(sin(radians(s.lat - p.lat) / 2), 2)
+                         + cos(radians(p.lat)) * cos(radians(s.lat))
+                           * pow(sin(radians(s.lon - p.lon) / 2), 2)))
+           ) AS km
+    FROM probes p JOIN s ON p.cla = s.cla AND p.clo = s.clo
+)
+SELECT c_custkey, s_suppkey, CAST(floor(km) AS BIGINT) AS km_floor
+FROM pairs WHERE km <= {_GJ_R_KM}
+"""
+
+
+@query("geo_join_radius_pairs", oracle=_GJ_ORACLE)
+def geo_join_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-radius JOIN: every (customer, supplier) pair within
+    {_GJ_R_KM} km, via grid-cell bucketing — the scale shape the
+    reference's single-point NEARBY (P8/X4 R-tree) cannot express.
+    Both sides land in {_GJ_CELL_DEG}°×{_GJ_CELL_DEG}° cells; the left
+    side probes its 3×3 neighborhood (9-row explode), the join is an
+    equi-join on (cell_lat, cell_lon) with lon cells wrapping mod 60,
+    and haversine verifies candidates. Restricted to |lat| ≤
+    {_GJ_LAT_MAX}° where one lon degree ≥ 55.5 km makes the 3×3 probe
+    provably complete for this radius (polar caps need
+    latitude-adaptive lon spans — out of scope). Never all-pairs:
+    candidates are bounded by cell occupancy, the spatial analogue of
+    the LSH band join."""
+    from vectordb_spark.functions.geo import haversine_km
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.expr(_GJ_CLAT_S).alias("lat"), F.expr(_GJ_CLON_S).alias("lon"))
+        .where(F.abs(F.col("lat")) <= _GJ_LAT_MAX)
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey", F.expr(_SLAT_S).alias("lat"), F.expr(_SLON_S).alias("lon")
+        )
+        .where(F.abs(F.col("lat")) <= _GJ_LAT_MAX)
+    )
+    cell_la = lambda col: F.floor((F.col(col) + 90.0) / _GJ_CELL_DEG)  # noqa: E731
+    cell_lo = lambda col: F.floor((F.col(col) + 180.0) / _GJ_CELL_DEG)  # noqa: E731
+    s_cells = s.select(
+        "s_suppkey",
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        cell_la("lat").alias("cla"),
+        (cell_lo("lon") % 60).alias("clo"),
+    )
+    d = F.explode(
+        F.array(*[F.struct(F.lit(i).alias("dla"), F.lit(j).alias("dlo"))
+                  for i in (-1, 0, 1) for j in (-1, 0, 1)])
+    )
+    probes = c.select("c_custkey", "lat", "lon", d.alias("d")).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        (cell_la("lat") + F.col("d.dla")).alias("cla"),
+        (((cell_lo("lon") + F.col("d.dlo")) % 60 + 60) % 60).alias("clo"),
+    )
+    km = haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))
+    return (
+        probes.join(s_cells, ["cla", "clo"])
+        .withColumn("km", km)
+        .where(F.col("km") <= _GJ_R_KM)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.floor("km").cast("long").alias("km_floor"),
+        )
+    )
+
+
 # ------------------------------------------------------- set operations
 
 

@@ -1252,6 +1252,12 @@ class Table:
             probed = probed.join(base.select("_row_id"), "_row_id", "left_semi")
             table = adc_table(info["pq_codebook"], quantize_query(q))
             refine = max(4 * limit, 64)
+            if clusters is None:
+                # whole-index ADC fallback (unclusterable corpus):
+                # refine scales to 2% of the indexed rows — a fixed
+                # budget collapses recall when 4-bit ADC ranks
+                # distance-concentrated data (see operators/ann.py)
+                refine = max(refine, 16 * limit, info["indexed_up_to"] // 50)
             probed = (
                 probed.withColumn(
                     "_approx", F.expr(adc_from_codes_expr("_pq_codes", table))
