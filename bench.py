@@ -82,6 +82,8 @@ HEADLINE = [
     # round-5 additions — these two landed after the r4 list froze
     "a8_value_histogram",
     "text_bigram_familiarity",
+    "dedup_substring_fingerprint",
+    "geo_join_radius_pairs",
 ]
 
 

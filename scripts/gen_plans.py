@@ -111,6 +111,20 @@ SHOWCASE = {
         "last() window — no BroadcastNestedLoopJoin (the inequality-"
         "join trap) anywhere in the plan."
     ),
+    "geo_join_radius_pairs": (
+        "Geo-radius join: both sides land in 6° grid cells, the left "
+        "probes its 3×3 neighborhood (9-row explode), and the pair "
+        "stage is a shuffled hash join on (cell_lat, cell_lon) with "
+        "haversine verifying candidates — the spatial analogue of the "
+        "LSH band join; no BroadcastNestedLoopJoin, no all-pairs."
+    ),
+    "dedup_substring_fingerprint": (
+        "Exact-substring overlap: content-defined fingerprint selection "
+        "is map-side (gram hash + filter inside codegen), the per-"
+        "fingerprint doc cap and the pair self-join share the fp "
+        "shuffle key, and the stop-gram cap bounds every join key's "
+        "fan-out — candidates, never all-pairs."
+    ),
 }
 
 

@@ -215,3 +215,14 @@ def test_repetition_is_map_only(spark, qs):
 
     plan = plan_of(qs["text_repetition_ngrams"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_geo_join_is_hash_join(spark, qs):
+    # cell-bucketed spatial join must be an equi (hash) join on the
+    # grid cells, never a nested-loop over the haversine predicate
+    assert_no_cartesian(qs["geo_join_radius_pairs"](spark, SF))
+
+
+def test_substring_fingerprint_join_is_hash_join(spark, qs):
+    # the fingerprint pair stage must join on fp equality only
+    assert_no_cartesian(qs["dedup_substring_fingerprint"](spark, SF))
