@@ -84,6 +84,7 @@ HEADLINE = [
     "text_bigram_familiarity",
     "dedup_substring_fingerprint",
     "geo_join_radius_pairs",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

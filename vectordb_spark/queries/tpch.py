@@ -127,3 +127,59 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {O.dec_sum("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: the six-way local-supplier-volume join — the deepest join
+    chain in the bench. Scale shape: the two fact tables (lineitem,
+    orders) hash-join on orderkey; customer / supplier / nation /
+    region are broadcast dims (Catalyst picks broadcast from size); the
+    customer-nation = supplier-nation equality rides the supplier join
+    as a second key, so no post-join filter re-shuffles. Revenue
+    accumulates in decimal (partition-order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+               n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    sup = s.join(F.broadcast(asia), s["s_nationkey"] == asia["n_nationkey"]).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    cust = c.select("c_custkey", "c_nationkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(sup),
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (F.col("c_nationkey") == sup["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+    )
