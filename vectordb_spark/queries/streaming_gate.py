@@ -222,3 +222,123 @@ def stream_late_window_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_SDD_ORACLE = """
+WITH keep AS (
+    SELECT lang, n_chars, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM keep WHERE rn = 1
+GROUP BY lang
+"""
+
+
+@query("stream_dedup_incremental", oracle=_SDD_ORACLE)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: documents split into two id-ordered
+    stream files; each micro-batch keeps its own first copy per
+    md5(text) (groupBy min doc_id), anti-joins against the hashes
+    already COMMITTED to the table (the cross-batch state — exactly the
+    per-batch ingest shape of a production dedup pipeline, where the
+    table's hash column IS the dedup index), and inserts the
+    survivors. The oracle is global keep-first (min doc_id per text):
+    id-ordered batches make incremental-keep-first equal global
+    keep-first, so a hash match proves no duplicate slipped through a
+    batch boundary and no unique doc was dropped."""
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.table import Table
+
+    d = load_table(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+
+    work = tempfile.mkdtemp(prefix="vdb_stream_dedup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, pred in enumerate([F.col("doc_id") <= mid, F.col("doc_id") > mid]):
+        half_dir = os.path.join(work, f"half{i}")
+        d.where(pred).select("doc_id", "lang", "n_chars", "text").coalesce(
+            1
+        ).write.parquet(half_dir)
+        part = next(
+            n for n in os.listdir(half_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(half_dir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    table_schema = TableSchema(
+        name="deduped_docs",
+        fields=[
+            FieldSchema(name="doc_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="lang", field_type=FieldType.STRING),
+            FieldSchema(name="n_chars", field_type=FieldType.INT8),
+            FieldSchema(name="h", field_type=FieldType.STRING),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, table_schema, os.path.join(work, "deduped_docs"))
+    t._init_storage()
+
+    stream_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _dedup_sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashed = batch_df.withColumn("h", F.md5("text"))
+        # within-batch keep-first: min doc_id per hash
+        firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        batch_kept = hashed.join(
+            firsts, ["h", "doc_id"], "left_semi"
+        )
+        # cross-batch state: hashes already committed to the table
+        fresh = batch_kept.join(t.df().select("h"), "h", "left_anti")
+        t.insert_df(
+            fresh.select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                "h",
+                F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("Emb"),
+            )
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .foreachBatch(_dedup_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = t.df().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
