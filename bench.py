@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_substring_fingerprint",
     "geo_join_radius_pairs",
     "tpch_q5_local_supplier_volume",
+    "media_pgm_histogram_features",
 ]
 
 

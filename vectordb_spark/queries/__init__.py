@@ -138,6 +138,7 @@ def _load() -> None:
         extras,
         fusion,
         joins,
+        media,
         pipeline,
         sparse,
         streaming_gate,
