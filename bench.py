@@ -86,6 +86,7 @@ HEADLINE = [
     "geo_join_radius_pairs",
     "tpch_q5_local_supplier_volume",
     "media_pgm_histogram_features",
+    "media_wav_rms_features",
 ]
 
 

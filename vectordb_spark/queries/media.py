@@ -87,3 +87,106 @@ def media_pgm_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.mapInPandas(_gen, gen_schema)
     return MM.extract_image_features(media, bins=_BINS)
+
+
+# ------------------------------------------------------------ audio twin
+
+_RATE = 8000
+_NSAMP = 2000  # 250 ms at 8 kHz
+_FRAMES = 8
+_FLEN = _NSAMP // _FRAMES  # 250 samples/frame
+
+# s(i) = ((id·13 + i·7) mod 2001) − 1000: int16-range sawtooth whose
+# squares sum to < 2^53 per frame → every RMS is computed over EXACT
+# float64 sums on both sides; sqrt and the peak-normalizing divide are
+# single correctly-rounded IEEE ops, so the float32 features match
+# bitwise.
+_RMS_COLS = ", ".join(
+    f"CAST(MAX(CASE WHEN frame = {fr} THEN rms END) / ANY_VALUE(peak) AS FLOAT4)"
+    for fr in range(_FRAMES)
+)
+
+_AUDIO_ORACLE = f"""
+WITH smp AS (
+    SELECT d.doc_id AS media_id, i.i AS i,
+           ((d.doc_id * 13 + i.i * 7) % 2001) - 1000 AS s
+    FROM documents d, (SELECT UNNEST(range(0, {_NSAMP})) AS i) i
+),
+fr AS (
+    SELECT media_id, i // {_FLEN} AS frame,
+           sqrt(SUM(CAST(s * s AS DOUBLE)) / {_FLEN}.0) AS rms
+    FROM smp GROUP BY 1, 2
+),
+pk AS (SELECT media_id, MAX(rms) AS peak FROM fr GROUP BY 1),
+zc AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_NSAMP - 1}.0 AS zcr
+    FROM (
+        SELECT media_id, i,
+               (s < 0) != (lag(s) OVER (PARTITION BY media_id ORDER BY i) < 0)
+                   AS chg
+        FROM smp
+    ) WHERE i > 0
+    GROUP BY media_id
+)
+SELECT f.media_id, 'audio' AS kind, {_RATE} AS sample_rate,
+       [{_RMS_COLS}, CAST(ANY_VALUE(z.zcr) AS FLOAT4)] AS features
+FROM fr f
+JOIN pk USING (media_id)
+JOIN zc z USING (media_id)
+GROUP BY f.media_id
+"""
+
+
+@query("media_wav_rms_features", oracle=_AUDIO_ORACLE)
+def media_wav_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of the PGM gate: deterministic int16 sawtooth
+    samples packed into REAL WAV containers (stdlib ``wave``), decoded
+    by the real codec boundary (`_decode_audio`), featurized by the
+    real Arrow-batched extractor (8-frame peak-normalized RMS profile
+    + zero-crossing rate) — all checked against a closed-form oracle
+    that recomputes the features from the sample formula without ever
+    parsing a byte of RIFF."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import vectordb_spark.operators.multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches):
+        idx = np.arange(_NSAMP, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                s = (((int(did) * 13 + idx * 7) % 2001) - 1000).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(_RATE)
+                    wf.writeframes(s.tobytes())
+                rows.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "content": rows,
+                }
+            )
+
+    media = d.mapInPandas(_gen, gen_schema)
+    return MM.extract_audio_features(media, frames=_FRAMES)
