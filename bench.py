@@ -87,6 +87,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "media_pgm_histogram_features",
     "media_wav_rms_features",
+    "media_video_frame_sampling",
 ]
 
 

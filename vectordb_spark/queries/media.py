@@ -190,3 +190,38 @@ def media_wav_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.mapInPandas(_gen, gen_schema)
     return MM.extract_audio_features(media, frames=_FRAMES)
+
+
+# ------------------------------------------------------------ video twin
+
+_EVERY_MS = 750
+
+_VIDEO_ORACLE = f"""
+SELECT d.doc_id AS media_id, t.ts AS frame_ts_ms
+FROM (
+    SELECT doc_id, 1000 + (doc_id % 20) * 500 AS duration_ms FROM documents
+) d, UNNEST(range(0, d.duration_ms, {_EVERY_MS})) AS t(ts)
+"""
+
+
+@query("media_video_frame_sampling", oracle=_VIDEO_ORACLE)
+def media_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (the third modality): per-media
+    durations derived from doc_id explode into the (media_id,
+    frame_ts_ms) sampling plan via `sample_video_frames` — pure Column
+    ops (sequence + explode), no Python; the per-frame DECODE then
+    reuses the image codec boundary. The oracle unnests the identical
+    range per row."""
+    import vectordb_spark.operators.multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            (F.lit(1000) + (F.col("doc_id") % 20) * 500)
+            .cast("int")
+            .alias("duration_ms")
+        ).alias("meta"),
+    )
+    out = MM.sample_video_frames(d, every_ms=_EVERY_MS)
+    return out.withColumn("frame_ts_ms", F.col("frame_ts_ms").cast("long"))
