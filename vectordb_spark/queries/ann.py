@@ -297,3 +297,39 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         indexed.unpersist()
+
+
+@query(
+    "ann_ivf_autoplan_fallback",
+    oracle=f"""
+    SELECT vec_id, label, {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+    FROM embeddings
+    ORDER BY distance, vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_autoplan_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF PLANNER itself, oracle-gated end-to-end: build the
+    KMeans index, then search with ``nprobe=None`` so the
+    separation-ratio rule decides the physical strategy. This corpus
+    (random high-dim embeddings) is the adversarial regime where
+    probing cannot carry recall, so the planner must choose the exact
+    fallback — and the oracle is plain brute-force KNN SQL. A hash
+    match is therefore a check on the DECISION, not just the result: a
+    planner that probed anyway (or an index that faked recall) cannot
+    reproduce the exact top-10. The pinned-nprobe twin
+    (`ann_ivf_kmeans`) stays rows-only by design — its output depends
+    on the non-SQL-replayable KMeans assignment."""
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    idx = A.IVFIndex(k=16, seed=42, metric="EUCLIDEAN")
+    indexed = idx.build(emb, "embedding").cache()
+    try:
+        res = idx.search(indexed, "embedding", qv, 10, nprobe=None, id_col="vec_id")
+        return res.select(
+            "vec_id", "label", F.col("_distance").alias("distance")
+        ).localCheckpoint()
+    finally:
+        indexed.unpersist()
