@@ -584,6 +584,129 @@ def main() -> None:
         t = timed_min3(run)
         lines.append(f"| {n:,} | {t} |")
 
+    # ------------------- clustered compaction end-to-end (round 5)
+    lines += [
+        "",
+        "## Clustered compaction: probe search over a cluster-partitioned base",
+        "",
+        "`Table.compact(cluster_by=vec)` rewrites the base hive-partitioned",
+        "by IVF cluster; `search_clustered_df` then prunes whole directories",
+        "(PartitionFilters on `_cluster`, plan-asserted in",
+        "tests/test_partitioned_table.py). Measured on 16 Gaussian blobs:",
+        "",
+        "| rows | exact scan s | clustered probe s | rows scanned |",
+        "|---|---|---|---|",
+    ]
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    import shutil
+    import tempfile
+
+    rng_cc = np.random.RandomState(2)
+    centers16 = rng_cc.standard_normal((16, 16)) * 10.0
+    for n in (100_000, 400_000):
+        per = n // 16
+        pdfs = []
+        vid0 = 0
+        for ci in range(16):
+            pts = centers16[ci] + rng_cc.standard_normal((per, 16)) * 0.5
+            pdfs.append(
+                pd.DataFrame(
+                    {
+                        "id": np.arange(vid0, vid0 + per),
+                        "vec": [[float(x) for x in p] for p in pts],
+                    }
+                )
+            )
+            vid0 += per
+        src_df = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
+        schema = TableSchema(
+            name="cc_bench",
+            fields=[
+                FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+                FieldSchema(
+                    name="vec",
+                    field_type=FieldType.VECTOR_FLOAT,
+                    dimension=16,
+                    metric="EUCLIDEAN",
+                ),
+            ],
+        )
+        work = tempfile.mkdtemp(prefix="vdb_ccb_")
+        t = Table(spark, schema, os.path.join(work, "cc_bench"))
+        t._init_storage()
+        t.insert_df(src_df.withColumn("vec", F.col("vec").cast("array<float>")))
+        t.compact(cluster_by="vec", k=16, seed=42)
+        qv = [float(x) for x in centers16[5] + rng_cc.standard_normal(16) * 0.5]
+        t_exact = timed_min3(lambda: t.search_df(qv, limit=10).collect())
+        t_probe = timed_min3(
+            lambda: t.search_clustered_df(qv, limit=10).collect()
+        )
+        idx_cc = t._cluster_layout_index()
+        probes = idx_cc.plan_probes(qv, 10)
+        scanned = sum(idx_cc.cluster_sizes.get(c, 0) for c in probes)
+        lines.append(
+            f"| {n:,} | {t_exact} | {t_probe} | "
+            f"{scanned:,} ({100.0 * scanned / n:.0f}%) |"
+        )
+        shutil.rmtree(work, ignore_errors=True)
+
+    # ---------------------------- salted skew join (round 5)
+    lines += [
+        "",
+        "## Skew discipline: where each mitigation applies (measured)",
+        "",
+        "Large skewed fact (90% of rows on ONE key, 1M-key space) joined",
+        "to a 1M-row dim too big to broadcast — the large-large skew",
+        "shape. Three strategies over the same data, identical results.",
+        "Note AQE's skew-split only fires past its partition-size",
+        "threshold (256MB default) — below it the hot partition still",
+        "funnels through one task, which is exactly where the",
+        "deterministic `salted_join` already pays:",
+        "",
+        "| rows | AQE skew-split s | no-AQE sort-merge s | salted s |",
+        "|---|---|---|---|",
+    ]
+    from vectordb_spark.operators.scale import salted_join
+
+    NKEYS = 1_000_000
+    dim = spark.range(NKEYS).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("payload")
+    )
+    for n in (2_000_000, 8_000_000):
+        big = spark.range(n).select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % NKEYS)
+            .alias("key"),
+        )
+        base_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t_aqe = timed_min3(lambda: big.join(dim, "key").count())
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                t_noaqe = timed_min3(lambda: big.join(dim, "key").count())
+                t_salt = timed_min3(
+                    lambda: salted_join(big, dim, "key", "row_id").count()
+                )
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+        finally:
+            if base_thresh is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", base_thresh)
+        lines.append(f"| {n:,} | {t_aqe} | {t_noaqe} | {t_salt} |")
+    lines += [
+        "",
+        "Not measured as a skew problem on purpose: small-dim joins",
+        "(broadcast makes skew irrelevant — every j-family plan asserts the",
+        "broadcast) and decomposable aggregations (map-side partial",
+        "aggregation collapses the hot key per partition before any",
+        "shuffle; verified equal-time with/without salting). Salting is",
+        "the lever for large-large joins and non-decomposable state.",
+    ]
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
