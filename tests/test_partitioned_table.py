@@ -184,3 +184,48 @@ def test_partitioned_compact_preserves_layout(ptable):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert df.count() == 11
+
+
+def test_time_travel_across_clustered_compact(spark, tmp_path):
+    # versions before a compact(cluster_by=...) reference FLAT segment
+    # dirs; the partitioned-read path must not try to read them as
+    # hive roots (and their schema has no _cluster column)
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    schema = TableSchema(
+        name="ttc",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="vec",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=4,
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "ttc"))
+    t._init_storage()
+    t.insert(
+        [
+            {"id": i, "vec": [float(x) for x in rng.standard_normal(4)]}
+            for i in range(50)
+        ]
+    )
+    v_flat = t.versions()[-1]
+    t.insert([{"id": 100, "vec": [0.0, 0.0, 0.0, 0.0]}])  # second flat segment
+    v_flat2 = t.versions()[-1]
+    t.compact(cluster_by="vec", k=4, seed=1)
+    assert t.partition_by == "_cluster"
+    # current clustered snapshot
+    assert t.df().count() == 51
+    # pre-compact versions read back flat, without _cluster, full counts
+    old1 = t.df(version=v_flat)
+    assert old1.count() == 50 and "_cluster" not in old1.columns
+    old2 = t.df(version=v_flat2)
+    assert old2.count() == 51 and "_cluster" not in old2.columns
+    # appends after the clustered compact still merge with time travel
+    t.insert([{"id": 200, "vec": [1.0, 1.0, 1.0, 1.0]}])
+    assert t.df().count() == 52
+    assert t.df(version=v_flat).count() == 50
