@@ -584,6 +584,68 @@ def main() -> None:
         t = timed_min3(run)
         lines.append(f"| {n:,} | {t} |")
 
+    # -------------------- reference-shape 960-dim vectors (round 5)
+    lines += [
+        "",
+        "## 960-dim vectors (the reference's own ann-benchmarks shape)",
+        "",
+        "The reference benches GIST-960-euclidean (SURVEY.md §6 /",
+        "BASELINE.md: engine/test/bindings/python/gist-960-euclidean.py).",
+        "Same dimensionality here, random floats, memory-cached: exact",
+        "top-10 KNN and the PQ-ADC stored-code path (M=8 → 120-dim",
+        "subspaces, codes 4 B/row vs 3840 B/row of floats — 960×):",
+        "",
+        "| rows | exact s | rows/s | adc+rerank s | speedup |",
+        "|---|---|---|---|---|",
+    ]
+    DIM_HD = 960
+    for n in (100_000, 250_000):
+        path = f"{TMP}/vec960_{n}"
+        if not os.path.exists(path):
+            rng_hd = np.random.RandomState(17)
+            chunks = []
+            for start in range(0, n, 50_000):
+                m = min(50_000, n - start)
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.arange(start, start + m),
+                            "embedding": list(
+                                rng_hd.standard_normal((m, DIM_HD)).astype(
+                                    np.float32
+                                )
+                            ),
+                        }
+                    )
+                )
+            spark.createDataFrame(
+                pd.concat(chunks, ignore_index=True)
+            ).repartition(32).write.mode("overwrite").parquet(path)
+        dfh = spark.read.parquet(path)
+        q_hd = [
+            float(x)
+            for x in np.random.RandomState(23).standard_normal(DIM_HD)
+        ]
+        pq_hd = PQIndex(seed=42).fit(dfh, "embedding")
+        coded_hd = pq_hd.codes(dfh, "embedding").cache()
+        coded_hd.count()
+        t_ex = timed_min3(
+            lambda: knn(
+                coded_hd, "embedding", q_hd, 10,
+                metric="EUCLIDEAN", id_col="vec_id",
+            ).collect()
+        )
+        t_adc = timed_min3(
+            lambda: pq_hd.search_codes(
+                coded_hd, "embedding", "_pq_codes", q_hd, 10, refine=64
+            ).collect()
+        )
+        lines.append(
+            f"| {n:,} | {t_ex} | {int(n / t_ex):,} | {t_adc} | "
+            f"{t_ex / t_adc:.1f}x |"
+        )
+        coded_hd.unpersist()
+
     # ------------------- clustered compaction end-to-end (round 5)
     lines += [
         "",
