@@ -88,6 +88,7 @@ HEADLINE = [
     "media_pgm_histogram_features",
     "media_wav_rms_features",
     "media_video_frame_sampling",
+    "text_boilerplate_span_removal",
 ]
 
 

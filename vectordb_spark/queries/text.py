@@ -648,3 +648,77 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------- boilerplate span removal
+
+_BP_SPAN = 8  # tokens per span (the "line" unit; corpus has no newlines)
+_BP_MAX_DOCS = 4  # spans verbatim in more docs than this are boilerplate
+
+_BP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+    SELECT doc_id, j.j AS pos,
+           array_to_string(
+               list_slice(w, j.j * {_BP_SPAN} + 1, j.j * {_BP_SPAN} + {_BP_SPAN}),
+               ' ') AS span
+    FROM toks,
+         UNNEST(range(0, CAST(ceil(len(w) / {_BP_SPAN}.0) AS BIGINT))) AS j(j)
+),
+ok AS (
+    SELECT span FROM spans GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) <= {_BP_MAX_DOCS}
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans_kept,
+       string_agg(s.span, ' ' ORDER BY s.pos) AS cleaned_text
+FROM spans s
+WHERE s.span IN (SELECT span FROM ok)
+GROUP BY s.doc_id
+"""
+
+
+@query("text_boilerplate_span_removal", oracle=_BP_ORACLE)
+def text_boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal at span granularity: tokenize, cut
+    fixed {_BP_SPAN}-token spans (the corpus has no newlines — with
+    real documents the split is on line breaks, same machinery), count
+    each span's distinct-document frequency, drop spans verbatim in
+    more than {_BP_MAX_DOCS} docs (headers/licenses/navigation — C4
+    removes any line occurring 3+ times), and reconstruct each
+    document from its surviving spans in order. Plan: map-side span
+    cut → one shuffle on span for the frequency filter (also the skew
+    key — a hot boilerplate span groups to ONE count row, never a
+    fan-out) → semi-join back → ordered rebuild via sort_array over
+    (pos, span) structs. Docs whose every span was boilerplate drop
+    out entirely — the intended semantics."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = d.select("doc_id", F.split("text", " ", -1).alias("w"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(w) / {_BP_SPAN}.0) AS INT) - 1), "
+                f"j -> array_join(slice(w, j * {_BP_SPAN} + 1, {_BP_SPAN}), ' '))"
+            )
+        ).alias("pos", "span"),
+    )
+    ok = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") <= _BP_MAX_DOCS)
+        .select("span")
+    )
+    kept = spans.join(ok, "span", "left_semi")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s.getField("span"),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
