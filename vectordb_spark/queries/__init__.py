@@ -123,6 +123,15 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "text_bigram_familiarity",
 )
 
+# Round-6 rotation queue: round-5 additions registered after the
+# window filled — selfcheck-green at sf0.001 AND sf0.01 but without a
+# driver row yet. Swap these in next round (the multi-round greens
+# above are the swap-out candidates): dedup_substring_fingerprint,
+# geo_join_radius_pairs, tpch_q5_local_supplier_volume,
+# stream_dedup_incremental, media_pgm_histogram_features,
+# media_wav_rms_features, media_video_frame_sampling,
+# ann_ivf_autoplan_fallback, text_boilerplate_span_removal.
+
 
 def _load() -> None:
     """Import all query modules (side effect: registration)."""
