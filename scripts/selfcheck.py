@@ -70,9 +70,19 @@ def _compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[s
                     f"{np.nanmax(diff):.3e}"
                 )
         else:
-            eq = pd.Series(sv).astype(object).fillna("\0NULL") == pd.Series(dv).astype(
-                object
-            ).fillna("\0NULL")
+            # scalar-safe NULL sentinel (fillna on object series emits a
+            # pandas FutureWarning about silent downcasting; map doesn't)
+            def _sentinel(v):
+                try:
+                    if pd.isna(v):
+                        return "\0NULL"
+                except (TypeError, ValueError):
+                    pass  # tuples/arrays: pd.isna is non-scalar — keep as-is
+                return v
+
+            eq = pd.Series(sv).astype(object).map(_sentinel) == pd.Series(
+                dv
+            ).astype(object).map(_sentinel)
             if not bool(eq.all()):
                 bad = int((~eq).sum())
                 i = int(np.argmax(~eq.to_numpy()))

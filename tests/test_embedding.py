@@ -213,3 +213,63 @@ def test_http_embedder_table_auto_embed(spark, tmp_path, sidecar):
     out = t.query(query_text="the quick brown fox", limit=2)
     ids = [r["ID"] for r in out["result"]]
     assert set(ids) == {1, 3}  # exact text match embeds identically
+
+
+# ---------------------------------------------------------------- SqlMockEmbedder
+
+
+class TestSqlMockEmbedderTriParity:
+    """The SQL-expressible embedder must produce BIT-IDENTICAL vectors
+    through all three implementations — Python mirror, Spark Column
+    expression, DuckDB SQL — because the driver's correctness gate
+    hashes the Spark result against the DuckDB oracle
+    (queries/fusion.py::semantic_text_search)."""
+
+    TEXTS = [
+        "the fast key order sort table scan",
+        "The QUICK brown fox; jumps — over 42 lazy dogs!",
+        "",            # empty → '^$', no trigrams → zero vector
+        "ab",          # cleaned len 2+2 sentinels → 2 trigrams
+        "aaaa aaaa aaaa",
+        "ünïcödé döcs strip to ascii残",  # non-ascii stripped by the regex
+    ]
+
+    def test_python_vs_spark(self, spark):
+        from vectordb_spark.embedding import SqlMockEmbedder
+
+        e = SqlMockEmbedder(dimension=16)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "id INT, text STRING"
+        )
+        got = {
+            r.id: list(r.v)
+            for r in e.embed_df(df, "text", out="v").select("id", "v").collect()
+        }
+        for i, t in enumerate(self.TEXTS):
+            assert got[i] == [int(x) for x in e._one(t)], (i, t)
+
+    def test_python_vs_duckdb(self):
+        import duckdb
+
+        from vectordb_spark.embedding import SqlMockEmbedder
+
+        e = SqlMockEmbedder(dimension=16)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE tx(id INT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO tx VALUES (?, ?)", list(enumerate(self.TEXTS))
+        )
+        rows = con.execute(
+            f"SELECT id, {e.duck_expr('text')} AS v FROM tx ORDER BY id"
+        ).fetchall()
+        for i, v in rows:
+            assert list(v) == [int(x) for x in e._one(self.TEXTS[i])], i
+
+    def test_vectors_discriminate(self):
+        from vectordb_spark.embedding import SqlMockEmbedder
+
+        e = SqlMockEmbedder(dimension=16)
+        a = e._one("the fast key order sort")
+        b = e._one("completely different words entirely")
+        assert a != b
+        assert e._one("") == [0.0] * 16

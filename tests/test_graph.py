@@ -89,6 +89,8 @@ def test_two_driver_actions_per_round(spark, monkeypatch):
 
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     connected_components(df)
-    # setup: 2 eager checkpoints (sym, initial labels); the single edge
-    # converges in 2 rounds (change, then no-change) at 2 actions each
-    assert calls == {"eager_checkpoint": 2 + 2, "count": 2}
+    # setup: 3 eager checkpoints (edge list — so an expensive edge
+    # pipeline runs once, not twice in the sym union —, sym, initial
+    # labels); the single edge converges in 2 rounds (change, then
+    # no-change) at 2 actions each
+    assert calls == {"eager_checkpoint": 3 + 2, "count": 2}

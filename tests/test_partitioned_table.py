@@ -83,12 +83,10 @@ def test_numeric_partition_values_keep_declared_type(spark, tmp_path):
     df = t.df()
     assert dict(df.dtypes)["shard"] == "string"
     got = {r.id: r.shard for r in df.collect()}
-    # leading zeros survive only if the string type is restored before
-    # the value round-trips through the directory name... they don't in
-    # hive layout ("001" IS the dir name, inference made it int 1, the
-    # cast back gives "1"); what the schema contract guarantees is the
-    # TYPE. Pin the type and the castability, not zero-padding.
-    assert all(isinstance(v, str) for v in got.values())
+    # the explicit-schema read (_read_segments) makes Spark parse the
+    # partition directory value AS the declared string type — no lossy
+    # int inference in between — so '001' and '0042' round-trip intact
+    assert got == {1: "001", 2: "2", 3: "0042"}
 
 
 def test_reopen_without_manifest_key_stays_unpartitioned(spark, tmp_path):

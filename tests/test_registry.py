@@ -38,27 +38,31 @@ def test_window_fits_driver_cap():
     assert len(set(ORACLE_WINDOW)) == DRIVER_WINDOW
 
 
-def test_round5_additions_rotated_in():
-    # the fifteen round-4 queries that had never had a driver row
-    # (VERDICT r4, "Next round" #1) must hold window slots this round
+def test_round6_additions_rotated_in():
+    # the nine round-5 queries that had never had a driver row
+    # (VERDICT r5, "Next round" #2) must hold window slots this round,
+    # plus semantic_text_search which only now carries a real oracle
+    # (VERDICT r5 #3)
     for name in [
-        "w7_sliding_window",
-        "w8_rollup_grains",
-        "w9_ntile_length_deciles",
-        "w10_interarrival_stats",
-        "funnel_conversion",
-        "cohort_retention",
-        "a8_value_histogram",
-        "dedup_keep_best",
-        "dedup_incremental_newdocs",
-        "dedup_cross_source_overlap",
-        "sparse_knn_l2",
-        "t9_knn_batch",
+        "media_pgm_histogram_features",
+        "media_wav_rms_features",
+        "media_video_frame_sampling",
+        "dedup_substring_fingerprint",
+        "geo_join_radius_pairs",
+        "tpch_q5_local_supplier_volume",
+        "stream_dedup_incremental",
+        "ann_ivf_autoplan_fallback",
+        "text_boilerplate_span_removal",
+        "semantic_text_search",
         "vec_centroid_per_label",
-        "text_fuzzy_match",
-        "text_bigram_familiarity",
     ]:
         assert name in ORACLE_WINDOW, name
+
+
+def test_no_oracle_rows_evicted():
+    # ann_ivf_kmeans (inherently no-oracle) must never hold a window
+    # slot again — it burned 5 rounds of driver evidence (VERDICT r5 #1)
+    assert "ann_ivf_kmeans" not in ORACLE_WINDOW
 
 
 def test_registration_order_honors_window():
@@ -73,8 +77,10 @@ def test_core_queries_inside_window():
 
 
 def test_windowed_queries_have_oracles():
-    # everything in the window should carry an oracle except the two
-    # documented rows-only operators (iterative kmeans, mock embedder)
+    # every window slot must carry an oracle — a no-oracle row can
+    # never go green and burns a driver slot every round (the r1-r5
+    # ann_ivf_kmeans/semantic_text_search lesson; semantic_text_search
+    # re-entered only once SqlMockEmbedder made it SQL-expressible)
     oracles = all_oracles()
     rows_only = {n for n in ORACLE_WINDOW if n not in oracles}
-    assert rows_only == {"ann_ivf_kmeans", "semantic_text_search"}, rows_only
+    assert rows_only == set(), rows_only

@@ -114,6 +114,50 @@ def test_embedding_cosine_subbucket_bounds_hot_label(spark):
     assert pairs < unsplit / 2, (pairs, unsplit)
 
 
+def test_token_jaccard_subbucket_bounds_hot_block(spark):
+    # a hot (lang, len_bucket) block (n ≫ cap) must NOT feed an
+    # unbounded all-pairs join: the min-token-hash sub-bucket key
+    # splits it, while small blocks keep the exact path (sub == 0) —
+    # recall parity below the cap by construction. An exact-duplicate
+    # pair inside the hot block must still land in one sub-bucket
+    # (identical token set ⇒ identical min hash).
+    from vectordb_spark.queries.dedup import _COS_BLOCK_CAP, _tj_blocks
+
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(400)]
+    n_hot, n_cold = 700, 30
+    rows = []
+    for i in range(n_hot):
+        rows.append((i, " ".join(rng.sample(words, 40)), "en", 320))
+    rows.append((9000, rows[0][1], "en", 320))  # exact dup of doc 0
+    for i in range(n_cold):
+        rows.append((10000 + i, " ".join(rng.sample(words, 40)), "fr", 320))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    blocks = _tj_blocks(d)
+
+    cold_subs = blocks.where(F.col("lang") == "fr").select("sub").distinct().collect()
+    assert [r.sub for r in cold_subs] == [0]
+
+    hot = blocks.where(F.col("lang") == "en")
+    hot_sizes = [
+        r.n for r in hot.groupBy("sub").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(hot_sizes) > 1, "hot block was not split"
+    assert sum(hot_sizes) == n_hot + 1
+    assert max(hot_sizes) <= 3 * _COS_BLOCK_CAP, hot_sizes
+
+    # the exact-dup pair survives the split
+    subs = {
+        r.doc_id: r.sub
+        for r in hot.where(F.col("doc_id").isin(0, 9000)).collect()
+    }
+    assert subs[0] == subs[9000]
+
+
 def test_minhash_band_cap_bounds_degenerate_corpus(spark):
     # a boilerplate-heavy corpus (one text repeated N times) must NOT
     # produce O(N²) LSH candidates: every band is degenerate, the cap

@@ -56,6 +56,135 @@ class MockEmbedder:
         return [float(np.float32(x)) for x in v]
 
 
+class SqlMockEmbedder:
+    """Deterministic text → signed trigram-count vector with THREE
+    bit-identical implementations: Python (this class), a Spark Column
+    expression (:meth:`spark_expr`), and DuckDB SQL (:meth:`duck_expr`).
+
+    Purpose: make the reference's E1/E2 auto-embed → semantic-search
+    loop (db_server.cpp:512-600 — embed the query with the index's
+    model, then the ordinary KNN path) *oracle-checkable*. The original
+    ``MockEmbedder`` hashes trigrams with blake2b, which no SQL engine
+    exposes; this embedder replaces the hash with pure integer
+    arithmetic both engines evaluate identically:
+
+    - normalize: ``'^' || regexp_replace(lower(text), '[^a-z0-9 ]', '') || '$'``
+    - per trigram at i: ``h = (ord(t[i])*131 + ord(t[i+1]))*131 + ord(t[i+2])``
+    - bucket ``h % dim`` accumulates ``1 - 2*((h // dim) % 2)`` (±1)
+
+    The vector stays INTEGER (no normalization): cosine distance is
+    scale-invariant, so ranking is unchanged, and integer dot products
+    are exact in any evaluation order — the only float ops are one
+    sqrt and one division per row, each correctly rounded IEEE in both
+    engines → bit-identical distances. Callers that need a unit vector
+    (the Table COSINE ingest path, table_mvp.cpp:334-349) normalize
+    downstream with ``normalized=False`` cosine or an explicit L2 step.
+    """
+
+    def __init__(self, dimension: int = 16):
+        self.dimension = dimension
+
+    # -- Python path (Arrow pandas UDF via embed_column) ------------
+
+    def embed_batch(self, texts: Iterable[str]) -> list[list[float]]:
+        return [self._one(t) for t in texts]
+
+    def _one(self, text: str) -> list[float]:
+        import re
+
+        dim = self.dimension
+        t = "^" + re.sub(r"[^a-z0-9 ]", "", (text or "").lower()) + "$"
+        v = [0] * dim
+        for i in range(len(t) - 2):
+            h = (ord(t[i]) * 131 + ord(t[i + 1])) * 131 + ord(t[i + 2])
+            v[h % dim] += 1 - 2 * ((h // dim) % 2)
+        return [float(x) for x in v]
+
+    # -- Spark Column path (JVM codegen, no Python in the hot loop) --
+
+    def spark_norm_expr(self, col: str) -> Column:
+        """Stage 1: cleaned '^…$' text. MUST be materialized as its own
+        projection (see :meth:`embed_df`): higher-order-function lambdas
+        re-evaluate non-attribute subexpressions PER ELEMENT, so
+        inlining this under the trigram transform would run the regexp
+        once per trigram instead of once per row."""
+        return F.expr(
+            f"concat('^', regexp_replace(lower({col}), '[^a-z0-9 ]', ''), '$')"
+        )
+
+    def spark_codes_expr(self, t_col: str) -> Column:
+        """Stage 2: array<int> of code points over the cleaned-text
+        ATTRIBUTE ``t_col``. split('')+ascii is O(n); the naive
+        per-position substr is an O(n) UTF8 scan PER CALL — O(n²) per
+        document, which at web-document lengths dominates everything.
+        The empty-string filter guards Spark versions that keep a
+        trailing '' from split."""
+        return F.expr(
+            f"transform(filter(split({t_col}, ''), c -> c <> ''), c -> ascii(c))"
+        )
+
+    def spark_hashes_expr(self, cs_col: str) -> Column:
+        """Stage 3: array<int> trigram hashes by O(1) indexing into the
+        code-point ATTRIBUTE ``cs_col``."""
+        return F.expr(
+            f"transform(CASE WHEN size({cs_col}) >= 3 "
+            f"THEN sequence(2, size({cs_col}) - 1) ELSE array() END, "
+            f"i -> (element_at({cs_col}, i-1)*131 "
+            f"+ element_at({cs_col}, i))*131 + element_at({cs_col}, i+1))"
+        )
+
+    def spark_vector_expr(self, hl_col: str) -> Column:
+        """Stage 4: array<bigint> signed bucket counts over the hash
+        ATTRIBUTE ``hl_col``. CollapseProject inlines a once-referenced
+        alias, so ``hl_col``'s expression is re-evaluated per bucket —
+        harmless once it is pure int-array indexing (dim × n_trigrams
+        int ops), which is why stage 2 materializes code points."""
+        dim = self.dimension
+        return F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"b -> aggregate({hl_col}, CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc + CASE WHEN h % {dim} = b "
+            f"THEN 1 - 2*((h div {dim}) % 2) ELSE 0 END))"
+        )
+
+    def embed_df(self, df, col: str, out: str = "emb"):
+        """``df`` + array<bigint> embedding column ``out`` — chained
+        projections so the expensive stages (regexp normalize, O(n)
+        code-point extraction) evaluate once per row: Catalyst's
+        CollapseProject declines to merge a non-cheap alias referenced
+        more than once, which holds for ``_emb_t`` (3 refs) and
+        ``_emb_cs`` (4 refs)."""
+        return (
+            df.withColumn("_emb_t", self.spark_norm_expr(col))
+            .withColumn("_emb_cs", self.spark_codes_expr("_emb_t"))
+            .withColumn("_emb_hl", self.spark_hashes_expr("_emb_cs"))
+            .withColumn(out, self.spark_vector_expr("_emb_hl"))
+            .drop("_emb_t", "_emb_cs", "_emb_hl")
+        )
+
+    # -- DuckDB oracle path -----------------------------------------
+
+    def duck_expr(self, col: str) -> str:
+        """DuckDB SQL fragment producing the same BIGINT[] embedding.
+        DuckDB's regexp_replace needs the explicit 'g' flag (Spark's is
+        global by default) and range(a,b) is b-exclusive (vs Spark's
+        inclusive sequence)."""
+        dim = self.dimension
+        t = f"concat('^', regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g'), '$')"
+        hl = (
+            f"list_transform(range(1, greatest(length({t})-1, 1)), "
+            f"i -> (ascii(substr({t}, CAST(i AS INT), 1))*131 "
+            f"+ ascii(substr({t}, CAST(i AS INT)+1, 1)))*131 "
+            f"+ ascii(substr({t}, CAST(i AS INT)+2, 1)))"
+        )
+        return (
+            f"list_transform(range(0, {dim}), "
+            f"b -> CAST(coalesce(list_sum(list_transform({hl}, "
+            f"h -> CASE WHEN h % {dim} = b "
+            f"THEN 1 - 2*((h // {dim}) % 2) ELSE 0 END)), 0) AS BIGINT))"
+        )
+
+
 # Provider surface mirroring the reference's per-model-prefix key
 # headers (engine/utils/constants.hpp:4-9, embedding_service.cpp:142-180)
 PROVIDER_KEY_HEADERS: dict[str, tuple[str, str]] = {

@@ -44,7 +44,10 @@ def _reset_stats(df: DataFrame) -> DataFrame:
     RDD resets the leaf to the default size estimate, making per-round
     planning cost constant. JVM-side Row conversion only — rows never
     cross into Python."""
-    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    try:  # PySpark >= 4.0 moved the concrete class under sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # PySpark 3.x (pyproject declares >= 3.5)
+        from pyspark.sql.dataframe import DataFrame as _CDF
 
     spark = df.sparkSession
     jdf = spark._jsparkSession.createDataFrame(df._jdf.javaRDD(), df._jdf.schema())
@@ -62,6 +65,14 @@ def connected_components(
     (undirected); component = the minimum node id reachable, a
     deterministic canonical representative."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the edge list BEFORE symmetrizing: ``e`` appears
+    # twice in the union (forward + swapped), and when the edge input
+    # is itself an expensive pipeline (the MinHash→verify candidate
+    # join in dedup_cluster_components / dedup_keep_best) the single
+    # sym plan would run that pipeline twice. The pair list is tiny
+    # relative to the corpus, so the checkpoint is cheap and the
+    # upstream pipeline runs exactly once.
+    e = _reset_stats(e.localCheckpoint())
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = _reset_stats(sym.localCheckpoint())
     labels = _reset_stats(

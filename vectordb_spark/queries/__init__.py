@@ -57,20 +57,18 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "w2_sessionize",
     "w6_gapfill_hourly",
     # tier B — reference-parity scan/filter/agg/ANN surface
-    "p8_nearby_geo",
     "fusion_rrf",
-    "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
-    "ann_ivf_kmeans",
+    # round-6: semantic_text_search now carries a REAL oracle (the
+    # SqlMockEmbedder reformulation — integer trigram hashing evaluable
+    # bit-identically in Spark SQL, DuckDB, and Python), closing the
+    # only §2 capability (E1/E2) never driver-verified. ann_ivf_kmeans
+    # (KMeans, inherently no_oracle — 5 rounds of burned slots) is
+    # evicted; IVF coverage is carried by the 5 green ann_* rows plus
+    # the newly-rotated-in oracle-gated ann_ivf_autoplan_fallback.
     "semantic_text_search",
     "a7_percentile_facets",
     # tier C — LLM-pipeline operators
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "sparse_tfidf_weights",
-    "text_token_count",
-    "text_lang_id",
-    "j2_star_join_revenue",
     "asof_join_latest_order",
     "ann_lsh_multiprobe2",
     "ann_sq8_rerank",
@@ -121,16 +119,33 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "vec_centroid_per_label",
     "text_fuzzy_match",
     "text_bigram_familiarity",
+    # Round-6 rotation: the nine round-5 additions — selfcheck-green at
+    # sf0.001 AND sf0.01 but never through the driver — take their
+    # first driver rows. Rotated out to make room (every eviction is a
+    # multi-round driver green whose compile path keeps an in-window
+    # sibling): ann_ivf_kmeans (no_oracle ×5, see above),
+    # ann_lsh_bucketed (G r1–r5; LSH path carried by multiprobe /
+    # multiprobe2 / sq8 / pq_adc + the IVF autoplan newcomer),
+    # dedup_minhash_lsh + dedup_embedding_cosine (G r1–r5; banded-dedup
+    # path carried by cluster_components / keep_best / incremental /
+    # cross_source + the substring-fingerprint newcomer),
+    # p8_nearby_geo (G r1–r5; geo path carried by the radius-join
+    # newcomer, same haversine + parser machinery),
+    # j2_star_join_revenue (G r1–r5; join path carried by asof/rj +
+    # the TPC-H q5 newcomer's 6-table star),
+    # sparse_tfidf_weights + text_token_count + text_lang_id (G r1–r5;
+    # sparse path keeps sparse_knn_l2, text battery keeps repetition /
+    # gopher / fuzzy / bigram_familiarity / top_bigrams).
+    "media_pgm_histogram_features",
+    "media_wav_rms_features",
+    "media_video_frame_sampling",
+    "dedup_substring_fingerprint",
+    "geo_join_radius_pairs",
+    "tpch_q5_local_supplier_volume",
+    "stream_dedup_incremental",
+    "ann_ivf_autoplan_fallback",
+    "text_boilerplate_span_removal",
 )
-
-# Round-6 rotation queue: round-5 additions registered after the
-# window filled — selfcheck-green at sf0.001 AND sf0.01 but without a
-# driver row yet. Swap these in next round (the multi-round greens
-# above are the swap-out candidates): dedup_substring_fingerprint,
-# geo_join_radius_pairs, tpch_q5_local_supplier_volume,
-# stream_dedup_incremental, media_pgm_histogram_features,
-# media_wav_rms_features, media_video_frame_sampling,
-# ann_ivf_autoplan_fallback, text_boilerplate_span_removal.
 
 
 def _load() -> None:

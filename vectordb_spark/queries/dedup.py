@@ -222,6 +222,35 @@ def dedup_simhash_nearmiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- adaptive block-cap sub-bucketing
+
+# Blocks bigger than this get split into signature sub-buckets before
+# any all-pairs stage — the same banding discipline as _BAND_CAP. The
+# bit count adapts to block size (cap·2^bits rows → 2^bits buckets), so
+# expected sub-block size stays ≈ cap and per-block pair counts stay
+# ≈ cap² no matter how hot the block (up to 256 buckets; beyond that
+# the blocking key itself should come from a finer clustering). Below
+# the cap the key is the constant 0 — exact all-pairs, no recall loss.
+# Shared by the embedding-cosine path (LSH hyperplane signature) and
+# the token-jaccard path (min token hash signature).
+_COS_BLOCK_CAP = 256
+_COS_MAX_BITS = 8
+
+
+def _sub_case_sql(n_col: str, sig_expr: str) -> str:
+    """CASE ladder mapping (block size, signature) → sub-bucket key.
+    Integer-only comparisons, valid verbatim in Spark SQL and DuckDB.
+    ``sig_expr`` may be a column name or the inlined signature
+    expression — CASE branches evaluate lazily, so inlining means rows
+    in at-or-under-cap blocks never compute the signature."""
+    parts = [f"WHEN {n_col} <= {_COS_BLOCK_CAP} THEN 0"]
+    for bits in range(1, _COS_MAX_BITS):
+        parts.append(
+            f"WHEN {n_col} <= {_COS_BLOCK_CAP << bits} THEN ({sig_expr}) % {1 << bits}"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE ({sig_expr}) % {1 << _COS_MAX_BITS} END"
+
+
 # ----------------------------------------------------- token-set jaccard
 
 # jaccard over arrays that are ALREADY distinct (skips the redundant
@@ -236,16 +265,23 @@ _TJP_D = (
 )
 
 _NGRAM_JACCARD_ORACLE = f"""
-WITH hashes AS (
+WITH h0 AS (
     SELECT doc_id, lang, n_chars // 64 AS len_bucket,
            list_distinct({_TH_D}) AS toks,
-           len(list_distinct({_TH_D})) AS nnz
+           len(list_distinct({_TH_D})) AS nnz,
+           COUNT(*) OVER (PARTITION BY lang, n_chars // 64) AS block_n
     FROM documents
+),
+hashes AS (
+    SELECT doc_id, lang, len_bucket, toks, nnz,
+           {_sub_case_sql("block_n", "coalesce(list_min(toks), 0)")} AS sub
+    FROM h0
 ),
 verified AS (
     SELECT b.doc_id AS doc_b, a.toks AS a_toks, b.toks AS b_toks
     FROM hashes a JOIN hashes b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.sub = b.sub
      AND a.doc_id < b.doc_id
      AND least(a.nnz, b.nnz) >= 0.9 * greatest(a.nnz, b.nnz)
 )
@@ -253,6 +289,34 @@ SELECT DISTINCT doc_b AS dup_doc_id
 FROM verified
 WHERE {_TJP_D} >= 0.9
 """
+
+
+def _tj_blocks(d: DataFrame) -> DataFrame:
+    """Pair-stage prep for token-jaccard dedup, shared by the query and
+    the scale tests: distinct token hashes, (lang, len_bucket) block
+    key, and the adaptive min-token-hash sub-bucket key. Distinct
+    int-hash arrays are ~85 longs/doc — small enough to carry through
+    the blocking join directly, which beats re-joining them by id (each
+    extra reference to the projection re-runs the hash stage in another
+    plan branch). Block sizes come from a partial-agg groupBy broadcast
+    back — k tiny rows move, not the table (same shape as _cos_blocks)."""
+    h0 = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        F.array_distinct(F.expr(_TH_S)).alias("toks"),
+    ).withColumn("nnz", F.size("toks"))
+    counts = h0.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    return (
+        h0.join(F.broadcast(counts), ["lang", "len_bucket"])
+        .withColumn(
+            "sub",
+            F.expr(_sub_case_sql("block_n", "coalesce(array_min(toks), 0)")),
+        )
+        .drop("block_n")
+    )
 
 
 @query("dedup_token_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
@@ -263,23 +327,26 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size even when dup classes are quadratic in pairs. Tokens
     hash to ints once; the blocking self-join carries ids only plus a
     sound size-ratio prefilter (j ≥ t ⟹ min(|A|,|B|) ≥ t·max), which
-    kills mismatched-size pairs before any intersection runs."""
+    kills mismatched-size pairs before any intersection runs.
+
+    Blocks above _COS_BLOCK_CAP rows split into adaptive sub-buckets
+    keyed on the MIN TOKEN HASH (a 1-slot MinHash) before the pair
+    join — the _sub_case_sql discipline — so a hot (language ×
+    common-length) block can never go quadratic at 100 TB. Recall
+    bound: a J ≥ 0.9 pair disagrees on its min token hash only if one
+    of its ≤ 10% differing tokens is the minimum — ≥ ~90% per-pair
+    recall in over-cap blocks, the standard MinHash-banding tradeoff
+    (under the cap the key is constant 0: exact). The oracle applies
+    the identical split, so the gate stays hash-exact either way;
+    tests/test_scale.py pins recall parity below the cap."""
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    # distinct int-hash arrays are ~85 longs/doc — small enough to
-    # carry through the blocking join directly, which beats re-joining
-    # them by id (each extra reference to this projection re-runs the
-    # md5 stage in another plan branch)
-    hashes = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
-        F.array_distinct(F.expr(_TH_S)).alias("toks"),
-    ).withColumn("nnz", F.size("toks"))
+    hashes = _tj_blocks(d)
     a, b = hashes.alias("a"), hashes.alias("b")
     verified = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.sub") == F.col("b.sub"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (
             F.least(F.col("a.nnz"), F.col("b.nnz"))
@@ -304,35 +371,6 @@ from vectordb_spark.operators.ann import lsh_signature_exprs
 from vectordb_spark.plans import oracle as O
 
 _EMB_SIG_S, _EMB_SIG_D = lsh_signature_exprs("embedding")
-
-# Label blocks bigger than this get split into LSH-signature sub-buckets
-# before the all-pairs stage — the same banding discipline as _BAND_CAP.
-# The bit count adapts to block size (cap·2^bits rows → 2^bits buckets),
-# so expected sub-block size stays ≈ cap and per-block pair counts stay
-# ≈ cap² no matter how hot the label (up to 256 buckets; beyond that the
-# label itself should come from a finer clustering). Below the cap the
-# key is the constant 0 — exact all-pairs, no recall loss. Near-dup
-# pairs almost always share the full signature (that is what makes LSH
-# LSH), so the recall cost of splitting is the usual LSH tradeoff, and
-# both engines compute the identical key, so the oracle match holds even
-# when the cap triggers.
-_COS_BLOCK_CAP = 256
-_COS_MAX_BITS = 8
-
-
-def _sub_case_sql(n_col: str, sig_expr: str) -> str:
-    """CASE ladder mapping (block size, signature) → sub-bucket key.
-    Integer-only comparisons, valid verbatim in Spark SQL and DuckDB.
-    ``sig_expr`` may be a column name or the inlined signature
-    expression — CASE branches evaluate lazily, so inlining means rows
-    in at-or-under-cap blocks never compute the 8 hyperplane dots."""
-    parts = [f"WHEN {n_col} <= {_COS_BLOCK_CAP} THEN 0"]
-    for bits in range(1, _COS_MAX_BITS):
-        parts.append(
-            f"WHEN {n_col} <= {_COS_BLOCK_CAP << bits} THEN ({sig_expr}) % {1 << bits}"
-        )
-    return "CASE " + " ".join(parts) + f" ELSE ({sig_expr}) % {1 << _COS_MAX_BITS} END"
-
 
 def _cos_blocks(e: DataFrame) -> DataFrame:
     """Pair-stage prep shared by the query and the scale tests: per-row

@@ -120,27 +120,97 @@ def fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("semantic_text_search")  # no oracle: blake2b embedder is not SQL-expressible
-def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1/E2 in the registry: embed documents with the deterministic
-    mock embedder (Arrow-batched pandas UDF), embed a query string the
-    same way, exact cosine KNN. Rows-only check; determinism is
-    asserted in tests/test_table_api.py::test_auto_embedding_text_search."""
-    from vectordb_spark.embedding import MockEmbedder, embed_column
-    from vectordb_spark.functions.distance import cosine_distance, vector_literal
+_SEM_QUERY_TEXT = "the fast key order sort table scan"
+_SEM_K = 10
 
-    embedder = MockEmbedder(dimension=16)
+
+def _sem_oracle() -> str:
+    """Build the DuckDB oracle for semantic_text_search at import time:
+    the query text is embedded by the Python mirror (bit-identical to
+    both SQL paths) and inlined as integer constants — only exact
+    integers cross the Python/SQL boundary."""
+    from vectordb_spark.embedding import SqlMockEmbedder
+
+    e = SqlMockEmbedder(dimension=16)
+    qv = [int(x) for x in e._one(_SEM_QUERY_TEXT)]
+    bb = sum(x * x for x in qv)
+    qlist = "[" + ", ".join(str(x) for x in qv) + "]"
+    return f"""
+    WITH vec AS (
+        SELECT doc_id, lang, {e.duck_expr("text")} AS v FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS aa,
+               CAST(list_sum(list_transform(list_zip(v, {qlist}),
+                    p -> p[1]*p[2])) AS BIGINT) AS ab
+        FROM vec
+    )
+    SELECT doc_id, lang,
+           CASE WHEN aa = 0 THEN NULL
+                ELSE 1.0 - CAST(ab AS DOUBLE)
+                    / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST({bb} AS DOUBLE)))
+           END AS distance
+    FROM scored
+    ORDER BY distance NULLS LAST, doc_id LIMIT {_SEM_K}
+    """
+
+
+@query("semantic_text_search", oracle=_sem_oracle())
+def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 through the full gate: embed every document AND the query
+    string with the SQL-expressible mock embedder, exact cosine top-K
+    (reference db_server.cpp:512-600 — the query is embedded with the
+    index's model and enters the ordinary KNN path;
+    embedding_service.cpp:216-369 for the embed call itself).
+
+    The embedder runs as a pure Catalyst expression (SqlMockEmbedder.
+    spark_expr — whole-stage codegen, zero Python in the scan), the
+    vectors stay integer so every dot product is exact, and cosine's
+    scale-invariance stands in for the reference's ingest-time L2
+    normalization (table_mvp.cpp:334-349) — same ranking, one sqrt +
+    one divide of float work per row, bit-identical to the DuckDB
+    oracle. orderBy+limit plans as TakeOrderedAndProject: per-partition
+    top-K heaps, no global sort at 100 TB. The Arrow-pandas-UDF path
+    (embed_column) stays the Table API's ingest route; tri-parity of
+    the three implementations is pinned in tests/test_embedding.py."""
+    from vectordb_spark.embedding import SqlMockEmbedder
+
+    e = SqlMockEmbedder(dimension=16)
+    qv = [int(x) for x in e._one(_SEM_QUERY_TEXT)]
+    bb = sum(x * x for x in qv)
+    qarr = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in qv) + ")"
     d = load_table(spark, sf_dir, "documents")
-    embedded = d.select(
-        "doc_id", "lang", embed_column(embedder, "text").alias("emb")
+    embedded = e.embed_df(
+        d.select("doc_id", "lang", "text"), "text", out="v"
+    ).select("doc_id", "lang", "v")
+    scored = embedded.select(
+        "doc_id",
+        "lang",
+        F.expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)").alias("aa"),
+        F.expr(
+            f"aggregate(zip_with(v, {qarr}, (x, y) -> x*y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("ab"),
     )
-    q = embedder.embed_batch(["the fast key order sort table scan"])[0]
-    out = embedded.withColumn(
-        "distance",
-        cosine_distance(F.col("emb"), vector_literal(q), normalized=True),
-    )
+    # NO WHERE clause: a filter on aa would be predicate-pushed below
+    # the staged embedding projections, transitively inlining the whole
+    # (interpreted, non-codegen) higher-order-function expression into
+    # the filter condition — observed as a >100× slowdown. Empty
+    # vectors (aa=0, only possible for empty/symbol-only text) get a
+    # NULL distance and explicit NULLS LAST ordering on both engines.
     return (
-        out.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
-        .limit(10)
-        .select("doc_id", "lang", "distance")
+        scored.select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("aa") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.lit(1.0)
+                - F.col("ab").cast("double")
+                / (F.sqrt(F.col("aa").cast("double")) * F.sqrt(F.lit(float(bb))))
+            ).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc_nulls_last(), F.col("doc_id").asc())
+        .limit(_SEM_K)
     )

@@ -148,11 +148,14 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: the six-way local-supplier-volume join — the deepest join
     chain in the bench. Scale shape: the two fact tables (lineitem,
-    orders) hash-join on orderkey; customer / supplier / nation /
-    region are broadcast dims (Catalyst picks broadcast from size); the
-    customer-nation = supplier-nation equality rides the supplier join
-    as a second key, so no post-join filter re-shuffles. Revenue
-    accumulates in decimal (partition-order-independent)."""
+    orders) hash-join on orderkey; supplier / nation / region are
+    broadcast dims (explicit hints — they are O(SF·10k) rows at most);
+    customer is SF-proportional (150k·SF rows), so it carries NO hint —
+    AQE picks broadcast vs shuffle from its actual runtime size, which
+    at 100 TB is a shuffle join on o_custkey, not a driver-OOM
+    broadcast. The customer-nation = supplier-nation equality rides the
+    supplier join as a second key, so no post-join filter re-shuffles.
+    Revenue accumulates in decimal (partition-order-independent)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -170,7 +173,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = c.select("c_custkey", "c_nationkey")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
         .join(
             F.broadcast(sup),
             (li["l_suppkey"] == sup["s_suppkey"])

@@ -224,24 +224,42 @@ def t9_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_tall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tall (label, pos, avgv, n_vectors) centroid layout shared by the
+    registered gate query and the array-assembly pytest variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    return px.groupBy("label", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e12)
+            )
+            / F.count(F.lit(1))
+        ).alias("avgv"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
 @query(
     "vec_centroid_per_label",
     oracle="""
     WITH px AS (
-        SELECT label, t.pos, embedding[t.pos] AS val
+        SELECT label, t.pos - 1 AS pos, embedding[t.pos] AS val
         FROM embeddings,
              unnest(generate_series(1, len(embedding))) AS t(pos)
-    ),
-    a AS (
-        SELECT label, pos,
-               (CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT))
-                     AS DOUBLE) / 1e12) / COUNT(*) AS avgv,
-               COUNT(*) AS n
-        FROM px GROUP BY label, pos
     )
-    SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
-           array_agg(avgv ORDER BY pos) AS centroid
-    FROM a GROUP BY label
+    SELECT label, pos,
+           (CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1e12) / COUNT(*) AS avgv,
+           COUNT(*) AS n_vectors
+    FROM px GROUP BY label, pos
     """,
 )
 def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,29 +272,25 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0), so partition order and engine cannot change a bit;
     DuckDB's SUM(BIGINT) promotes to HUGEINT the same way. A plain
     BIGINT sum would silently wrap around ~1.5e7 rows per (label, pos)
-    at |val|≈0.6; decimal headroom is ~1e26 rows) → re-assemble via
-    sort_array over (pos, avg) structs. Shuffle carries scalar
-    (label, pos, val) triples — dim × rows narrow rows, the standard
-    tall layout for vector aggregation at scale (never a Python UDAF
-    holding whole vectors)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    px = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    a = px.groupBy("label", "pos").agg(
-        (
-            (
-                F.sum(
-                    F.expr(
-                        "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
-                    ).cast("decimal(38,0)")
-                ).cast("double")
-                / F.lit(1e12)
-            )
-            / F.count(F.lit(1))
-        ).alias("avgv"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    at |val|≈0.6; decimal headroom is ~1e26 rows).
+
+    Emits the TALL (label, pos, avgv, n_vectors) layout: every column
+    scalar, so the gate's pandas canonicalizer (which sorts on all
+    columns and cannot hash list cells) accepts it, and it is the shape
+    vector aggregation shuffles at scale anyway — dim × rows narrow
+    rows, never a Python UDAF holding whole vectors. The assembled
+    array<double> variant stays available as
+    ``vec_centroid_per_label_array`` (pytest-only)."""
+    return _centroid_tall(spark, sf_dir)
+
+
+def vec_centroid_per_label_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-assembly variant (label, n_vectors, centroid array<double>)
+    — kept out of the registry because the driver canonicalizer cannot
+    hash list-valued cells; pinned by pytest against the tall layout."""
+    a = _centroid_tall(spark, sf_dir)
     return a.groupBy("label").agg(
-        F.max("n").alias("n_vectors"),
+        F.max("n_vectors").alias("n_vectors"),
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "avgv"))),
             lambda s: s.getField("avgv"),

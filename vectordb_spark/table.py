@@ -132,16 +132,27 @@ class Table:
         # "unpartitioned", not a fall-through to the constructor
         # argument (which would silently mix partitioned and flat
         # segments in one table).
-        if os.path.exists(self._meta_path):
+        if self._table_exists():
             self.partition_by = self._load_partition_by()
         else:
             self.partition_by = partition_by
 
     # ---------------------------------------------------------------- meta
 
+    def _table_exists(self) -> bool:
+        """A table exists if ANY manifest is present. The versioned
+        commit tokens (_meta.s{N}.json) are authoritative — a writer
+        crashing between link(2) and the _meta.json replace on the
+        FIRST commit leaves only _meta.s1.json, and keying existence on
+        _meta.json alone would make reopen treat the table as new
+        (constructor partition_by would override the committed one, and
+        _init_storage would raise CONCURRENT_WRITE instead of rolling
+        forward)."""
+        return bool(self._seq_manifests()) or os.path.exists(self._meta_path)
+
     def _init_storage(self, capacity: int | None = None) -> None:
         os.makedirs(self.path, exist_ok=True)
-        if not os.path.exists(self._meta_path):
+        if not self._table_exists():
             self._save_meta(
                 {
                     "version": 0,
@@ -212,12 +223,12 @@ class Table:
         return int(meta.get("capacity") or DEFAULT_CAPACITY)
 
     def _load_index_sources(self) -> dict[str, str]:
-        if os.path.exists(self._meta_path):
+        if self._table_exists():
             return self._load_meta().get("index_sources", {})
         return {}
 
     def _load_partition_by(self) -> str | None:
-        if os.path.exists(self._meta_path):
+        if self._table_exists():
             return self._load_meta().get("partition_by")
         return None
 
@@ -251,11 +262,18 @@ class Table:
         replace loses nothing)."""
         os.makedirs(self.path, exist_ok=True)
         base_seq = int(meta.get("seq") or 0)
-        meta["seq"] = base_seq + 1
+        # Bump seq in the SERIALIZED copy only; the caller's dict
+        # advances after the link succeeds. If the caller's dict were
+        # bumped first, a CONCURRENT_WRITE loser that retried with the
+        # same stale dict (instead of reloading) would eventually claim
+        # a later seq and clobber the winning commit — the exact lost
+        # update the CAS exists to prevent.
+        committed = dict(meta)
+        committed["seq"] = base_seq + 1
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump(meta, f)
+                json.dump(committed, f)
             try:
                 os.link(tmp, self._seq_path(base_seq + 1))
             except FileExistsError:
@@ -265,6 +283,7 @@ class Table:
                     "(different host?) after this one loaded the manifest; "
                     "reload the table and retry.",
                 ) from None
+            meta["seq"] = base_seq + 1
             os.replace(tmp, self._meta_path)
         finally:
             if os.path.exists(tmp):
@@ -316,19 +335,34 @@ class Table:
             from functools import reduce
 
             dfs = [
-                self._restore_partition_type(self.spark.read.parquet(q))
+                self._restore_partition_type(self._read_segments(q))
                 for q in paths
             ]
             return reduce(lambda a, b: a.unionByName(b), dfs)
-        return self._restore_partition_type(self.spark.read.parquet(*paths))
+        return self._restore_partition_type(self._read_segments(*paths))
+
+    def _read_segments(self, *paths: str) -> DataFrame:
+        """Segment read with partition-type-inference protection. When
+        the partition column is a DECLARED field, read with the
+        declared schema: Spark then parses the partition directory
+        value directly as that type, so a STRING key '001' round-trips
+        intact. (The cast-back in _restore_partition_type cannot undo
+        lossy inference — '001' inferred as int 1 reads back as '1'.)
+        Internal partition keys (_cluster) keep inference: they are
+        engine-written ints, never lossy."""
+        reader = self.spark.read
+        if self.partition_by:
+            declared = self.schema.to_spark_schema(with_row_id=True)
+            if self.partition_by in {f.name for f in declared.fields}:
+                reader = reader.schema(declared)
+        return reader.parquet(*paths)
 
     def _restore_partition_type(self, df: DataFrame) -> DataFrame:
-        """Hive partition values are directory NAMES; Spark's partition
-        type inference (on by default) reads numeric-looking STRING
-        values back as integers — and could even infer different types
-        for different segments, breaking the unionByName above. Cast
-        the partition column back to its declared schema type so the
-        read schema never drifts from the table schema."""
+        """Belt-and-braces for segments read WITHOUT an explicit schema
+        (internal _cluster partitioning): cast the partition column
+        back to its declared type so the read schema never drifts from
+        the table schema. (The primary defense is _read_segments'
+        explicit-schema read.)"""
         if not self.partition_by:
             return df
         declared = self.schema.to_spark_schema(with_row_id=True)
