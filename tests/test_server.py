@@ -189,3 +189,95 @@ def test_vector_scale_capacity_parity(base_url):
         {"table": "Tiny", "data": recs[:2]},
     )
     assert code == 200 and out["result"]["inserted"] == 2
+
+
+def test_root_and_state(base_url):
+    # GET / is PLAIN TEXT (web_controller.hpp:62-66)
+    import urllib.request
+
+    with urllib.request.urlopen(base_url + "/") as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        assert r.read() == b"Welcome to Epsilla VectorDB."
+    # GET /state is the JSON envelope (:70-75)
+    req = urllib.request.Request(base_url + "/state", method="GET")
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out == {"statusCode": 200, "message": "Server is online!"}
+
+
+def test_admin_release_drop_dump(base_url, tmp_path):
+    code, _ = _call(base_url, "POST", "/api/load", {"name": "admindb"})
+    assert code == 200
+    schema = {
+        "name": "T",
+        "fields": [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Doc", "dataType": "STRING"},
+            {
+                "name": "Vec",
+                "dataType": "VECTOR_FLOAT",
+                "dimensions": 2,
+                "metricType": "EUCLIDEAN",
+            },
+        ],
+    }
+    code, _ = _call(base_url, "POST", "/api/admindb/schema/tables", schema)
+    assert code == 200
+    code, _ = _call(
+        base_url,
+        "POST",
+        "/api/admindb/data/insert",
+        {"table": "T", "data": [{"ID": 1, "Doc": "x", "Vec": [0.0, 1.0]}]},
+    )
+    assert code == 200
+
+    # release keeps the db usable (:166-179)
+    code, out = _call(base_url, "POST", "/api/admindb/release")
+    assert (code, out["message"]) == (200, "Release admindb successfully.")
+    code, out = _call(
+        base_url, "POST", "/api/admindb/data/get",
+        {"table": "T", "limit": 10},
+    )
+    assert code == 200 and len(out["result"]) == 1
+
+    # dump snapshots catalog + data (:202-232)
+    dump_dir = str(tmp_path / "dump")
+    code, out = _call(
+        base_url, "POST", "/api/dump", {"name": "admindb", "path": dump_dir}
+    )
+    assert (code, out["message"]) == (200, "Dump admindb successfully.")
+    import os
+
+    assert os.path.exists(os.path.join(dump_dir, "catalog"))
+    assert os.path.isdir(os.path.join(dump_dir, "T"))
+    # unknown db → 404 (the reference's one 404 admin error)
+    code, _ = _call(
+        base_url, "POST", "/api/dump", {"name": "nosuch", "path": dump_dir}
+    )
+    assert code == 404
+
+    # drop == unload with an error on unknown names (:183-198)
+    code, out = _call(base_url, "DELETE", "/api/admindb/drop")
+    assert (code, out["message"]) == (200, "Drop admindb successfully.")
+    code, _ = _call(base_url, "DELETE", "/api/admindb/drop")
+    assert code == 500
+
+
+def test_admin_setleader_and_config(base_url):
+    code, out = _call(base_url, "POST", "/api/setleader", {"leader": False})
+    assert (code, out["message"]) == (200, "Set leader as false successfully.")
+    code, out = _call(base_url, "POST", "/api/setleader", {"leader": True})
+    assert (code, out["message"]) == (200, "Set leader as true successfully.")
+
+    code, out = _call(
+        base_url,
+        "POST",
+        "/api/config",
+        {"IntraQueryThreads": 8, "ConcurrentWorkersPerIndex": 4, "PreFilter": True},
+    )
+    assert (code, out["message"]) == (200, "Config updated successfully.")
+    # out-of-range value → 500 with the reference's invalid_argument text
+    code, out = _call(base_url, "POST", "/api/config", {"IntraQueryThreads": 0})
+    assert code == 500
+    assert "Invalid value for IntraQueryThreads" in out["message"]

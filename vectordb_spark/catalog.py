@@ -154,6 +154,48 @@ class Database:
         # data dirs are left for vacuum — dropping metadata is the
         # transactional part (object-store discipline).
 
+    def release(self) -> None:
+        """Free derived in-memory state while staying registered
+        (reference ReleaseDB, db_server.cpp:72-80: ``db->Release()``
+        keeps the name→db mapping). Here the durable state IS the
+        manifest + parquet on disk, so release = drop cached schemas
+        and re-read the catalog on next use."""
+        self._load_catalog()
+
+    def dump(self, path: str) -> None:
+        """Snapshot catalog + data to ``path`` (reference DumpDB,
+        db_server.cpp:82-103: create dir, save catalog file, dump every
+        table). Segment files and manifests are immutable, so the dump
+        hard-links them when source and destination share a device
+        (O(metadata), no byte copying — the same trick the CAS commit
+        uses) and falls back to a real copy across devices."""
+        import shutil
+
+        os.makedirs(path, exist_ok=True)
+        _atomic_write_json(
+            os.path.join(path, "catalog"),
+            {
+                "name": self.name,
+                "tables": [s.to_json() for s in self._tables.values()],
+            },
+        )
+
+        def _link_or_copy(src: str, dst: str) -> None:
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+        for tname in self._tables:
+            src = os.path.join(self.path, tname)
+            if os.path.isdir(src):
+                shutil.copytree(
+                    src,
+                    os.path.join(path, tname),
+                    copy_function=_link_or_copy,
+                    dirs_exist_ok=True,
+                )
+
 
 class Warehouse:
     """Top-level entry: load/unload/drop databases
@@ -182,6 +224,28 @@ class Warehouse:
 
     def unload_db(self, name: str) -> None:
         self._dbs.pop(name, None)
+
+    def drop_db(self, name: str) -> None:
+        """Reference DropDB (web_controller.hpp:183-198) — 'Actual
+        erase To be implemented.' there, so drop == unload, but unlike
+        unload_db an unknown name errors (db_server.cpp:60-70)."""
+        if name not in self._dbs:
+            raise VectorDBError("DB_UNEXPECTED_ERROR", f"DB not found: {name}")
+        self._dbs.pop(name)
+
+    def release_db(self, name: str) -> None:
+        """Reference ReleaseDB (db_server.cpp:72-80): free memory,
+        stay registered; unknown name errors."""
+        if name not in self._dbs:
+            raise VectorDBError("DB_UNEXPECTED_ERROR", f"DB not found: {name}")
+        self._dbs[name].release()
+
+    def dump_db(self, name: str, path: str) -> None:
+        """Reference DumpDB (db_server.cpp:82-103); unknown name is
+        DB_NOT_FOUND (the one admin error the reference maps to 404)."""
+        if name not in self._dbs:
+            raise VectorDBError("DB_NOT_FOUND", f"DB not found: {name}")
+        self._dbs[name].dump(path)
 
     def database(self, name: str) -> Database:
         if name not in self._dbs:

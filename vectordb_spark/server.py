@@ -10,8 +10,13 @@ surface, not a latency tier — Spark answers in 100s of ms; the win is
 that the SAME engine serves the 100 TB batch path and the API.
 
 Routes (reference web_controller.hpp line refs):
+  GET    /                                           (:62, text/plain)
+  GET    /state                                      (:70)
   POST   /api/load                                   (:79)
   POST   /api/{db}/unload                            (:148)
+  POST   /api/{db}/release                           (:166)
+  DELETE /api/{db}/drop                              (:183)
+  POST   /api/dump                                   (:202)
   POST   /api/{db}/schema/tables                     (:236)
   DELETE /api/{db}/schema/tables/{table}             (:375)
   GET    /api/{db}/schema/tables/show                (:412)
@@ -22,6 +27,8 @@ Routes (reference web_controller.hpp line refs):
   POST   /api/{db}/data/query                        (:646)
   POST   /api/{db}/data/get                          (:868)
   POST   /api/rebuild                                (:967)
+  POST   /api/setleader                              (:984)
+  POST   /api/config                                 (:1004)
 """
 
 from __future__ import annotations
@@ -38,12 +45,65 @@ from vectordb_spark.catalog import Warehouse
 from vectordb_spark.schema import VectorDBError
 
 
+class ServerConfig:
+    """Runtime-tunable server config (reference config/config.hpp).
+    The reference's knobs size its hand-rolled executor pools; on Spark
+    the cluster manager owns parallelism, so the values are validated
+    and stored with reference-exact ranges/messages (a client tuning
+    the reference keeps working) and only ``PreFilter`` changes
+    behavior (the reference's global pre/post-filter toggle; consumed
+    as the default for query handling)."""
+
+    _INT_RANGES = {
+        "IntraQueryThreads": (1, 128),
+        "NumExecutorPerField": (1, 128),
+        "RebuildThreads": (1, 128),
+        "SearchQueueSize": (500, 10_000_000),
+    }
+    # payload key -> internal field (config.hpp:66-85)
+    _KEYS = {
+        "IntraQueryThreads": "IntraQueryThreads",
+        "ConcurrentWorkersPerIndex": "NumExecutorPerField",
+        "RebuildThreads": "RebuildThreads",
+        "SearchQueueSize": "SearchQueueSize",
+    }
+
+    def __init__(self):
+        self.values = {
+            "IntraQueryThreads": 4,
+            "NumExecutorPerField": 16,
+            "RebuildThreads": 1,
+            "SearchQueueSize": 500,
+            "PreFilter": False,
+        }
+
+    def update(self, payload: dict) -> None:
+        for key, field in self._KEYS.items():
+            if key in payload:
+                v = int(payload[key])
+                lo, hi = self._INT_RANGES[field]
+                if not (lo <= v <= hi):
+                    # reference std::invalid_argument text, surfaced as
+                    # the 500 envelope (web_controller.hpp:1020-1025)
+                    raise ValueError(
+                        f"Invalid value for {field}, valid range: [{lo}, {hi}]"
+                    )
+                self.values[field] = v
+        if "PreFilter" in payload:
+            self.values["PreFilter"] = bool(payload["PreFilter"])
+
+
 class EngineAPI:
     """Route table + handlers bound to a Warehouse."""
 
     def __init__(self, spark: SparkSession, warehouse_root: str, *, embedder=None):
         self.warehouse = Warehouse(spark, warehouse_root)
         self.embedder = embedder
+        self.config = ServerConfig()
+        # reference leader flag (web_controller.hpp:984-1002): a
+        # follower in the reference forwards writes; here it is state a
+        # deployment can inspect via /api/setleader + GET /state
+        self.is_leader = True
         # In-process request serialization; the cross-PROCESS writer
         # guarantee lives at the table layer (Table.writer_lock flock,
         # table.py) so two jobs/servers on one warehouse can't
@@ -69,6 +129,10 @@ class EngineAPI:
             with self._lock:
                 return 200, self._route(method, path, payload, qs)
         except VectorDBError as e:
+            if path == "/api/dump" and e.code == "DB_NOT_FOUND":
+                # the one admin error the reference maps to 404
+                # (web_controller.hpp:216-220)
+                return 404, {"statusCode": 404, "message": e.message}
             code = 400 if e.code != "DB_UNEXPECTED_ERROR" else 500
             return code, {"statusCode": code, "message": e.message}
         except KeyError as e:
@@ -77,6 +141,33 @@ class EngineAPI:
             return 500, {"statusCode": 500, "message": str(e)}
 
     def _route(self, method: str, path: str, p: dict, qs: dict) -> dict:
+        if method == "GET" and path == "/state":
+            # web_controller.hpp:70-75
+            return _ok("Server is online!")
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/release", path)):
+            # web_controller.hpp:166-179
+            self.warehouse.release_db(m.group(1))
+            return _ok(f"Release {m.group(1)} successfully.")
+        if method == "DELETE" and (m := re.fullmatch(r"/api/([^/]+)/drop", path)):
+            # web_controller.hpp:183-198 (drop == unload there too)
+            self.warehouse.drop_db(m.group(1))
+            return _ok(f"Drop {m.group(1)} successfully.")
+        if method == "POST" and path == "/api/dump":
+            # web_controller.hpp:202-232; unknown db → 404 (the one
+            # admin error the reference maps to 404, see handle())
+            self.warehouse.dump_db(p["name"], p["path"])
+            return _ok(f"Dump {p['name']} successfully.")
+        if method == "POST" and path == "/api/setleader":
+            # web_controller.hpp:984-1002
+            self.is_leader = bool(p["leader"])
+            return _ok(
+                f"Set leader as {'true' if self.is_leader else 'false'} "
+                "successfully."
+            )
+        if method == "POST" and path == "/api/config":
+            # web_controller.hpp:1004-1030
+            self.config.update(p)
+            return _ok("Config updated successfully.")
         if method == "POST" and path == "/api/load":
             # vectorScale: reference per-database table capacity
             # (web_controller.hpp:120-122, default InitTableScale=150000
@@ -171,6 +262,16 @@ def make_server(
     class Handler(BaseHTTPRequestHandler):
         def _respond(self):
             parsed = urlparse(self.path)
+            if self.command == "GET" and parsed.path == "/":
+                # reference root endpoint is PLAIN TEXT, not the JSON
+                # envelope (web_controller.hpp:62-66)
+                data = b"Welcome to Epsilla VectorDB."
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             length = int(self.headers.get("Content-Length", 0) or 0)
             body = self.rfile.read(length).decode() if length else "{}"
             try:
