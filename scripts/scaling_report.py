@@ -714,6 +714,118 @@ def main() -> None:
         )
         shutil.rmtree(work, ignore_errors=True)
 
+    # ------------- GIST-shape end-to-end at 1M × 960-d (round 6)
+    lines += [
+        "",
+        "## GIST-shape end-to-end (1M × 960-d, the reference's benchmark drill)",
+        "",
+        "The reference's own ann-benchmarks script",
+        "(engine/test/bindings/python/gist-960-euclidean.py:18-60) bulk-",
+        "inserts 1M 960-d vectors, builds the index, then queries top-10.",
+        "Same drill through the Table API: `insert_df` → ",
+        "`compact(cluster_by=, k=64)` (sample-trained coarse quantizer,",
+        "full-data assignment) → planner-probed partition-pruned search.",
+        "Data = 256 Gaussian blobs: GIST image features are clusterable —",
+        "on structureless uniform noise the separation planner correctly",
+        "refuses to probe and falls back (ann_ivf_autoplan_fallback gate).",
+        "Recall@10 = mean over 20 held-out queries vs exact KNN.",
+        "",
+        "| stage | value |",
+        "|---|---|",
+    ]
+    DIM_G, N_G, BLOBS_G = 960, 1_000_000, 256
+    gist_path = f"{TMP}/gist1m_960"
+    if not os.path.exists(gist_path):
+        rng_g = np.random.RandomState(31)
+        centers_g = rng_g.standard_normal((BLOBS_G, DIM_G)) * 4.0
+        per_g = N_G // BLOBS_G
+        chunk = []
+        vid = 0
+        for ci in range(BLOBS_G):
+            pts = (
+                centers_g[ci]
+                + rng_g.standard_normal((per_g, DIM_G)) * 1.0
+            ).astype(np.float32)
+            chunk.append(
+                pd.DataFrame(
+                    {
+                        "id": np.arange(vid, vid + per_g),
+                        "vec": list(pts),
+                    }
+                )
+            )
+            vid += per_g
+            if len(chunk) == 16:  # flush every ~60k rows
+                spark.createDataFrame(
+                    pd.concat(chunk, ignore_index=True)
+                ).write.mode("append").parquet(gist_path)
+                chunk = []
+        if chunk:
+            spark.createDataFrame(
+                pd.concat(chunk, ignore_index=True)
+            ).write.mode("append").parquet(gist_path)
+        np.save(f"{TMP}/gist1m_centers.npy", centers_g)
+    centers_g = np.load(f"{TMP}/gist1m_centers.npy")
+    src_g = spark.read.parquet(gist_path).withColumn(
+        "vec", F.col("vec").cast("array<float>")
+    )
+    schema_g = TableSchema(
+        name="gist1m",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="vec",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=DIM_G,
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work_g = tempfile.mkdtemp(prefix="vdb_gist_")
+    tg = Table(spark, schema_g, os.path.join(work_g, "gist1m"))
+    tg._init_storage()
+    t0 = time.time()
+    tg.insert_df(src_g)
+    t_ins = round(time.time() - t0, 2)
+    lines.append(f"| insert_df, 1M rows | {t_ins} s |")
+    t0 = time.time()
+    tg.compact(cluster_by="vec", k=64, seed=7)
+    t_cmp = round(time.time() - t0, 2)
+    lines.append(f"| compact(cluster_by=vec, k=64) | {t_cmp} s |")
+    rng_q = np.random.RandomState(47)
+    q_ids = rng_q.choice(BLOBS_G, size=20, replace=False)
+    queries_g = [
+        [float(x) for x in centers_g[ci] + rng_q.standard_normal(DIM_G) * 1.0]
+        for ci in q_ids
+    ]
+    idx_g = tg._cluster_layout_index()
+    recalls = []
+    for qv in queries_g:
+        exact_ids = [r.id for r in tg.search_df(qv, limit=10).collect()]
+        probe_ids = [
+            r.id for r in tg.search_clustered_df(qv, limit=10).collect()
+        ]
+        recalls.append(len(set(exact_ids) & set(probe_ids)) / 10.0)
+    recall = sum(recalls) / len(recalls)
+    qv0 = queries_g[0]
+    t_exact = timed_min3(lambda: tg.search_df(qv0, limit=10).collect())
+    t_probe = timed_min3(
+        lambda: tg.search_clustered_df(qv0, limit=10).collect()
+    )
+    probes0 = idx_g.plan_probes(qv0, 10)
+    scanned_g = sum(idx_g.cluster_sizes.get(c, 0) for c in probes0)
+    lines += [
+        f"| exact top-10 (min-of-3) | {t_exact} s |",
+        f"| probe top-10 (min-of-3) | {t_probe} s |",
+        f"| recall@10 (20 queries, planner nprobe) | {recall:.3f} |",
+        (
+            f"| rows scanned per probe | {scanned_g:,} "
+            f"({100.0 * scanned_g / N_G:.1f}%) |"
+        ),
+        f"| separation ratio (planner input) | {idx_g.separation_ratio:.2f} |",
+    ]
+    shutil.rmtree(work_g, ignore_errors=True)
+
     # ---------------------------- salted skew join (round 5)
     lines += [
         "",

@@ -148,18 +148,31 @@ class IVFIndex:
         self._pq_refine = refine
         return self
 
+    # Coarse-quantizer training is SAMPLE-BOUNDED: KMeans iterations
+    # over the full corpus would be O(iters · n · k · dim) — at 1M×960
+    # that is ~10^12 flops for centroids a 50k sample estimates just as
+    # well (the standard IVF discipline: FAISS trains its coarse
+    # quantizer on ~64-256 points per centroid). ASSIGNMENT stays
+    # full-data — one pass.
+    TRAIN_PER_CENTROID = 256
+    MIN_TRAIN_ROWS = 50_000
+
     def build(self, df: DataFrame, vec_col: str) -> DataFrame:
-        """Fit KMeans, return df + `_cluster` assignment column. At
-        scale, persist the result partitioned by `_cluster` so probing
-        becomes partition pruning. Also records per-cluster sizes (k
-        numbers on the driver) — the statistics auto-probe plans with."""
+        """Fit KMeans (on a bounded sample above MIN_TRAIN_ROWS), then
+        assign every row — return df + `_cluster` column. At scale,
+        persist the result partitioned by `_cluster` so probing becomes
+        partition pruning. Also records per-cluster sizes (k numbers on
+        the driver) — the statistics auto-probe plans with."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
         vecs = df.withColumn("_features", array_to_vector(F.col(vec_col)))
         km = KMeans(k=self.k, seed=self.seed, featuresCol="_features",
                     predictionCol="_cluster")
-        model = km.fit(vecs)
+        cap = max(self.MIN_TRAIN_ROWS, self.TRAIN_PER_CENTROID * self.k)
+        n = df.count()
+        fit_input = vecs.sample(cap / n, seed=self.seed) if n > cap else vecs
+        model = km.fit(fit_input)
         self.centroids = [[float(x) for x in c] for c in model.clusterCenters()]
         out = model.transform(vecs).drop("_features")
         self._compute_build_stats(out, vec_col)
