@@ -723,7 +723,7 @@ def main() -> None:
         "(engine/test/bindings/python/gist-960-euclidean.py:18-60) bulk-",
         "inserts 1M 960-d vectors, builds the index, then queries top-10.",
         "Same drill through the Table API: `insert_df` → ",
-        "`compact(cluster_by=, k=64)` (sample-trained coarse quantizer,",
+        "`compact(cluster_by=, k=256)` (sample-trained coarse quantizer,",
         "full-data assignment) → planner-probed partition-pruned search.",
         "Data = 256 Gaussian blobs: GIST image features are clusterable —",
         "on structureless uniform noise the separation planner correctly",
@@ -789,9 +789,9 @@ def main() -> None:
     t_ins = round(time.time() - t0, 2)
     lines.append(f"| insert_df, 1M rows | {t_ins} s |")
     t0 = time.time()
-    tg.compact(cluster_by="vec", k=64, seed=7)
+    tg.compact(cluster_by="vec", k=256, seed=7)
     t_cmp = round(time.time() - t0, 2)
-    lines.append(f"| compact(cluster_by=vec, k=64) | {t_cmp} s |")
+    lines.append(f"| compact(cluster_by=vec, k=256) | {t_cmp} s |")
     rng_q = np.random.RandomState(47)
     q_ids = rng_q.choice(BLOBS_G, size=20, replace=False)
     queries_g = [
@@ -817,6 +817,7 @@ def main() -> None:
     lines += [
         f"| exact top-10 (min-of-3) | {t_exact} s |",
         f"| probe top-10 (min-of-3) | {t_probe} s |",
+        f"| planner path | {'probe' if not idx_g.last_search_exact_fallback else 'exact fallback'} |",
         f"| recall@10 (20 queries, planner nprobe) | {recall:.3f} |",
         (
             f"| rows scanned per probe | {scanned_g:,} "

@@ -273,3 +273,34 @@ class TestSqlMockEmbedderTriParity:
         b = e._one("completely different words entirely")
         assert a != b
         assert e._one("") == [0.0] * 16
+
+    def test_table_auto_embed_with_sql_embedder(self, spark, tmp_path):
+        # E1/E2 through the Table API with the ORACLE-CHECKABLE embedder:
+        # the same SqlMockEmbedder that backs the semantic_text_search
+        # gate drives auto-embed-on-insert + search-by-content
+        from vectordb_spark.catalog import Warehouse
+        from vectordb_spark.embedding import SqlMockEmbedder
+
+        e = SqlMockEmbedder(dimension=16)
+        wh = Warehouse(spark, str(tmp_path / "wh_sql"))
+        t = wh.load_db("sqldb").create_table(
+            {
+                "name": "docs",
+                "fields": [
+                    {"name": "ID", "dataType": "INT", "primaryKey": True},
+                    {"name": "Doc", "dataType": "STRING"},
+                ],
+                "indices": [{"name": "Emb", "field": "Doc", "dimensions": 16}],
+            },
+            embedder=e,
+        )
+        t.insert(
+            [
+                {"ID": 1, "Doc": "the quick brown fox"},
+                {"ID": 2, "Doc": "jumped over the lazy dog"},
+                {"ID": 3, "Doc": "the quick brown fox"},
+            ]
+        )
+        out = t.query(query_text="the quick brown fox", limit=2)
+        ids = [r["ID"] for r in out["result"]]
+        assert set(ids) == {1, 3}  # exact text match embeds identically

@@ -147,6 +147,14 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "text_boilerplate_span_removal",
 )
 
+# Round-7 rotation queue: round-6 additions registered after the
+# window filled — selfcheck-green but without a driver row yet:
+# tpch_q10_returned_items (fact-fact-dim top-20, AQE-sized customer
+# join), stream_enrich_join (stream-static broadcast enrichment
+# through foreachBatch ingest). Swap-out candidates: the r4-r5
+# multi-greens still holding slots (sample_stratified, pack_sequences,
+# source_mixing_weights, text_top_bigrams_per_lang, source_cap_top_quality).
+
 
 def _load() -> None:
     """Import all query modules (side effect: registration)."""

@@ -180,7 +180,10 @@ def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [int(x) for x in e._one(_SEM_QUERY_TEXT)]
     bb = sum(x * x for x in qv)
     qarr = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in qv) + ")"
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance: documents.parquet is one file → one task; the embed
+    # stage is interpreted (HOF exprs don't codegen) so it must spread
+    # across cores — at cluster scale the scan has many splits anyway
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
     embedded = e.embed_df(
         d.select("doc_id", "lang", "text"), "text", out="v"
     ).select("doc_id", "lang", "v")

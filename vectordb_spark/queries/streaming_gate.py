@@ -342,3 +342,100 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_ENRICH_ORACLE = f"""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n,
+       {O.dec_sum("e.value")} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("stream_enrich_join", oracle=_ENRICH_ORACLE)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join gate: the standard streaming-enrichment shape
+    (clickstream joined to a dimension at ingest). Events replay as two
+    mtime-ordered micro-batches; INSIDE the stream each batch
+    broadcast-joins the static customer dim (stream-static joins are
+    stateless per micro-batch — the dim is re-resolved each batch, so
+    dim updates between batches are picked up, and nothing accumulates
+    in state), and foreachBatch appends the enriched rows to an engine
+    Table. The oracle runs the equivalent batch join over the raw
+    sources: a hash match proves the per-batch join dropped/duplicated
+    nothing across the batch boundary. At 100 TB the dim side stays a
+    broadcast (or a bucketed shuffle when it outgrows one executor);
+    the stream side never shuffles before the join."""
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.streaming.ingest import stream_insert
+    from vectordb_spark.table import Table
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+
+    work = tempfile.mkdtemp(prefix="vdb_stream_enrich_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+        half_dir = os.path.join(work, f"half{i}")
+        ev.where(pred).coalesce(1).write.parquet(half_dir)
+        part = next(
+            n for n in os.listdir(half_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(half_dir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = (
+        stream.join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"])
+        .select("event_id", "event_type", "value", "c_mktsegment")
+        .withColumn("Emb", F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>"))
+    )
+
+    table_schema = TableSchema(
+        name="enriched_events",
+        fields=[
+            FieldSchema(name="event_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="event_type", field_type=FieldType.STRING),
+            FieldSchema(name="value", field_type=FieldType.DOUBLE),
+            FieldSchema(name="c_mktsegment", field_type=FieldType.STRING),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, table_schema, os.path.join(work, "enriched_events"))
+    t._init_storage()
+    q = stream_insert(t, enriched, os.path.join(work, "_checkpoint"))
+    q.awaitTermination()
+
+    out = t.df().groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out

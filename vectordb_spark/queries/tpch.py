@@ -186,3 +186,52 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {O.dec_sum("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: returned-item reporting — lost revenue per customer for one
+    quarter, top-20. The canonical fact-fact-dim shape: lineitem
+    (filtered to returns, predicate pushed to parquet) shuffle-joins
+    date-filtered orders on orderkey; the customer join carries NO
+    broadcast hint — customer is SF-proportional, so AQE picks
+    broadcast vs shuffle from runtime size (at 100 TB: shuffle on
+    o_custkey); nation (25 rows) broadcasts. Revenue in decimal,
+    top-20 as TakeOrderedAndProject — no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    o_q = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o_q, li["l_orderkey"] == o_q["o_orderkey"])
+        .join(c, o_q["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
