@@ -125,6 +125,23 @@ SHOWCASE = {
         "shuffle key, and the stop-gram cap bounds every join key's "
         "fan-out — candidates, never all-pairs."
     ),
+    "semantic_text_search": (
+        "E1/E2 embed→KNN in ONE scan: the SQL-expressible embedder runs "
+        "as staged projections (normalize → code points → trigram "
+        "hashes → bucket counts) so each interpreted higher-order "
+        "expression evaluates once per row — note exactly one "
+        "regexp_replace in the whole plan and NO Filter node (a filter "
+        "on the embed output would be predicate-pushed below the "
+        "stages and re-inline the chain); top-K is "
+        "TakeOrderedAndProject, never a global sort."
+    ),
+    "tpch_q10_returned_items": (
+        "Q10 returned-item report: l_returnflag='R' pushed to the "
+        "lineitem scan, fact-fact join shuffles on orderkey, the "
+        "SF-proportional customer side carries no broadcast hint (AQE "
+        "sizes it at runtime), nation broadcasts, and the top-20 is "
+        "TakeOrderedAndProject over the decimal revenue aggregate."
+    ),
 }
 
 

@@ -402,3 +402,82 @@ def test_cross_process_writer_lock_no_lost_updates(tmp_path):
     meta = t._load_meta()  # valid JSON → manifest never corrupted
     assert meta["next_row_id"] == n_procs * n_iters
     assert meta["version"] == n_procs * n_iters
+
+
+def test_conflict_leaves_caller_seq_unbumped(tmp_path):
+    # a CONCURRENT_WRITE loser's dict must NOT keep a bumped seq: a
+    # retry loop that (wrongly) reuses the stale dict would otherwise
+    # eventually claim a later seq and clobber the winning commit —
+    # the exact lost update the CAS exists to prevent
+    from vectordb_spark.schema import (
+        FieldSchema,
+        FieldType,
+        TableSchema,
+        VectorDBError,
+    )
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="seqt",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(None, schema, str(tmp_path / "sq"))
+    t._init_storage()
+    stale = t._load_meta()
+    fresh = t._load_meta()
+    base_seq = int(stale.get("seq") or 0)
+    fresh["version"], fresh["files"] = 1, ["a1"]
+    t._save_meta(fresh)
+    assert fresh["seq"] == base_seq + 1  # winner's dict advanced
+    stale["version"], stale["files"] = 1, ["b1"]
+    for _ in range(3):  # a buggy same-dict retry loop stays stuck
+        with pytest.raises(VectorDBError):
+            t._save_meta(stale)
+        assert int(stale.get("seq") or 0) == base_seq  # never advances
+    assert t._load_meta()["files"] == ["a1"]
+
+
+def test_first_commit_crash_rolls_forward_on_reopen(tmp_path, spark):
+    # crash between link(2) and the _meta.json replace on the FIRST
+    # commit leaves only _meta.s1.json; reopen must treat the table as
+    # existing (manifest partition_by wins, no CONCURRENT_WRITE from
+    # _init_storage re-creating seq 1)
+    import json
+    import os
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="crash1",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="etype", field_type=FieldType.STRING),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    path = str(tmp_path / "cr")
+    os.makedirs(path)
+    # simulate the torn first commit: seq token present, pointer absent
+    meta = {
+        "version": 0, "files": [], "next_row_id": 0, "row_count": 0,
+        "capacity": 100, "index_sources": {}, "partition_by": "etype",
+        "seq": 1,
+    }
+    with open(os.path.join(path, "_meta.s1.json"), "w") as f:
+        json.dump(meta, f)
+
+    t = Table(spark, schema, path, partition_by=None)
+    assert t.partition_by == "etype"  # manifest won over the constructor
+    t._init_storage()  # no CONCURRENT_WRITE: table recognized as existing
+    t.insert([{"ID": 1, "etype": "a", "Emb": [0.0, 0.0]}])
+    assert t.df().count() == 1

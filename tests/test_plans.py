@@ -226,3 +226,34 @@ def test_geo_join_is_hash_join(spark, qs):
 def test_substring_fingerprint_join_is_hash_join(spark, qs):
     # the fingerprint pair stage must join on fp equality only
     assert_no_cartesian(qs["dedup_substring_fingerprint"](spark, SF))
+
+
+def test_tpch_q10_returnflag_pushed_and_hash_joined(spark, qs):
+    # the returned-items filter must reach the lineitem scan; every
+    # join is an equi (hash/sort-merge) join — never nested-loop; the
+    # 25-row nation dim broadcasts
+    from vectordb_spark.plans.audit import assert_pushed_filters, plan_of
+
+    df = qs["tpch_q10_returned_items"](spark, SF)
+    assert_pushed_filters(df, "EqualTo(l_returnflag,R)")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    assert_take_ordered(df)
+
+
+def test_semantic_search_is_take_ordered_single_scan(spark, qs):
+    # embed→score→top-K must be ONE pass: per-partition top-K heaps
+    # (TakeOrderedAndProject), no global sort, and exactly one scan of
+    # documents (a WHERE on the embed output used to re-inline the
+    # whole interpreted expression chain into a pushed filter)
+    from vectordb_spark.plans.audit import plan_of
+
+    df = qs["semantic_text_search"](spark, SF)
+    assert_take_ordered(df)
+    plan = plan_of(df)
+    # one scan: formatted plans print each node in the tree AND the
+    # details list, so one physical scan == one "Location:" line
+    assert plan.count("Location:") == 1
+    # each staged expression evaluates once: a pushed-down filter would
+    # duplicate the normalize stage into the scan's filter condition
+    assert plan.count("regexp_replace") == 1
