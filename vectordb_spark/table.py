@@ -992,7 +992,13 @@ class Table:
     ) -> dict:
         """Attribute scan / point reads (reference §3.3): PK-list route,
         else filtered scan in insertion (_row_id) order with
-        skip/limit."""
+        skip/limit.
+
+        This is the API-parity JSON route — it MATERIALIZES the page on
+        the driver (like the reference returns JSON), sized for point
+        reads and pages. Bulk consumers must stay distributed: use
+        ``df()`` (full snapshot incl. time travel) or ``search_df``
+        and keep the result a DataFrame."""
         df = self.df()
         if primary_keys:
             pk_field = self.schema.primary_key
