@@ -91,6 +91,7 @@ HEADLINE = [
     "text_boilerplate_span_removal",
     # round-6 additions
     "semantic_text_search",
+    "semantic_maxsim_search",
     "ann_gist_shape",
 ]
 

@@ -257,3 +257,23 @@ def test_semantic_search_is_take_ordered_single_scan(spark, qs):
     # each staged expression evaluates once: a pushed-down filter would
     # duplicate the normalize stage into the scan's filter condition
     assert plan.count("regexp_replace") == 1
+
+
+def test_maxsim_single_scan_single_shuffle(spark, qs):
+    # late-interaction MaxSim: chunk-explode + embed are map-side; the
+    # ONLY shuffle is the per-doc max/sum aggregation (partial-agg
+    # map-side), and the top-10 is a TakeOrdered, not a global sort
+    from vectordb_spark.plans.audit import plan_of
+
+    df = qs["semantic_maxsim_search"](spark, SF)
+    assert_take_ordered(df)
+    plan = plan_of(df)
+    assert plan.count("Location:") == 1  # one scan of documents
+    # formatted plans print each node in the tree AND the details list:
+    # 2 physical exchanges (scan rebalance + the groupBy) = 4 mentions,
+    # and the partial HashAggregate must sit BELOW the groupBy exchange
+    assert plan.count("Exchange") <= 4
+    lines = plan.splitlines()
+    gb_exch = max(i for i, l in enumerate(lines) if "+- Exchange" in l)
+    assert any("HashAggregate" in l for l in lines[gb_exch:]), plan
+    assert plan.count("regexp_replace") == 1  # embed stages not duplicated

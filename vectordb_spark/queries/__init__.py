@@ -151,7 +151,9 @@ ORACLE_WINDOW: tuple[str, ...] = (
 # window filled — selfcheck-green but without a driver row yet:
 # tpch_q10_returned_items (fact-fact-dim top-20, AQE-sized customer
 # join), stream_enrich_join (stream-static broadcast enrichment
-# through foreachBatch ingest). Swap-out candidates: the r4-r5
+# through foreachBatch ingest), semantic_maxsim_search (ColBERT-style
+# late-interaction chunk MaxSim over SqlMockEmbedder vectors — beyond
+# the reference's one-vector-per-row scoring). Swap-out candidates: the r4-r5
 # multi-greens still holding slots (sample_stratified, pack_sequences,
 # source_mixing_weights, text_top_bigrams_per_lang, source_cap_top_quality).
 

@@ -217,3 +217,132 @@ def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc_nulls_last(), F.col("doc_id").asc())
         .limit(_SEM_K)
     )
+
+
+_MAXSIM_PHRASES = (
+    "fast key order sort",
+    "stream batch window merge",
+    "customer line join value",
+)
+_MAXSIM_W = 8  # words per chunk
+_MAXSIM_K = 10
+
+
+def _maxsim_parts():
+    from vectordb_spark.embedding import SqlMockEmbedder
+
+    e = SqlMockEmbedder(dimension=16)
+    qvs = [[int(x) for x in e._one(p)] for p in _MAXSIM_PHRASES]
+    bbs = [sum(x * x for x in qv) for qv in qvs]
+    return e, qvs, bbs
+
+
+def _maxsim_oracle() -> str:
+    e, qvs, bbs = _maxsim_parts()
+    cos_cols = []
+    for k, (qv, bb) in enumerate(zip(qvs, bbs)):
+        qlist = "[" + ", ".join(str(x) for x in qv) + "]"
+        cos_cols.append(
+            f"CASE WHEN aa = 0 THEN NULL ELSE "
+            f"CAST(list_sum(list_transform(list_zip(v, {qlist}), p -> p[1]*p[2])) AS DOUBLE)"
+            f" / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST({bb} AS DOUBLE))) END AS cos{k}"
+        )
+    w = _MAXSIM_W
+    return f"""
+    WITH chunks AS (
+        SELECT doc_id, t.i AS chunk_id,
+               array_to_string(words[(t.i*{w}+1):(t.i*{w}+{w})], ' ') AS chunk_text
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             unnest(range(0, CAST(ceil(len(words)/{w}.0) AS INT))) AS t(i)
+    ),
+    vec AS (
+        SELECT doc_id, {e.duck_expr("chunk_text")} AS v FROM chunks
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS aa,
+               v
+        FROM vec
+    ),
+    cosed AS (
+        SELECT doc_id, {", ".join(cos_cols)} FROM scored
+    ),
+    agged AS (
+        SELECT doc_id, MAX(cos0) AS s0, MAX(cos1) AS s1, MAX(cos2) AS s2
+        FROM cosed GROUP BY doc_id
+    )
+    SELECT doc_id, (s0 + s1) + s2 AS score
+    FROM agged
+    WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+    ORDER BY score DESC, doc_id LIMIT {_MAXSIM_K}
+    """
+
+
+@query("semantic_maxsim_search", oracle=_maxsim_oracle())
+def semantic_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim idea) as a plain
+    Spark plan — BEYOND the reference, which scores one vector per row:
+    documents split into {_MAXSIM_W}-word chunks, every chunk embedded
+    with the oracle-checkable SqlMockEmbedder (staged Catalyst
+    expressions, integer vectors ⇒ exact dots), and a multi-phrase
+    query scores each doc as Σ_phrases max_chunks cosine — fine-grained
+    phrase-to-passage matching that single-vector search averages away.
+
+    Scale shape: chunking is a generator explode (no shuffle), the
+    embed stage is map-side codegen'd arithmetic, and the ONLY shuffle
+    is the groupBy(doc_id) max/sum — partial-aggregated map-side, so
+    what moves is one row per (doc × 3 phrases), not per chunk. MAX
+    over doubles is order-exact; the 3-term final sum has a fixed
+    parenthesization mirrored in the oracle. NULL handling: empty
+    chunks (aa=0) contribute NULL, MAX ignores them in both engines,
+    and docs with no scorable chunk for some phrase are excluded by an
+    IS NOT NULL filter ON THE AGGREGATE (which cannot be pushed below
+    the groupBy — the embed chain stays single-evaluation)."""
+    e, qvs, bbs = _maxsim_parts()
+    w = _MAXSIM_W
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    chunks = d.select(
+        "doc_id",
+        F.expr(
+            f"posexplode(transform(sequence(0, "
+            f"CAST(ceil(size(split(text, ' '))/{w}.0) AS INT) - 1), "
+            f"i -> array_join(slice(split(text, ' '), i*{w}+1, {w}), ' ')))"
+        ).alias("chunk_id", "chunk_text"),
+    )
+    emb = e.embed_df(chunks, "chunk_text", out="v").withColumn(
+        "aa", F.expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)")
+    )
+    cos_cols = []
+    for k, (qv, bb) in enumerate(zip(qvs, bbs)):
+        qarr = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in qv) + ")"
+        ab = F.expr(
+            f"aggregate(zip_with(v, {qarr}, (x, y) -> x*y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        cos_cols.append(
+            F.when(F.col("aa") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                ab.cast("double")
+                / (F.sqrt(F.col("aa").cast("double")) * F.sqrt(F.lit(float(bb))))
+            )
+            .alias(f"cos{k}")
+        )
+    cosed = emb.select("doc_id", *cos_cols)
+    agged = cosed.groupBy("doc_id").agg(
+        F.max("cos0").alias("s0"),
+        F.max("cos1").alias("s1"),
+        F.max("cos2").alias("s2"),
+    )
+    return (
+        agged.where(
+            F.col("s0").isNotNull()
+            & F.col("s1").isNotNull()
+            & F.col("s2").isNotNull()
+        )
+        .select(
+            "doc_id",
+            ((F.col("s0") + F.col("s1")) + F.col("s2")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_MAXSIM_K)
+    )
