@@ -239,7 +239,7 @@ def test_admin_release_drop_dump(base_url, tmp_path):
         base_url, "POST", "/api/admindb/data/get",
         {"table": "T", "limit": 10},
     )
-    assert code == 200 and len(out["result"]) == 1
+    assert code == 200 and len(out["result"]["result"]) == 1
 
     # dump snapshots catalog + data (:202-232)
     dump_dir = str(tmp_path / "dump")
@@ -281,3 +281,46 @@ def test_admin_setleader_and_config(base_url):
     code, out = _call(base_url, "POST", "/api/config", {"IntraQueryThreads": 0})
     assert code == 500
     assert "Invalid value for IntraQueryThreads" in out["message"]
+
+
+def test_csv_load_endpoint(base_url, tmp_path):
+    # reference LoadCSV (web_controller.hpp:615-622) is an ack-only
+    # stub; here the load is REAL when table+path are given. Vector
+    # cells ride as '[x, y]' strings and parse to the declared type.
+    code, _ = _call(base_url, "POST", "/api/load", {"name": "csvdb2"})
+    assert code == 200
+    schema = {
+        "name": "C",
+        "fields": [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Doc", "dataType": "STRING"},
+            {
+                "name": "Vec",
+                "dataType": "VECTOR_FLOAT",
+                "dimensions": 2,
+                "metricType": "EUCLIDEAN",
+            },
+        ],
+    }
+    code, _ = _call(base_url, "POST", "/api/csvdb2/schema/tables", schema)
+    assert code == 200
+    csv = tmp_path / "in.csv"
+    csv.write_text(
+        'ID,Doc,Vec\n1,alpha,"[0.0, 1.0]"\n2,beta,"[1.0, 0.0]"\n'
+    )
+    code, out = _call(
+        base_url,
+        "POST",
+        "/api/csvdb2/data/load",
+        {"table": "C", "path": str(csv)},
+    )
+    assert (code, out["message"]) == (200, "Loading csv to csvdb2.")
+    code, out = _call(
+        base_url, "POST", "/api/csvdb2/data/get", {"table": "C", "limit": 10}
+    )
+    assert code == 200
+    got = {r["ID"]: r for r in out["result"]["result"]}
+    assert set(got) == {1, 2} and got[1]["Doc"] == "alpha"
+    # reference-shaped ack-only call (no table/path) keeps the stub envelope
+    code, out = _call(base_url, "POST", "/api/csvdb2/data/load", {})
+    assert (code, out["message"]) == (200, "Loading csv to csvdb2.")

@@ -23,6 +23,7 @@ Routes (reference web_controller.hpp line refs):
   POST   /api/{db}/data/insert                       (:436)
   POST   /api/{db}/data/insertprepare                (:511)
   POST   /api/{db}/data/delete                       (:557)
+  POST   /api/{db}/data/load                         (:615, CSV — real here)
   GET    /api/{db}/statistics?table=                 (:626)
   POST   /api/{db}/data/query                        (:646)
   POST   /api/{db}/data/get                          (:868)
@@ -199,6 +200,47 @@ class EngineAPI:
             t = self._table(m.group(1), p["table"])
             res = t.insert(p["data"], upsert=bool(p.get("upsert", False)))
             return _ok(f"Insert data to {p['table']} successfully.", result=res)
+        if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/load", path)):
+            # LoadCSV (web_controller.hpp:615-622). The reference STUBS
+            # this — it replies "Loading csv to {db}." and does nothing.
+            # Here the load is real when the payload names a table and
+            # path (sources/readers.py read_csv → insert_df), while a
+            # bare payload keeps the reference's ack-only behavior so a
+            # reference-shaped client sees the identical envelope.
+            if p.get("table") and p.get("path"):
+                from pyspark.sql import functions as F
+                from pyspark.sql import types as T
+
+                from vectordb_spark.sources.readers import read_csv
+
+                t = self._table(m.group(1), p["table"])
+                declared = t.schema.to_spark_schema()
+                # CSV cells are scalars: read array-typed (vector)
+                # fields as STRING columns holding '[0.1, 0.2]' and
+                # parse them to the declared array type afterwards
+                csv_schema = T.StructType(
+                    [
+                        T.StructField(
+                            f.name,
+                            T.StringType()
+                            if isinstance(f.dataType, T.ArrayType)
+                            else f.dataType,
+                        )
+                        for f in declared.fields
+                    ]
+                )
+                df = read_csv(
+                    self.warehouse.spark, p["path"],
+                    schema=csv_schema,
+                    header=bool(p.get("header", True)),
+                )
+                for f in declared.fields:
+                    if isinstance(f.dataType, T.ArrayType):
+                        df = df.withColumn(
+                            f.name, F.from_json(F.col(f.name), f.dataType)
+                        )
+                t.insert_df(df, upsert=bool(p.get("upsert", False)))
+            return _ok(f"Loading csv to {m.group(1)}.")
         if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/insertprepare", path)):
             t = self._table(m.group(1), p["table"])
             res = t.insert_prepare(p.get("primaryKeys"))
