@@ -92,6 +92,7 @@ HEADLINE = [
     # round-6 additions
     "semantic_text_search",
     "semantic_maxsim_search",
+    "text_lm_perplexity",
     "ann_gist_shape",
 ]
 

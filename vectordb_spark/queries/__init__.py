@@ -153,7 +153,9 @@ ORACLE_WINDOW: tuple[str, ...] = (
 # join), stream_enrich_join (stream-static broadcast enrichment
 # through foreachBatch ingest), semantic_maxsim_search (ColBERT-style
 # late-interaction chunk MaxSim over SqlMockEmbedder vectors — beyond
-# the reference's one-vector-per-row scoring). Swap-out candidates: the r4-r5
+# the reference's one-vector-per-row scoring), text_lm_perplexity
+# (corpus bigram-LM NLL scoring, the CCNet/Gopher quality signal, with
+# a quantized-ln exact oracle). Swap-out candidates: the r4-r5
 # multi-greens still holding slots (sample_stratified, pack_sequences,
 # source_mixing_weights, text_top_bigrams_per_lang, source_cap_top_quality).
 

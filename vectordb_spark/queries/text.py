@@ -722,3 +722,85 @@ def text_boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame
             " ",
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------- corpus-LM perplexity
+
+_PPL_Q = 1_000_000  # ln quantization grid (1e-6 nats)
+
+_PPL_ORACLE = f"""
+WITH bg AS (
+    SELECT doc_id, w[t.i] AS w1, w[t.i + 1] AS w2
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+c12 AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+),
+c1 AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+),
+lm AS (
+    SELECT c12.w1, c12.w2,
+           CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                      * {_PPL_Q}) AS BIGINT) AS qln
+    FROM c12 JOIN c1 ON c12.w1 = c1.w1
+)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(-lm.qln) AS BIGINT) AS nll_q
+FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+GROUP BY bg.doc_id
+"""
+
+
+@query("text_lm_perplexity", oracle=_PPL_ORACLE)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity scoring — the CCNet/Gopher quality signal
+    (docs whose token transitions surprise a language model are noise):
+    fit a bigram LM on the corpus itself and score every document's
+    negative log-likelihood under it, entirely as joins + aggregates.
+
+    Distributed LM shape: bigram explode is a generator (no shuffle);
+    the LM is two hash aggregations (bigram counts, then unigram
+    totals as a SUM over them — never a second pass over the corpus);
+    scoring is an equi-join of doc-bigrams against the LM on (w1, w2)
+    and a per-doc sum. Conditional probability c12/c1 is an exact
+    integer ratio; its ln is quantized to a {_PPL_Q}-per-nat integer
+    grid BEFORE any aggregation because ln differs between engines in
+    the last ulp on ~10% of inputs (measured JVM vs libm) — a 1-ulp
+    input flip crosses a 1e-6 bucket with probability ~2e-10, so the
+    quantized NLL sums to the same BIGINT in both engines. Consumers
+    bucket docs by nll_q / n_bigrams (mean nats × 1e6); the exp() for
+    true perplexity is presentation, not pipeline."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    bg = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ', -1)) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ', -1)) - 1), "
+                "i -> struct(element_at(split(text, ' ', -1), i) AS w1, "
+                "element_at(split(text, ' ', -1), i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("_pos", "p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    lm = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            f"CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) "
+            f"* {_PPL_Q}) AS BIGINT)"
+        ).alias("qln"),
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(-F.col("qln")).cast("long").alias("nll_q"),
+        )
+    )
