@@ -94,6 +94,8 @@ HEADLINE = [
     "semantic_maxsim_search",
     "text_lm_perplexity",
     "ann_gist_shape",
+    "bm25_topk",
+    "hybrid_bm25_vector_rrf",
 ]
 
 _GIST: dict = {}

@@ -155,7 +155,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 # late-interaction chunk MaxSim over SqlMockEmbedder vectors — beyond
 # the reference's one-vector-per-row scoring), text_lm_perplexity
 # (corpus bigram-LM NLL scoring, the CCNet/Gopher quality signal, with
-# a quantized-ln exact oracle). Swap-out candidates: the r4-r5
+# a quantized-ln exact oracle), bm25_topk (lexical BM25 with exact
+# rational tf-norm + quantized-idf oracle), hybrid_bm25_vector_rrf
+# (the TRUE E3 hybrid: BM25 over documents fused with dense cosine
+# over the aligned embeddings by RRF). Swap-out candidates: the r4-r5
 # multi-greens still holding slots (sample_stratified, pack_sequences,
 # source_mixing_weights, text_top_bigrams_per_lang, source_cap_top_quality).
 

@@ -219,6 +219,229 @@ def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- BM25 lexical
+#
+# BM25 parameters as exact rationals: k1 = 1.2 = 12/10, b = 0.75 = 3/4,
+# so k1*(1-b) = 3/10, k1*b = 9/10, k1+1 = 22/10. With avgdl = S/N
+# (S = corpus token count, N = doc count) the per-term normalization
+#   tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+# multiplies through by 10*S into an EXACT integer ratio:
+#   (22*tf*S) / (10*tf*S + 3*S + 9*dl*N)
+# Both sides stay well under 2^53 at any test SF, so the double
+# division is one correctly-rounded op — identical in Spark and DuckDB.
+# (A 100 TB production run would use the plain double avgdl form; the
+# rationalization exists to make the oracle gate bit-exact.)
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_Q = 1_000_000  # idf quantization grid (1e-6 nats)
+_BM25_K = 10
+
+
+def _bm25_sq_expr(tf: str, df: str, dl: str, n: str, s: str) -> str:
+    """The quantized per-(doc, term) BM25 contribution, valid as both
+    Spark SQL and DuckDB SQL. idf = ln(1 + (N - df + .5)/(df + .5))
+    = ln((2N+2)/(2df+1)) — an exact integer ratio, ln'd then floored
+    onto a 1e-6 grid (the text_lm_perplexity discipline: a 1-ulp ln
+    disagreement crosses a bucket with probability ~2e-10); the
+    tf-norm ratio is exact; their product is one correctly-rounded
+    multiply, floored to BIGINT so the per-doc SUM is order-free."""
+    idf_q = (
+        f"floor(ln(CAST(2 * {n} + 2 AS DOUBLE) / "
+        f"CAST(2 * {df} + 1 AS DOUBLE)) * {_BM25_Q})"
+    )
+    ratio = (
+        f"(CAST(22 * {tf} * {s} AS DOUBLE) / "
+        f"CAST(10 * {tf} * {s} + 3 * {s} + 9 * {dl} * {n} AS DOUBLE))"
+    )
+    return f"CAST(floor({idf_q} * {ratio}) AS BIGINT)"
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_CTE = f"""
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+    SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl
+),
+tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM toks
+    WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, w
+),
+dfreq AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks
+    WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY w
+),
+contrib AS (
+    SELECT tf.doc_id,
+           {_bm25_sq_expr("tf.tf", "dfreq.df", "dl.dl", "stats.n", "stats.s")} AS sq
+    FROM tf
+    JOIN dfreq USING (w)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+),
+bm25 AS (
+    SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS bm25_q,
+           COUNT(*) AS n_terms
+    FROM contrib GROUP BY doc_id
+)
+"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTE}
+SELECT doc_id, bm25_q, n_terms FROM bm25
+ORDER BY bm25_q DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quantized BM25 score over the fixed query terms.
+
+    Distributed shape: one corpus pass explodes tokens (generator, no
+    shuffle) and the term filter prunes it to query-term hits BEFORE
+    any shuffle — at 100 TB what aggregates is |docs containing a query
+    term| rows, not the corpus. Doc lengths and the (N, S) corpus
+    stats come from the unexploded table (map-side agg to ONE row,
+    broadcast by AQE); df is a 3-row broadcast. No driver-side
+    collect anywhere — the stats ride as a crossJoin of a 1-row frame."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    words = F.split("text", " ", -1)
+    toks = d.select("doc_id", F.explode(words).alias("w"))
+    dl = d.select("doc_id", F.size(words).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("s")
+    )
+    hits = toks.where(F.col("w").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(_bm25_sq_expr("tf", "df", "dl", "n", "s")).alias("sq"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("sq").cast("long").alias("bm25_q"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+@query("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck-Jones probabilistic
+    ranking) as a pure DataFrame plan — the lexical half of hybrid
+    search the reference delegates to clients (E3; the engine itself
+    is vector-only, db_server.cpp hybrid handling is fusion of caller
+    rankings). k1=1.2, b=0.75; scores land on an integer 1e-6 grid so
+    the gate hash is exact (see _bm25_sq_expr). orderBy+limit plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25_q").desc(), F.col("doc_id"))
+        .limit(_BM25_K)
+    )
+
+
+_HYB_N = 100  # per-ranker candidate truncation feeding the fusion
+
+_HYB_ORACLE = f"""
+WITH {_BM25_CTE},
+lex_top AS (
+    SELECT doc_id, bm25_q FROM bm25
+    ORDER BY bm25_q DESC, doc_id LIMIT {_HYB_N}
+),
+lex_rank AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS r_lex
+    FROM lex_top
+),
+sem AS (
+    SELECT vec_id AS doc_id,
+           {O.duck_cosine_distance("embedding", _QV, normalized=False)} AS d_cos
+    FROM embeddings
+),
+sem_top AS (
+    SELECT doc_id, d_cos FROM sem ORDER BY d_cos, doc_id LIMIT {_HYB_N}
+),
+sem_rank AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY d_cos, doc_id) AS r_sem
+    FROM sem_top
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       a.r_lex, b.r_sem,
+       coalesce(1.0 / ({_RRF_K} + a.r_lex), 0.0)
+         + coalesce(1.0 / ({_RRF_K} + b.r_sem), 0.0) AS rrf
+FROM lex_rank a FULL OUTER JOIN sem_rank b USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("hybrid_bm25_vector_rrf", oracle=_HYB_ORACLE)
+def hybrid_bm25_vector_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE hybrid search — lexical BM25 over documents fused with
+    dense cosine KNN over the aligned embeddings table (doc_id ≡
+    vec_id) by Reciprocal Rank Fusion. This is the full shape the
+    reference's E3 leaves to clients: two independent retrievers, each
+    truncated to its top-{_HYB_N} (TakeOrderedAndProject heaps — the
+    only corpus-scale passes), ranked within the candidate sets on a
+    constant-key single partition of ≤{_HYB_N} rows, full-outer joined
+    and fused as Σ 1/(k+rank) with a fixed two-term evaluation order
+    (bit-exact vs the oracle). At 100 TB the fusion join touches 200
+    rows; everything expensive is in the two scans, each independently
+    prunable/indexable (IVF for the dense side, the term pre-filter
+    for the lexical side)."""
+    from vectordb_spark.functions.distance import cosine_distance, vector_literal
+    from vectordb_spark.queries.vector import _query_vector
+
+    def ranked(cand: DataFrame, order, rank_name: str) -> DataFrame:
+        w = W.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(*order)
+        return cand.select(
+            "doc_id", F.row_number().over(w).cast("long").alias(rank_name)
+        )
+
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25_q").desc(), F.col("doc_id"))
+        .limit(_HYB_N)
+    )
+    lex_rank = ranked(lex_top, [F.col("bm25_q").desc(), F.col("doc_id")], "r_lex")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = vector_literal(_query_vector(spark, sf_dir))
+    sem_top = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_distance("embedding", q, normalized=False).alias("d_cos"),
+        )
+        .orderBy("d_cos", "doc_id")
+        .limit(_HYB_N)
+    )
+    sem_rank = ranked(sem_top, [F.col("d_cos"), F.col("doc_id")], "r_sem")
+
+    fused = lex_rank.join(sem_rank, "doc_id", "full_outer")
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            (term("r_lex") + term("r_sem")).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
 _MAXSIM_PHRASES = (
     "fast key order sort",
     "stream batch window merge",
