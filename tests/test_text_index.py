@@ -1,0 +1,182 @@
+"""Table-level inverted text index: build job, bucket-pruned BM25
+search, hybrid tail merge, dead-id discipline — the lexical sibling of
+test_table_index.py's IVF coverage (X3/T5 shapes, table_mvp.cpp:94-203).
+
+The load-bearing invariant: the indexed path reproduces a naive
+Python BM25 recompute over the raw corpus EXACTLY (the quantized-grid
+scores of functions.text_rank are order-free BIGINTs), so an index
+can be swapped in under any corpus-scan caller without result drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vectordb_spark.catalog import Warehouse
+from vectordb_spark.functions.text_rank import BM25_Q
+
+SCHEMA = {
+    "name": "docs",
+    "fields": [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "Body", "dataType": "STRING"},
+        {"name": "Lang", "dataType": "STRING"},
+        # reference requires >= 1 vector field (basic_meta_impl.cpp:456)
+        {
+            "name": "Vec",
+            "dataType": "VECTOR_FLOAT",
+            "dimensions": 2,
+            "metricType": "EUCLIDEAN",
+        },
+    ],
+}
+
+_WORDS = ("spark", "merge", "window", "shuffle", "join", "scan", "the", "a")
+
+
+def _body(i: int) -> str:
+    # deterministic, varied tf/dl mix
+    toks = [_WORDS[(i * 7 + j * 3) % len(_WORDS)] for j in range(5 + i % 9)]
+    if i % 4 == 0:
+        toks += ["spark"] * (1 + i % 3)
+    return " ".join(toks)
+
+
+def _rows(lo: int, hi: int) -> list[dict]:
+    return [
+        {
+            "ID": i,
+            "Body": _body(i),
+            "Lang": "en" if i % 3 else "de",
+            "Vec": [float(i % 7), float(i % 11)],
+        }
+        for i in range(lo, hi)
+    ]
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.load_db("txtdb").create_table(SCHEMA)
+    t.insert(_rows(0, 120))
+    return t
+
+
+def _py_bm25(corpus: dict[int, list[str]], terms: list[str],
+             allowed: set[int] | None = None,
+             n: int | None = None, s: int | None = None):
+    """Naive mirror of the quantized BM25: df over (filtered) corpus,
+    stats (n, s) overridable to model build-time manifest staleness."""
+    docs = {i: w for i, w in corpus.items() if allowed is None or i in allowed}
+    n = len(corpus) if n is None else n
+    s = sum(len(w) for w in corpus.values()) if s is None else s
+    dfreq = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    out = {}
+    for i, w in docs.items():
+        total, nt = 0, 0
+        for t in terms:
+            tf = w.count(t)
+            if tf:
+                idf_q = math.floor(
+                    math.log((2 * n + 2) / (2 * dfreq[t] + 1)) * BM25_Q
+                )
+                ratio = (22 * tf * s) / (10 * tf * s + 3 * s + 9 * len(w) * n)
+                total += math.floor(idf_q * ratio)
+                nt += 1
+        if nt:
+            out[i] = (total, nt)
+    return out
+
+
+def _corpus(lo: int, hi: int) -> dict[int, list[str]]:
+    return {i: _body(i).split(" ") for i in range(lo, hi)}
+
+
+def test_build_and_exact_scores(table):
+    info = table.rebuild_text_index("Body", buckets=16)
+    assert info == {"field": "Body", "version": 1, "indexedRecords": 120}
+    res = table.search_text_df("spark window", limit=200).collect()
+    want = _py_bm25(_corpus(0, 120), ["spark", "window"])
+    got = {r.ID: (r._score, r._terms) for r in res}
+    assert got == want
+    # descending by score, _row_id tie-break
+    scores = [r._score for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_limit_and_ordering(table):
+    table.rebuild_text_index("Body", buckets=16)
+    top = table.search_text_df("spark", limit=5).collect()
+    assert len(top) == 5
+    want = _py_bm25(_corpus(0, 120), ["spark"])
+    best5 = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+    assert [r.ID for r in top] == [i for i, _ in best5]
+
+
+def test_hybrid_tail_exact(table):
+    """Rows inserted after the build score through the direct-scan
+    tail path; merged results still equal the full-corpus recompute
+    (N/S = manifest + tail aggregate → exact when nothing deleted)."""
+    table.rebuild_text_index("Body", buckets=16)
+    table.insert(_rows(120, 150))
+    res = table.search_text_df("merge join", limit=300).collect()
+    want = _py_bm25(_corpus(0, 150), ["join", "merge"])
+    assert {r.ID: (r._score, r._terms) for r in res} == want
+    assert any(r.ID >= 120 for r in res)  # tail rows actually surfaced
+
+
+def test_filter_prefilters_candidates_and_df(table):
+    """Reference semantics: filter BEFORE rank — df counts only the
+    allowed candidates (corpus stats stay global)."""
+    table.rebuild_text_index("Body", buckets=16)
+    res = table.search_text_df(
+        "spark window", limit=300, filter="Lang = 'en'"
+    ).collect()
+    allowed = {i for i in range(120) if i % 3}
+    want = _py_bm25(_corpus(0, 120), ["spark", "window"], allowed=allowed)
+    assert {r.ID: (r._score, r._terms) for r in res} == want
+    assert all(r.Lang == "en" for r in res)
+
+
+def test_deleted_rows_never_surface(table):
+    """Dead-id discipline: postings for rows deleted since the build
+    are dropped before df counting and the top-k cut (Lucene
+    convention: corpus stats stay build-time until rebuild)."""
+    table.rebuild_text_index("Body", buckets=16)
+    dead = [i for i in range(120) if i % 4 == 0]  # the spark-heavy docs
+    table.delete(primary_keys=dead)
+    res = table.search_text_df("spark", limit=300).collect()
+    assert res and not any(r.ID % 4 == 0 for r in res)
+    # exact vs mirror: df over survivors, stats frozen at build time
+    survivors = {i for i in range(120) if i % 4}
+    full = _corpus(0, 120)
+    n0, s0 = len(full), sum(len(w) for w in full.values())
+    want = _py_bm25(full, ["spark"], allowed=survivors, n=n0, s=s0)
+    assert {r.ID: (r._score, r._terms) for r in res} == want
+
+
+def test_bucket_pruning_in_plan(table):
+    """The posting scan must prune to the query terms' hash buckets at
+    file-listing time (PartitionFilters on _tb) — the lexical analog
+    of IVF probe pruning."""
+    table.rebuild_text_index("Body", buckets=16)
+    plan = table.search_text_df("spark", limit=5)._jdf.queryExecution().executedPlan().toString()
+    assert "_tb" in plan
+
+
+def test_rebuild_versions_and_errors(table):
+    v1 = table.rebuild_text_index("Body")
+    table.insert(_rows(120, 130))
+    v2 = table.rebuild_text_index("Body")
+    assert v2["version"] == v1["version"] + 1
+    assert v2["indexedRecords"] == 130
+    from vectordb_spark.schema import VectorDBError
+
+    with pytest.raises(VectorDBError):
+        table.rebuild_text_index("ID")  # not a STRING field
+    with pytest.raises(VectorDBError):
+        table.search_text_df("   ")  # empty query
+    with pytest.raises(VectorDBError):
+        table.search_text_df("x", query_field="Lang")  # no index on Lang

@@ -221,38 +221,17 @@ def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- BM25 lexical
 #
-# BM25 parameters as exact rationals: k1 = 1.2 = 12/10, b = 0.75 = 3/4,
-# so k1*(1-b) = 3/10, k1*b = 9/10, k1+1 = 22/10. With avgdl = S/N
-# (S = corpus token count, N = doc count) the per-term normalization
-#   tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
-# multiplies through by 10*S into an EXACT integer ratio:
-#   (22*tf*S) / (10*tf*S + 3*S + 9*dl*N)
-# Both sides stay well under 2^53 at any test SF, so the double
-# division is one correctly-rounded op — identical in Spark and DuckDB.
-# (A 100 TB production run would use the plain double avgdl form; the
-# rationalization exists to make the oracle gate bit-exact.)
+# Scoring math (exact-rational tf-norm + quantized-idf, bit-identical
+# across Spark/DuckDB/Python) lives in functions.text_rank — shared
+# with Table.rebuild_text_index / search_text_df, whose indexed path
+# must reproduce these corpus-scan scores exactly.
+from vectordb_spark.functions.text_rank import (  # noqa: E402
+    BM25_Q as _BM25_Q,
+    bm25_sq_expr as _bm25_sq_expr,
+)
+
 _BM25_TERMS = ("spark", "merge", "window")
-_BM25_Q = 1_000_000  # idf quantization grid (1e-6 nats)
 _BM25_K = 10
-
-
-def _bm25_sq_expr(tf: str, df: str, dl: str, n: str, s: str) -> str:
-    """The quantized per-(doc, term) BM25 contribution, valid as both
-    Spark SQL and DuckDB SQL. idf = ln(1 + (N - df + .5)/(df + .5))
-    = ln((2N+2)/(2df+1)) — an exact integer ratio, ln'd then floored
-    onto a 1e-6 grid (the text_lm_perplexity discipline: a 1-ulp ln
-    disagreement crosses a bucket with probability ~2e-10); the
-    tf-norm ratio is exact; their product is one correctly-rounded
-    multiply, floored to BIGINT so the per-doc SUM is order-free."""
-    idf_q = (
-        f"floor(ln(CAST(2 * {n} + 2 AS DOUBLE) / "
-        f"CAST(2 * {df} + 1 AS DOUBLE)) * {_BM25_Q})"
-    )
-    ratio = (
-        f"(CAST(22 * {tf} * {s} AS DOUBLE) / "
-        f"CAST(10 * {tf} * {s} + 3 * {s} + 9 * {dl} * {n} AS DOUBLE))"
-    )
-    return f"CAST(floor({idf_q} * {ratio}) AS BIGINT)"
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)

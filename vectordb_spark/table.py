@@ -1375,6 +1375,188 @@ class Table:
             .drop("_cluster")
         )
 
+    def rebuild_text_index(self, field: str, *, buckets: int = 64) -> dict:
+        """Batch (re)build of a persisted INVERTED INDEX over a STRING
+        field — the lexical sibling of ``rebuild`` (same versioned-dir
+        double-buffer swap, X3/table_mvp.cpp:94-203): posting rows
+        (token, _row_id, tf, dl) land in a parquet dir PARTITIONED BY
+        ``_tb = pmod(xxhash64(token), buckets)``, so a query's terms
+        prune to |terms|/buckets of the index at file-listing time —
+        the lexical analog of IVF probe pruning. Corpus stats (N docs,
+        Σ doc lengths) are recorded in the manifest; ``indexed_up_to``
+        marks the unindexed tail for hybrid indexed+tail search, the
+        same T5 discipline as the vector index.
+
+        Whitespace tokenization matches the query-layer BM25
+        (queries/fusion.py) so indexed search reproduces the corpus
+        scan bit-for-bit. At 100 TB you'd raise ``buckets`` (and write
+        more files per bucket — the repartition key below); 64 keeps
+        local test layouts small."""
+        f = self.schema.get(field)
+        if f is None or f.field_type not in (FieldType.STRING,):
+            raise VectorDBError(
+                "INVALID_PAYLOAD", f"Field {field} is not a STRING field."
+            )
+        meta = self._load_meta()
+        df = self.df()
+        words = F.split(F.col(field), " ", -1)
+        postings = (
+            df.select(
+                "_row_id",
+                F.size(words).cast("long").alias("_dl"),
+                F.explode(words).alias("_token"),
+            )
+            .groupBy("_row_id", "_dl", "_token")
+            .agg(F.count(F.lit(1)).alias("_tf"))
+            .withColumn(
+                "_tb", F.pmod(F.xxhash64("_token"), F.lit(buckets)).cast("int")
+            )
+        )
+        n_docs, sum_dl = df.select(
+            F.count(F.lit(1)), F.sum(F.size(words)).cast("long")
+        ).first()
+        version = (
+            meta.get("text_indexes", {}).get(field, {}).get("version", 0) + 1
+        )
+        name = f"textindex_{field}_v{version}"
+        (
+            postings.repartition("_tb")
+            .write.mode("overwrite")
+            .partitionBy("_tb")
+            .parquet(os.path.join(self.path, name))
+        )
+        meta.setdefault("text_indexes", {})[field] = {
+            "version": version,
+            "dir": name,
+            "buckets": buckets,
+            "n_docs": int(n_docs or 0),
+            "sum_dl": int(sum_dl or 0),
+            "indexed_up_to": meta["next_row_id"],
+        }
+        self._save_meta(meta)
+        return {
+            "field": field,
+            "version": version,
+            "indexedRecords": int(n_docs or 0),
+        }
+
+    def _text_postings(self, df: DataFrame, field: str, terms: list[str]) -> DataFrame:
+        """(_row_id, _dl, _token, _tf) for query terms, computed
+        directly from text — the unindexed-tail scoring path."""
+        words = F.split(F.col(field), " ", -1)
+        return (
+            df.select(
+                "_row_id",
+                F.size(words).cast("long").alias("_dl"),
+                F.explode(words).alias("_token"),
+            )
+            .where(F.col("_token").isin(*terms))
+            .groupBy("_row_id", "_dl", "_token")
+            .agg(F.count(F.lit(1)).alias("_tf"))
+        )
+
+    def search_text_df(
+        self,
+        query_text: str,
+        *,
+        query_field: str | None = None,
+        limit: int = 10,
+        filter: str = "",
+    ) -> DataFrame:
+        """BM25 search through the persisted inverted index, merged
+        with a direct scan of the unindexed tail (rows inserted since
+        the build — T5's hybrid indexed+tail shape). The index scan
+        prunes to the query terms' hash buckets (PartitionFilters on
+        ``_tb``) and pushes the term filter into the posting scan; per-
+        term document frequencies come from the pruned postings + tail
+        (exact), while the corpus stats (N, Σdl) ride from the manifest
+        plus a tail aggregate — one composed plan, no driver actions.
+        Scores are the quantized-grid BM25 of functions.text_rank, so
+        indexed results hash-match the corpus-scan query exactly.
+        Returns base-table rows (``filter`` applied as a pre-filter
+        semi-join on candidates) with ``_score`` / ``_terms``."""
+        from vectordb_spark.functions.text_rank import bm25_sq_expr
+
+        meta = self._load_meta()
+        tidx = meta.get("text_indexes", {})
+        field = query_field or next(iter(tidx), None)
+        info = tidx.get(field) if field else None
+        if info is None:
+            raise VectorDBError(
+                "NOT_IMPLEMENTED_ERROR",
+                f"No text index on field {field or '<none>'}; "
+                "call rebuild_text_index first.",
+            )
+        terms = sorted({t for t in query_text.split(" ") if t})
+        if not terms:
+            raise VectorDBError("INVALID_PAYLOAD", "Empty query text.")
+        spark = self.spark
+        buckets = int(info["buckets"])
+        # term → bucket via the same JVM xxhash64 the build used (one
+        # tiny local job over |terms| rows, no data scan)
+        tbs = [
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(F.pmod(F.xxhash64("t"), F.lit(buckets)).cast("int"))
+            .collect()
+        ]
+        idx = spark.read.parquet(os.path.join(self.path, info["dir"])).where(
+            F.col("_tb").isin(sorted(set(tbs))) & F.col("_token").isin(*terms)
+        ).select("_row_id", "_dl", "_token", "_tf")
+        base = self.df()
+        up_to = int(info["indexed_up_to"])
+        tail = base.where(F.col("_row_id") >= up_to)
+        # dead-id discipline (same as the SQ8/PQ vector paths): the
+        # index may hold postings for rows deleted since the build —
+        # drop them before df counting and the top-k cut. Corpus stats
+        # (N, Σdl) stay build-time until rebuild — the Lucene
+        # convention for deleted docs (slightly stale idf, never
+        # wrong candidates).
+        idx = idx.join(base.select("_row_id"), "_row_id", "left_semi")
+        postings = idx.unionByName(self._text_postings(tail, field, terms))
+        # candidate pre-filter (reference semantics: filter before rank)
+        ast = parse_filter(filter, self.field_map())
+        if ast is not None:
+            allowed = base.where(to_spark_column(ast)).select("_row_id")
+            postings = postings.join(allowed, "_row_id", "left_semi")
+        dfreq = postings.groupBy("_token").agg(
+            F.countDistinct("_row_id").alias("_df")
+        )
+        words = F.split(F.col(field), " ", -1)
+        stats = (
+            tail.select(
+                F.count(F.lit(1)).alias("_tn"),
+                F.coalesce(F.sum(F.size(words)).cast("long"), F.lit(0)).alias(
+                    "_ts"
+                ),
+            )
+            .select(
+                (F.col("_tn") + F.lit(int(info["n_docs"]))).alias("_n"),
+                (F.col("_ts") + F.lit(int(info["sum_dl"]))).alias("_s"),
+            )
+        )
+        scored = (
+            postings.join(F.broadcast(dfreq), "_token")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "_row_id",
+                F.expr(bm25_sq_expr("_tf", "_df", "_dl", "_n", "_s")).alias(
+                    "_sq"
+                ),
+            )
+            .groupBy("_row_id")
+            .agg(
+                F.sum("_sq").cast("long").alias("_score"),
+                F.count(F.lit(1)).alias("_terms"),
+            )
+            .orderBy(F.col("_score").desc(), F.col("_row_id"))
+            .limit(limit)
+        )
+        return (
+            base.join(F.broadcast(scored), "_row_id")
+            .orderBy(F.col("_score").desc(), F.col("_row_id"))
+        )
+
     def insert_prepare(self, primary_keys: list | None = None) -> dict:
         """Reference S2 (table_segment_mvp.cpp:816-876): capacity,
         record count, and 32-bit-packed PK-existence bitmasks."""
