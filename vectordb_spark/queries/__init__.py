@@ -158,7 +158,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 # a quantized-ln exact oracle), bm25_topk (lexical BM25 with exact
 # rational tf-norm + quantized-idf oracle), hybrid_bm25_vector_rrf
 # (the TRUE E3 hybrid: BM25 over documents fused with dense cosine
-# over the aligned embeddings by RRF). Swap-out candidates: the r4-r5
+# over the aligned embeddings by RRF), text_index_bm25_search (the
+# full persisted-text-index lifecycle — insert_df → rebuild_text_index
+# → post-build tail insert → bucket-pruned search — vs a raw-corpus
+# BM25 oracle). Swap-out candidates: the r4-r5
 # multi-greens still holding slots (sample_stratified, pack_sequences,
 # source_mixing_weights, text_top_bigrams_per_lang, source_cap_top_quality).
 

@@ -234,9 +234,13 @@ _BM25_TERMS = ("spark", "merge", "window")
 _BM25_K = 10
 
 
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-
-_BM25_CTE = f"""
+def _bm25_cte(terms: tuple[str, ...]) -> str:
+    """Corpus-scan BM25 as a DuckDB CTE chain, parameterized on the
+    query terms — shared by the bm25_topk oracle and the persisted
+    text-index gate (whose indexed path must reproduce these exact
+    quantized scores)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 toks AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
@@ -248,11 +252,11 @@ stats AS (
 ),
 tf AS (
     SELECT doc_id, w, COUNT(*) AS tf FROM toks
-    WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, w
+    WHERE w IN ({terms_sql}) GROUP BY doc_id, w
 ),
 dfreq AS (
     SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks
-    WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY w
+    WHERE w IN ({terms_sql}) GROUP BY w
 ),
 contrib AS (
     SELECT tf.doc_id,
@@ -268,6 +272,9 @@ bm25 AS (
     FROM contrib GROUP BY doc_id
 )
 """
+
+
+_BM25_CTE = _bm25_cte(_BM25_TERMS)
 
 _BM25_ORACLE = f"""
 WITH {_BM25_CTE}
@@ -548,3 +555,77 @@ def semantic_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(_MAXSIM_K)
     )
+
+
+# ------------------------------------------- persisted text index gate
+#
+# The ONLY gate query whose Spark side runs the full Table lexical-
+# index lifecycle — insert_df → rebuild_text_index → post-build
+# inserts → search_text_df — before answering, while the DuckDB
+# oracle recomputes BM25 from the raw corpus. Equality proves the
+# persisted-index path (bucket-pruned posting scan + unindexed-tail
+# merge + manifest corpus stats) reproduces a corpus scan exactly:
+# the same pre/post-rebuild agreement the reference tests for its
+# vector index (db_server.cpp QueryDenseVectorDuringRebuild), on the
+# lexical surface.
+_TIDX_TERMS = ("scan", "filter", "stream")
+_TIDX_K = 12
+
+_TIDX_ORACLE = f"""
+WITH {_bm25_cte(_TIDX_TERMS)}
+SELECT doc_id, bm25_q, n_terms FROM bm25
+ORDER BY bm25_q DESC, doc_id LIMIT {_TIDX_K}
+"""
+
+
+@query("text_index_bm25_search", oracle=_TIDX_ORACLE)
+def text_index_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → engine Table in a fresh temp warehouse: 80% of the
+    corpus bulk-inserted, text index built (postings hash-partitioned
+    on token bucket), the remaining 20% inserted AFTER the build so
+    the search must merge the pruned index scan with a live tail scan
+    (T5's hybrid shape) and extend the manifest's (N, Σdl) stats with
+    a tail aggregate — every moving part of the lexical index engaged
+    in one query. Top-k is re-cut on (score, doc_id) because _row_id
+    assignment order is an ingest artifact the oracle can't see."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "Emb", F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>")
+    )
+    table_schema = TableSchema(
+        name="tidx_docs",
+        fields=[
+            FieldSchema(name="doc_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="text", field_type=FieldType.STRING),
+            # engine tables require >= 1 vector field (reference
+            # basic_meta_impl.cpp:456-458); constant 2-dim filler
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = tempfile.mkdtemp(prefix="vdb_tidx_gate_")
+    t = Table(spark, table_schema, os.path.join(work, "tidx_docs"))
+    t._init_storage()
+    t.insert_df(docs.where(F.col("doc_id") % 5 != 4))
+    t.rebuild_text_index("text", buckets=16)
+    t.insert_df(docs.where(F.col("doc_id") % 5 == 4))  # unindexed tail
+    hits = t.search_text_df(" ".join(_TIDX_TERMS), limit=1 << 30).select(
+        "doc_id",
+        F.col("_score").alias("bm25_q"),
+        F.col("_terms").alias("n_terms"),
+    )
+    out = (
+        hits.orderBy(F.col("bm25_q").desc(), F.col("doc_id"))
+        .limit(_TIDX_K)
+        .localCheckpoint()  # materialize before the temp warehouse dies
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
