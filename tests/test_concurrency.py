@@ -97,7 +97,7 @@ def test_concurrent_insert_query(base_url):
             if code != 200:
                 errors.append(f"get: {code} {out}")
                 continue
-            ids = [r["ID"] for r in out["result"]["result"]]
+            ids = [r["ID"] for r in out["result"]]
             slot.append((len(ids), len(set(ids))))
             code, out = _call(
                 base_url,
@@ -143,7 +143,7 @@ def test_concurrent_insert_query(base_url):
     assert code == 200 and out["result"] == {"totalRecords": total}
     # every inserted PK is present exactly once
     code, out = _call(base_url, "POST", "/api/cdb/data/get", {"table": "T"})
-    ids = sorted(r["ID"] for r in out["result"]["result"])
+    ids = sorted(r["ID"] for r in out["result"])
     assert ids == sorted(w * 100 + i for w in range(N_WRITERS)
                          for i in range(INSERTS_PER_WRITER))
 
@@ -206,7 +206,7 @@ def test_concurrent_upsert_same_pk(base_url):
         base_url, "POST", "/api/udb/data/get", {"table": "U", "primaryKeys": [7]}
     )
     assert code == 200
-    rows = out["result"]["result"]
+    rows = out["result"]
     assert len(rows) == 1
     assert rows[0]["Doc"] in {f"{t}-{i}" for t in ("a", "b") for i in range(3)}
 

@@ -82,16 +82,33 @@ def test_full_rest_flow(base_url):
         },
     )
     assert code == 200
-    docs = [r["Doc"] for r in out["result"]["result"]]
+    docs = [r["Doc"] for r in out["result"]]
     assert docs[0] in ("doc2", "doc3")
-    assert "@distance" in out["result"]["result"][0]
+    assert "@distance" in out["result"][0]
 
     code, out = _call(
         base_url, "POST", "/api/restdb/data/get",
         {"table": "MyTable", "filter": "ID >= 3", "response": ["ID"]},
     )
     assert code == 200
-    assert sorted(r["ID"] for r in out["result"]["result"]) == [3, 4]
+    assert sorted(r["ID"] for r in out["result"]) == [3, 4]
+
+    # result envelope follows the reference's three-case rule
+    # (web_controller.hpp:849-861): facets with no response list →
+    # result IS the facets; facets + response list → {records, facets}
+    facets = [{"group": [], "aggregate": ["COUNT(*)"]}]
+    code, out = _call(
+        base_url, "POST", "/api/restdb/data/get",
+        {"table": "MyTable", "facets": facets},
+    )
+    assert code == 200 and out["result"][0][0]["COUNT(*)"] == 5.0
+    code, out = _call(
+        base_url, "POST", "/api/restdb/data/get",
+        {"table": "MyTable", "response": ["ID"], "facets": facets},
+    )
+    assert code == 200
+    assert len(out["result"]["records"]) == 5
+    assert out["result"]["facets"][0][0]["COUNT(*)"] == 5.0
 
     code, out = _call(
         base_url, "POST", "/api/restdb/data/delete",
@@ -239,7 +256,7 @@ def test_admin_release_drop_dump(base_url, tmp_path):
         base_url, "POST", "/api/admindb/data/get",
         {"table": "T", "limit": 10},
     )
-    assert code == 200 and len(out["result"]["result"]) == 1
+    assert code == 200 and len(out["result"]) == 1
 
     # dump snapshots catalog + data (:202-232)
     dump_dir = str(tmp_path / "dump")
@@ -319,7 +336,7 @@ def test_csv_load_endpoint(base_url, tmp_path):
         base_url, "POST", "/api/csvdb2/data/get", {"table": "C", "limit": 10}
     )
     assert code == 200
-    got = {r["ID"]: r for r in out["result"]["result"]}
+    got = {r["ID"]: r for r in out["result"]}
     assert set(got) == {1, 2} and got[1]["Doc"] == "alpha"
     # reference-shaped ack-only call (no table/path) keeps the stub envelope
     code, out = _call(base_url, "POST", "/api/csvdb2/data/load", {})

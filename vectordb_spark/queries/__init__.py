@@ -70,22 +70,15 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "a7_percentile_facets",
     # tier C — LLM-pipeline operators
     "asof_join_latest_order",
-    "ann_lsh_multiprobe2",
     "ann_sq8_rerank",
     "dedup_cluster_components",
-    "sample_stratified",
-    "source_cap_top_quality",
-    "pack_sequences",
-    "source_mixing_weights",
     # round-5: the late-data/watermark gate replaces the in-order
     # replay gate (green r3+r4; same readStream→foreachBatch→Table
     # machinery, which the late gate also exercises — plus watermark,
     # update-mode emission, and PK-upsert merge of out-of-order rows)
     "stream_late_window_upsert",
-    "text_top_bigrams_per_lang",
     "ann_pq_adc",
     "rj_follow_on_events",
-    "text_repetition_ngrams",
     "text_gopher_rules",
     "curate_end_to_end",
     # Round-5 rotation: the fifteen round-4 additions — all judge-
@@ -145,25 +138,31 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "stream_dedup_incremental",
     "ann_ivf_autoplan_fallback",
     "text_boilerplate_span_removal",
+    # Round-6 additions, rotated in the same round they were built —
+    # every one selfcheck-green at sf0.001 AND sf0.01 with a real
+    # oracle and scalar-only output columns. Rotated out to make room
+    # (each a ≥2-round driver green with an in-window sibling on the
+    # same compile path): ann_lsh_multiprobe2 (LSH carried by sq8 /
+    # pq_adc / ivf_autoplan), sample_stratified + pack_sequences +
+    # source_mixing_weights + source_cap_top_quality (map-side
+    # curation path carried by curate_end_to_end, which composes
+    # sampling, caps, and mixing in one plan),
+    # text_top_bigrams_per_lang + text_repetition_ngrams (text battery
+    # keeps gopher / fuzzy / bigram_familiarity / boilerplate / lm-
+    # perplexity).
+    "bm25_topk",
+    "hybrid_bm25_vector_rrf",
+    "text_index_bm25_search",
+    "semantic_maxsim_search",
+    "text_lm_perplexity",
+    "tpch_q10_returned_items",
+    "stream_enrich_join",
 )
 
-# Round-7 rotation queue: round-6 additions registered after the
-# window filled — selfcheck-green but without a driver row yet:
-# tpch_q10_returned_items (fact-fact-dim top-20, AQE-sized customer
-# join), stream_enrich_join (stream-static broadcast enrichment
-# through foreachBatch ingest), semantic_maxsim_search (ColBERT-style
-# late-interaction chunk MaxSim over SqlMockEmbedder vectors — beyond
-# the reference's one-vector-per-row scoring), text_lm_perplexity
-# (corpus bigram-LM NLL scoring, the CCNet/Gopher quality signal, with
-# a quantized-ln exact oracle), bm25_topk (lexical BM25 with exact
-# rational tf-norm + quantized-idf oracle), hybrid_bm25_vector_rrf
-# (the TRUE E3 hybrid: BM25 over documents fused with dense cosine
-# over the aligned embeddings by RRF), text_index_bm25_search (the
-# full persisted-text-index lifecycle — insert_df → rebuild_text_index
-# → post-build tail insert → bucket-pruned search — vs a raw-corpus
-# BM25 oracle). Swap-out candidates: the r4-r5
-# multi-greens still holding slots (sample_stratified, pack_sequences,
-# source_mixing_weights, text_top_bigrams_per_lang, source_cap_top_quality).
+# Round-7 rotation queue: empty — all round-6 additions rotated into
+# the window within round 6 (the driver gate runs after the build
+# session, so same-round rotation earns evidence a round earlier).
+# Future additions queue here with their eviction rationale.
 
 
 def _load() -> None:

@@ -265,7 +265,10 @@ class EngineAPI:
                 with_distance=bool(p.get("withDistance", False)),
                 facets=p.get("facets"),
             )
-            return _ok(f"Query {p['table']} successfully.", result=out)
+            return _ok(
+                "Query search successfully.",
+                result=_result_envelope(out, p.get("response"), p.get("facets")),
+            )
         if method == "POST" and (m := re.fullmatch(r"/api/([^/]+)/data/get", path)):
             t = self._table(m.group(1), p["table"])
             out = t.get(
@@ -276,7 +279,10 @@ class EngineAPI:
                 primary_keys=p.get("primaryKeys"),
                 facets=p.get("facets"),
             )
-            return _ok(f"Get data from {p['table']} successfully.", result=out)
+            return _ok(
+                "Query get successfully.",
+                result=_result_envelope(out, p.get("response"), p.get("facets")),
+            )
         if method == "POST" and path == "/api/rebuild":
             db = self.warehouse.database(p["db"])
             t = db.table(p["table"], embedder=self.embedder)
@@ -286,6 +292,18 @@ class EngineAPI:
 
     def _table(self, db_name: str, table_name: str):
         return self.warehouse.database(db_name).table(table_name, embedder=self.embedder)
+
+
+def _result_envelope(out: dict, response_fields, facets):
+    """The reference's three-case result shape (web_controller.hpp:
+    849-861 query, :946-959 get): records array when no facets were
+    requested; the facets object alone when facets were requested with
+    NO response-field list; ``{records, facets}`` when both."""
+    if not facets:
+        return out["result"]
+    if not response_fields:
+        return out["facets"]
+    return {"records": out["result"], "facets": out["facets"]}
 
 
 def _ok(message: str, result=None) -> dict:
