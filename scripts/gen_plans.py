@@ -135,6 +135,16 @@ SHOWCASE = {
         "stages and re-inline the chain); top-K is "
         "TakeOrderedAndProject, never a global sort."
     ),
+    "bm25_topk": (
+        "BM25: the token explode is pruned to query-term hits BEFORE "
+        "any shuffle (Filter directly over the generator), doc-"
+        "frequency and corpus stats are 1-3 row broadcasts, and the "
+        "per-doc score aggregate feeds TakeOrderedAndProject — the "
+        "only corpus-sized shuffle carries (doc, term) hit rows. The "
+        "persisted-index variant (search_text_df) replaces the explode "
+        "with a posting scan pruned by PartitionFilters on the token "
+        "hash bucket."
+    ),
     "tpch_q10_returned_items": (
         "Q10 returned-item report: l_returnflag='R' pushed to the "
         "lineitem scan, fact-fact join shuffles on orderkey, the "

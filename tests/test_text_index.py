@@ -162,8 +162,20 @@ def test_bucket_pruning_in_plan(table):
     file-listing time (PartitionFilters on _tb) — the lexical analog
     of IVF probe pruning."""
     table.rebuild_text_index("Body", buckets=16)
-    plan = table.search_text_df("spark", limit=5)._jdf.queryExecution().executedPlan().toString()
+    # limit > _TEXT_FETCH_COLLECT_MAX keeps the whole scoring plan in
+    # the returned DataFrame (the small-limit path runs it eagerly and
+    # returns only the pushed-IN fetch)
+    plan = (
+        table.search_text_df("spark", limit=2000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "_tb" in plan
+    # the small-limit fetch pushes the collected ids into the base scan
+    fplan = (
+        table.search_text_df("spark", limit=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_row_id" in fplan and "PushedFilters: [In(_row_id" in fplan
 
 
 def test_rebuild_versions_and_errors(table):
@@ -180,3 +192,49 @@ def test_rebuild_versions_and_errors(table):
         table.search_text_df("   ")  # empty query
     with pytest.raises(VectorDBError):
         table.search_text_df("x", query_field="Lang")  # no index on Lang
+
+
+def test_clean_index_skips_dead_id_join(table):
+    """mutation_seq fast path: with no deletes since the build, the
+    search plan carries NO dead-id semi-join (and no tail scan when
+    the row-id cursor hasn't moved) — the plan reads the pruned
+    postings plus the single top-k row fetch. After a delete the
+    semi-join must reappear."""
+    table.rebuild_text_index("Body", buckets=16)
+    plan = (
+        table.search_text_df("spark", limit=2000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" not in plan
+    table.delete(primary_keys=[0])
+    plan2 = (
+        table.search_text_df("spark", limit=2000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan2
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """functions/hashing.py must reproduce Spark's xxhash64 for STRING
+    inputs exactly — the bucket route depends on it. Randomized +
+    boundary-length + unicode inputs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.functions.hashing import pmod_bucket, spark_xxhash64_str
+
+    rng = random.Random(7)
+    cases = ["", "a", "spark", "w7", "née", "日本語テキスト", "x" * 31,
+             "y" * 32, "z" * 33, "q" * 100]
+    cases += ["".join(rng.choice("abcdefgh ") for _ in range(rng.randrange(1, 64)))
+              for _ in range(100)]
+    got = [
+        (r[0], r[1])
+        for r in spark.createDataFrame([(c,) for c in cases], "t string")
+        .select(F.xxhash64("t"), F.pmod(F.xxhash64("t"), F.lit(64)))
+        .collect()
+    ]
+    for c, (h, b) in zip(cases, got):
+        assert spark_xxhash64_str(c) == h, c
+        assert pmod_bucket(c, 64) == b, c

@@ -101,6 +101,10 @@ def _writer_locked(fn):
 
 
 class Table:
+    # search_text_df limits at or below this use the two-phase
+    # collect-then-pushed-IN fetch; above it, one composed plan
+    _TEXT_FETCH_COLLECT_MAX = 1024
+
     def __init__(
         self,
         spark: SparkSession,
@@ -459,6 +463,7 @@ class Table:
         if pk_field is not None and existing_pks and upsert:
             # consolidate: old rows minus replaced PKs, plus new rows
             base = self.df().where(~F.col(pk_field.name).isin(list(existing_pks)))
+            self._bump_mutation_seq(meta)
             self._write_base(base.unionByName(new_df), meta, next_row_id)
         else:
             self._append(new_df, meta, next_row_id)
@@ -537,6 +542,7 @@ class Table:
                         inserted_df = self._embed_index_field(inserted_df, fld)
                 full = base.unionByName(self._apply_ingest_transforms(inserted_df))
                 n = inserted_df.count()
+                self._bump_mutation_seq(meta)
                 self._write_base(full, meta, start + total)
                 return {"inserted": n, "skipped": 0}
             inserted_df = inserted_df.join(existing, pk_field.name, "left_anti")
@@ -659,6 +665,16 @@ class Table:
         meta["row_count"] = before + self._dir_count(name)
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
+
+    @staticmethod
+    def _bump_mutation_seq(meta: dict) -> None:
+        """Count row-REMOVING commits (delete, upsert consolidation).
+        Indexes stamp the seq at build time; a search whose manifest
+        seq still matches KNOWS the index holds no dead ids and skips
+        the dead-id semi-join — the common no-deletes case pays zero
+        extra base scans. Appends and compaction (row-preserving)
+        leave the seq alone."""
+        meta["mutation_seq"] = int(meta.get("mutation_seq", 0)) + 1
 
     def _write_base(self, df: DataFrame, meta: dict, next_row_id: int) -> None:
         self._record_history(meta)
@@ -863,6 +879,7 @@ class Table:
         # the consolidation commit records the surviving count from
         # parquet footers — deleted falls out of the delta, no extra
         # O(table) count actions
+        self._bump_mutation_seq(meta)
         self._write_base(kept, meta, meta["next_row_id"])
         return {"deleted": before - int(meta["row_count"])}
 
@@ -1174,6 +1191,7 @@ class Table:
             "centroids": idx.centroids,
             "cluster_sizes": {str(c): n for c, n in (idx.cluster_sizes or {}).items()},
             "indexed_up_to": indexed_up_to,
+            "mutation_seq": int(meta.get("mutation_seq", 0)),
             "pq_codebook": pq_codebook,
             # separation statistics → the exact-fallback planner rule
             # applies to persisted-index searches too (None = +inf)
@@ -1247,11 +1265,18 @@ class Table:
             else index_df.where(F.col("_cluster").isin(clusters))
         )
         base = self.df()
+        # unchanged manifest mutation_seq ⇒ no deletes/upserts since
+        # the build ⇒ the index holds no dead ids and the semi-join
+        # (a full base scan + shuffle per search) is skipped
+        clean = info.get("mutation_seq") == meta.get("mutation_seq", 0)
         if info.get("type") == "IVF_SQ8":
             # the index may hold ids for rows deleted/upserted since the
             # build; drop them BEFORE the refine cut, or a delete-heavy
             # table would fill the candidate budget with dead ids
-            probed = probed.join(base.select("_row_id"), "_row_id", "left_semi")
+            if not clean:
+                probed = probed.join(
+                    base.select("_row_id"), "_row_id", "left_semi"
+                )
             # quantized probe-scan: rank the probed codes by the int8
             # approximation, keep refine·limit candidate ids — the scan
             # reads codes (1 B/dim), never float vectors; exact
@@ -1289,7 +1314,10 @@ class Table:
                 quantize_query,
             )
 
-            probed = probed.join(base.select("_row_id"), "_row_id", "left_semi")
+            if not clean:
+                probed = probed.join(
+                    base.select("_row_id"), "_row_id", "left_semi"
+                )
             table = adc_table(info["pq_codebook"], quantize_query(q))
             refine = max(4 * limit, 64)
             if clusters is None:
@@ -1306,9 +1334,11 @@ class Table:
                 .limit(refine)
             )
         cand_ids = probed.select("_row_id")
-        candidates = base.join(cand_ids, "_row_id", "left_semi").unionByName(
-            base.where(F.col("_row_id") >= info["indexed_up_to"])  # unindexed tail
-        ).dropDuplicates(["_row_id"])
+        candidates = base.join(cand_ids, "_row_id", "left_semi")
+        if int(info["indexed_up_to"]) < int(meta["next_row_id"]):
+            candidates = candidates.unionByName(
+                base.where(F.col("_row_id") >= info["indexed_up_to"])  # tail
+            ).dropDuplicates(["_row_id"])
         ast = parse_filter(filter, self.field_map())
         qcol = F.array(*[F.lit(float(x)) for x in q])
         dist = distance_for_metric(info["metric"], F.col(f.name), qcol)
@@ -1420,7 +1450,15 @@ class Table:
         )
         name = f"textindex_{field}_v{version}"
         (
-            postings.repartition("_tb")
+            # shuffle key (_tb, row-hash): plain _tb would funnel each
+            # bucket — and with zipfian tokens, the hot bucket holds a
+            # large corpus fraction — through ONE writer task. The
+            # row-hash salt splits every bucket across 4 writers (4
+            # files/bucket dir) while partitionBy still lays out one
+            # directory per bucket for file-listing pruning.
+            postings.repartition(
+                F.col("_tb"), F.pmod(F.xxhash64("_row_id"), F.lit(4))
+            )
             .write.mode("overwrite")
             .partitionBy("_tb")
             .parquet(os.path.join(self.path, name))
@@ -1432,6 +1470,7 @@ class Table:
             "n_docs": int(n_docs or 0),
             "sum_dl": int(sum_dl or 0),
             "indexed_up_to": meta["next_row_id"],
+            "mutation_seq": int(meta.get("mutation_seq", 0)),
         }
         self._save_meta(meta)
         return {
@@ -1492,28 +1531,38 @@ class Table:
             raise VectorDBError("INVALID_PAYLOAD", "Empty query text.")
         spark = self.spark
         buckets = int(info["buckets"])
-        # term → bucket via the same JVM xxhash64 the build used (one
-        # tiny local job over |terms| rows, no data scan)
-        tbs = [
-            r[0]
-            for r in spark.createDataFrame([(t,) for t in terms], "t string")
-            .select(F.pmod(F.xxhash64("t"), F.lit(buckets)).cast("int"))
-            .collect()
-        ]
+        # term → bucket via the driver-side XXH64 mirror of the JVM
+        # xxhash64 the build used (functions/hashing.py) — no Spark
+        # job for a handful of strings
+        from vectordb_spark.functions.hashing import pmod_bucket
+
+        tbs = [pmod_bucket(t, buckets) for t in terms]
         idx = spark.read.parquet(os.path.join(self.path, info["dir"])).where(
             F.col("_tb").isin(sorted(set(tbs))) & F.col("_token").isin(*terms)
         ).select("_row_id", "_dl", "_token", "_tf")
         base = self.df()
         up_to = int(info["indexed_up_to"])
-        tail = base.where(F.col("_row_id") >= up_to)
+        has_tail = up_to < int(meta["next_row_id"])
         # dead-id discipline (same as the SQ8/PQ vector paths): the
         # index may hold postings for rows deleted since the build —
         # drop them before df counting and the top-k cut. Corpus stats
         # (N, Σdl) stay build-time until rebuild — the Lucene
         # convention for deleted docs (slightly stale idf, never
-        # wrong candidates).
-        idx = idx.join(base.select("_row_id"), "_row_id", "left_semi")
-        postings = idx.unionByName(self._text_postings(tail, field, terms))
+        # wrong candidates). The manifest mutation_seq tells us when
+        # this is NECESSARY: unchanged seq ⇒ no deletes since the
+        # build ⇒ skip the semi-join (a full base scan + shuffle)
+        # entirely; likewise an unmoved row-id cursor skips both tail
+        # scans. The clean-index fast path therefore touches only the
+        # pruned postings + the top-k row fetch.
+        clean = info.get("mutation_seq") == meta.get("mutation_seq", 0)
+        if not clean:
+            idx = idx.join(base.select("_row_id"), "_row_id", "left_semi")
+        postings = idx
+        if has_tail:
+            tail = base.where(F.col("_row_id") >= up_to)
+            postings = postings.unionByName(
+                self._text_postings(tail, field, terms)
+            )
         # candidate pre-filter (reference semantics: filter before rank)
         ast = parse_filter(filter, self.field_map())
         if ast is not None:
@@ -1522,19 +1571,24 @@ class Table:
         dfreq = postings.groupBy("_token").agg(
             F.countDistinct("_row_id").alias("_df")
         )
-        words = F.split(F.col(field), " ", -1)
-        stats = (
-            tail.select(
-                F.count(F.lit(1)).alias("_tn"),
-                F.coalesce(F.sum(F.size(words)).cast("long"), F.lit(0)).alias(
-                    "_ts"
-                ),
+        if has_tail:
+            words = F.split(F.col(field), " ", -1)
+            stats = (
+                tail.select(
+                    F.count(F.lit(1)).alias("_tn"),
+                    F.coalesce(
+                        F.sum(F.size(words)).cast("long"), F.lit(0)
+                    ).alias("_ts"),
+                )
+                .select(
+                    (F.col("_tn") + F.lit(int(info["n_docs"]))).alias("_n"),
+                    (F.col("_ts") + F.lit(int(info["sum_dl"]))).alias("_s"),
+                )
             )
-            .select(
-                (F.col("_tn") + F.lit(int(info["n_docs"]))).alias("_n"),
-                (F.col("_ts") + F.lit(int(info["sum_dl"]))).alias("_s"),
+        else:
+            stats = spark.createDataFrame(
+                [(int(info["n_docs"]), int(info["sum_dl"]))], "_n long, _s long"
             )
-        )
         scored = (
             postings.join(F.broadcast(dfreq), "_token")
             .crossJoin(F.broadcast(stats))
@@ -1552,6 +1606,34 @@ class Table:
             .orderBy(F.col("_score").desc(), F.col("_row_id"))
             .limit(limit)
         )
+        if limit <= self._TEXT_FETCH_COLLECT_MAX:
+            # Two-phase fetch (the doc-store point-read a real lexical
+            # engine does): run the scoring plan — which on a clean
+            # index touches ONLY the pruned postings — collect the
+            # ≤limit (id, score) pairs, and re-read base with a
+            # pushed-down _row_id IN filter so parquet row-group stats
+            # prune the fetch. Without this the final join scans the
+            # whole base to materialize k rows, wiping out the posting
+            # pruning's advantage (measured: the fetch scan alone cost
+            # as much as the entire corpus-scan BM25).
+            top = scored.collect()
+            if not top:
+                return (
+                    base.withColumn("_score", F.lit(0).cast("long"))
+                    .withColumn("_terms", F.lit(0).cast("long"))
+                    .limit(0)
+                )
+            hits = spark.createDataFrame(
+                [(r["_row_id"], r["_score"], r["_terms"]) for r in top],
+                "_row_id long, _score long, _terms long",
+            )
+            return (
+                base.where(F.col("_row_id").isin([r["_row_id"] for r in top]))
+                .join(F.broadcast(hits), "_row_id")
+                .orderBy(F.col("_score").desc(), F.col("_row_id"))
+            )
+        # large limits (bulk consumers / the oracle gate's re-cut) keep
+        # ONE composed plan — no driver materialization of a big top-k
         return (
             base.join(F.broadcast(scored), "_row_id")
             .orderBy(F.col("_score").desc(), F.col("_row_id"))
