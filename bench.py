@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_gist_shape",
     "bm25_topk",
     "hybrid_bm25_vector_rrf",
+    "ann_binary_hamming_rerank",
 ]
 
 _GIST: dict = {}

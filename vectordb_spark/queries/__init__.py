@@ -78,7 +78,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # update-mode emission, and PK-upsert merge of out-of-order rows)
     "stream_late_window_upsert",
     "ann_pq_adc",
-    "rj_follow_on_events",
     "text_gopher_rules",
     "curate_end_to_end",
     # Round-5 rotation: the fifteen round-4 additions — all judge-
@@ -157,12 +156,18 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "text_lm_perplexity",
     "tpch_q10_returned_items",
     "stream_enrich_join",
+    # binary quantization rung of the SQ8/PQ ladder, built and rotated
+    # in the same round; evicts rj_follow_on_events (driver-green
+    # r2-r5; the binned-range-join path keeps geo_join_radius_pairs,
+    # the same equi-join-on-bin shape, in window)
+    "ann_binary_hamming_rerank",
 )
 
-# Round-7 rotation queue: empty — all round-6 additions rotated into
-# the window within round 6 (the driver gate runs after the build
-# session, so same-round rotation earns evidence a round earlier).
-# Future additions queue here with their eviction rationale.
+# Round-7 rotation queue: empty — every round-6 addition (including
+# ann_binary_hamming_rerank) rotated into the window within round 6
+# (the driver gate runs after the build session, so same-round
+# rotation earns evidence a round earlier). Future additions queue
+# here with their eviction rationale.
 
 
 def _load() -> None:

@@ -333,3 +333,92 @@ def ann_ivf_autoplan_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         indexed.unpersist()
+
+
+# ------------------------------------------ binary quantization (1 bit/dim)
+#
+# Sign-bit binary quantization: the 64-dim embedding packs into ONE
+# BIGINT (bit j = embedding[j] > 0; bit 63 enters as the signed
+# -2^63 term so both engines stay in exact 64-bit integers), the scan
+# ranks by hamming(code, query_code) = bit_count(xor) — 8 bytes and a
+# popcount per row, a 32x byte reduction over float32 — and the top
+# _BIN_REFINE candidates re-rank with the true float distance. The
+# coarsest point on the SQ8 (8 bit/dim) → PQ (0.5 bit/dim grouped) →
+# binary (1 bit/dim) quantization ladder; at 100 TB the hamming pass
+# reads 8 B/row inside whole-stage codegen, no shuffle of scored rows
+# (two TakeOrderedAndProject passes, like SQ8).
+_BIN_REFINE = 64
+_MIN64 = "(-9223372036854775807 - 1)"
+
+
+def _bin_pack_duck(col: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(0, 64), j -> "
+        f"CAST(CASE WHEN {col}[j + 1] > 0 THEN "
+        f"CASE WHEN j = 63 THEN {_MIN64} ELSE (CAST(1 AS BIGINT) << j) END "
+        f"ELSE 0 END AS BIGINT)), (a, b) -> a + b)"
+    )
+
+
+_BIN_PACK_S = (
+    "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc + "
+    "CASE WHEN element_at(embedding, j + 1) > 0 THEN "
+    f"CASE WHEN j = 63 THEN CAST({_MIN64} AS BIGINT) "
+    "ELSE shiftleft(CAST(1 AS BIGINT), j) END "
+    "ELSE CAST(0 AS BIGINT) END)"
+)
+
+
+def _bin_oracle() -> str:
+    return f"""
+WITH c AS (
+    SELECT vec_id, label, embedding, {_bin_pack_duck("embedding")} AS code
+    FROM embeddings
+),
+qrow AS (SELECT code AS qcode FROM c WHERE vec_id = 0),
+h AS (
+    SELECT vec_id, label, embedding,
+           CAST(bit_count(xor(code, qcode)) AS BIGINT) AS hamming
+    FROM c CROSS JOIN qrow
+    ORDER BY hamming, vec_id
+    LIMIT {_BIN_REFINE}
+)
+SELECT vec_id, label, hamming,
+       {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+FROM h
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_binary_hamming_rerank", oracle=_bin_oracle())
+def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization + hamming scan + exact re-rank. The
+    query's own code is packed driver-side from the same sign rule
+    (exact integers cross the boundary); candidate ranking is pure
+    64-bit integer arithmetic → bit-identical to the DuckDB oracle,
+    and the exact re-rank reuses the shared l2 evaluation order."""
+    from vectordb_spark.functions.distance import l2_squared, vector_literal
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    qcode = 0
+    for j, x in enumerate(qv):
+        if float(x) > 0:
+            qcode += -(2**63) if j == 63 else (1 << j)
+    h = (
+        emb.withColumn("code", F.expr(_BIN_PACK_S))
+        .withColumn(
+            "hamming",
+            F.expr(f"CAST(bit_count(code ^ CAST({qcode} AS BIGINT)) AS BIGINT)"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BIN_REFINE)
+    )
+    return (
+        h.withColumn("distance", l2_squared("embedding", vector_literal(qv)))
+        .orderBy("distance", "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "hamming", "distance")
+    )
