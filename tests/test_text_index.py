@@ -238,3 +238,51 @@ def test_python_xxhash64_matches_spark(spark):
     for c, (h, b) in zip(cases, got):
         assert spark_xxhash64_str(c) == h, c
         assert pmod_bucket(c, 64) == b, c
+
+
+def test_refresh_appends_delta_exactly(table):
+    """Incremental refresh: tail postings land in an immutable delta
+    dir, stats extend, indexed_up_to advances — post-refresh scores
+    equal the full-corpus recompute with NO live-tail scan (clean +
+    cursor-at-head ⇒ the search plan reads only posting dirs + the
+    pushed-IN fetch)."""
+    table.rebuild_text_index("Body", buckets=16)
+    table.insert(_rows(120, 160))
+    out = table.refresh_text_index("Body")
+    assert out == {"field": "Body", "version": 1, "appendedRecords": 40}
+    res = table.search_text_df("spark window", limit=300).collect()
+    want = _py_bm25(_corpus(0, 160), ["spark", "window"])
+    assert {r.ID: (r._score, r._terms) for r in res} == want
+    # second refresh with no new rows is a no-op
+    assert table.refresh_text_index("Body")["appendedRecords"] == 0
+    # deltas stack
+    table.insert(_rows(160, 170))
+    assert table.refresh_text_index("Body")["appendedRecords"] == 10
+    res = table.search_text_df("merge", limit=300).collect()
+    assert {r.ID: (r._score, r._terms) for r in res} == _py_bm25(
+        _corpus(0, 170), ["merge"]
+    )
+    # full rebuild resets the delta chain
+    info = table.rebuild_text_index("Body")
+    assert info["version"] == 2 and info["indexedRecords"] == 170
+
+
+def test_refresh_after_delete_keeps_exactness(table):
+    """Deletes between build and refresh: dead postings in the main
+    dir drop via the mutation_seq semi-join; the delta still indexes
+    the tail; stats = build-time N/S + refresh-time tail N/S (the
+    Lucene stale-stats convention, rebuilt away by a full rebuild)."""
+    table.rebuild_text_index("Body", buckets=16)
+    full = _corpus(0, 120)
+    n0, s0 = len(full), sum(len(w) for w in full.values())
+    table.delete(primary_keys=[1, 5, 9])
+    table.insert(_rows(120, 140))
+    table.refresh_text_index("Body")
+    res = table.search_text_df("spark shuffle", limit=300).collect()
+    corpus = _corpus(0, 140)
+    tail = _corpus(120, 140)
+    n = n0 + len(tail)
+    s = s0 + sum(len(w) for w in tail.values())
+    survivors = set(corpus) - {1, 5, 9}
+    want = _py_bm25(corpus, ["shuffle", "spark"], allowed=survivors, n=n, s=s)
+    assert {r.ID: (r._score, r._terms) for r in res} == want

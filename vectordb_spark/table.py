@@ -1428,7 +1428,36 @@ class Table:
                 "INVALID_PAYLOAD", f"Field {field} is not a STRING field."
             )
         meta = self._load_meta()
-        df = self.df()
+        version = (
+            meta.get("text_indexes", {}).get(field, {}).get("version", 0) + 1
+        )
+        name = f"textindex_{field}_v{version}"
+        n_docs, sum_dl = self._write_text_postings(
+            self.df(), field, buckets, name
+        )
+        meta.setdefault("text_indexes", {})[field] = {
+            "version": version,
+            "dir": name,
+            "deltas": [],
+            "buckets": buckets,
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "indexed_up_to": meta["next_row_id"],
+            "mutation_seq": int(meta.get("mutation_seq", 0)),
+        }
+        self._save_meta(meta)
+        return {
+            "field": field,
+            "version": version,
+            "indexedRecords": n_docs,
+        }
+
+    def _write_text_postings(
+        self, df: DataFrame, field: str, buckets: int, name: str
+    ) -> tuple[int, int]:
+        """One explode → groupBy pass over ``df``'s text, written as a
+        bucket-partitioned posting dir; returns (doc count, Σ doc
+        lengths) for the manifest stats."""
         words = F.split(F.col(field), " ", -1)
         postings = (
             df.select(
@@ -1445,10 +1474,6 @@ class Table:
         n_docs, sum_dl = df.select(
             F.count(F.lit(1)), F.sum(F.size(words)).cast("long")
         ).first()
-        version = (
-            meta.get("text_indexes", {}).get(field, {}).get("version", 0) + 1
-        )
-        name = f"textindex_{field}_v{version}"
         (
             # shuffle key (_tb, row-hash): plain _tb would funnel each
             # bucket — and with zipfian tokens, the hot bucket holds a
@@ -1463,20 +1488,45 @@ class Table:
             .partitionBy("_tb")
             .parquet(os.path.join(self.path, name))
         )
-        meta.setdefault("text_indexes", {})[field] = {
-            "version": version,
-            "dir": name,
-            "buckets": buckets,
-            "n_docs": int(n_docs or 0),
-            "sum_dl": int(sum_dl or 0),
-            "indexed_up_to": meta["next_row_id"],
-            "mutation_seq": int(meta.get("mutation_seq", 0)),
-        }
+        return int(n_docs or 0), int(sum_dl or 0)
+
+    def refresh_text_index(self, field: str) -> dict:
+        """Incremental index refresh: postings for ONLY the unindexed
+        tail (rows inserted since the last build/refresh) land in a new
+        immutable DELTA dir alongside the main index — same bucket
+        partitioning, so query-term pruning applies per dir — and the
+        manifest extends (N, Σdl) and advances ``indexed_up_to``
+        atomically (CAS commit). A growing table never pays a full
+        rebuild just to keep search off the live-tail scan path: the
+        Lucene segment-commit discipline, with the manifest as the
+        segments file. Deletes are untouched — dead postings in older
+        dirs stay handled by the mutation_seq semi-join until a full
+        ``rebuild_text_index`` resets the baseline (= Lucene merge)."""
+        meta = self._load_meta()
+        info = meta.get("text_indexes", {}).get(field)
+        if info is None:
+            raise VectorDBError(
+                "NOT_IMPLEMENTED_ERROR",
+                f"No text index on field {field}; call rebuild_text_index first.",
+            )
+        up_to = int(info["indexed_up_to"])
+        if up_to >= int(meta["next_row_id"]):
+            return {"field": field, "version": info["version"], "appendedRecords": 0}
+        tail = self.df().where(F.col("_row_id") >= up_to)
+        deltas = list(info.get("deltas", []))
+        name = f"{info['dir']}_delta{len(deltas) + 1}"
+        n_docs, sum_dl = self._write_text_postings(
+            tail, field, int(info["buckets"]), name
+        )
+        info["deltas"] = deltas + [name]
+        info["n_docs"] = int(info["n_docs"]) + n_docs
+        info["sum_dl"] = int(info["sum_dl"]) + sum_dl
+        info["indexed_up_to"] = meta["next_row_id"]
         self._save_meta(meta)
         return {
             "field": field,
-            "version": version,
-            "indexedRecords": int(n_docs or 0),
+            "version": info["version"],
+            "appendedRecords": n_docs,
         }
 
     def _text_postings(self, df: DataFrame, field: str, terms: list[str]) -> DataFrame:
@@ -1537,9 +1587,23 @@ class Table:
         from vectordb_spark.functions.hashing import pmod_bucket
 
         tbs = [pmod_bucket(t, buckets) for t in terms]
-        idx = spark.read.parquet(os.path.join(self.path, info["dir"])).where(
-            F.col("_tb").isin(sorted(set(tbs))) & F.col("_token").isin(*terms)
-        ).select("_row_id", "_dl", "_token", "_tf")
+        # main dir + refresh deltas: each is its own bucket-partitioned
+        # root, read with the same (_tb PartitionFilter, _token
+        # predicate) pruning and unioned — the Lucene multi-segment read
+        from functools import reduce
+
+        idx = reduce(
+            lambda a, b: a.unionByName(b),
+            (
+                spark.read.parquet(os.path.join(self.path, d))
+                .where(
+                    F.col("_tb").isin(sorted(set(tbs)))
+                    & F.col("_token").isin(*terms)
+                )
+                .select("_row_id", "_dl", "_token", "_tf")
+                for d in [info["dir"], *info.get("deltas", [])]
+            ),
+        )
         base = self.df()
         up_to = int(info["indexed_up_to"])
         has_tail = up_to < int(meta["next_row_id"])
