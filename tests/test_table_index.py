@@ -281,3 +281,47 @@ def test_ivf_pq_rejects_dot_product(spark, tmp_path):
     t.insert([{"ID": i, "Embedding": _vec(i)} for i in range(10)])
     with pytest.raises(VectorDBError, match="IVF_PQ"):
         t.rebuild("Embedding", index_type="IVF_PQ", k=2)
+
+
+def test_refresh_index_appends_delta(table):
+    """Incremental vector-index refresh: tail rows self-assign to the
+    stored centroids into a delta dir — post-refresh searches probe
+    both dirs and match the exact path at full probe, with no live
+    tail left (indexed_up_to at head)."""
+    table.rebuild("Embedding", k=8)
+    # _vec is periodic mod 300 — tail rows need DISTINCT vectors so the
+    # delta-resident row is the unambiguous nearest neighbor
+    tail_vec = lambda i: [5.0 + i * 0.1, 5.0 - i * 0.1, 4.0, 3.0]  # noqa: E731
+    table.insert([{"ID": 900 + i, "Embedding": tail_vec(i)} for i in range(40)])
+    out = table.refresh_index("Embedding")
+    assert out["version"] == 1 and out["appendedRecords"] == 40
+    # no-op second refresh
+    assert table.refresh_index("Embedding")["appendedRecords"] == 0
+    q = tail_vec(5)
+    exact = [r["ID"] for r in table.search_df(q, limit=5).collect()]
+    full = [
+        r["ID"]
+        for r in table.search_indexed_df(q, limit=5, nprobe=8).collect()
+    ]
+    assert full == exact
+    # partial probe still finds the query's own (delta-resident) row
+    part = table.search_indexed_df(q, limit=3, nprobe=2).collect()
+    assert part[0]["ID"] == 905
+
+
+def test_refresh_index_sq8_and_sizes(table):
+    table.rebuild("Embedding", index_type="IVF_SQ8", k=4)
+    meta_sizes_before = sum(
+        int(n)
+        for n in table._load_meta()["indexes"]["Embedding"]["cluster_sizes"].values()
+    )
+    tail_vec = lambda i: [6.0 + i * 0.1, 6.0 - i * 0.1, 5.0, 4.0]  # noqa: E731
+    table.insert([{"ID": 900 + i, "Embedding": tail_vec(i)} for i in range(25)])
+    assert table.refresh_index("Embedding")["appendedRecords"] == 25
+    info = table._load_meta()["indexes"]["Embedding"]
+    assert sum(int(n) for n in info["cluster_sizes"].values()) == (
+        meta_sizes_before + 25
+    )
+    q = tail_vec(10)
+    got = table.search_indexed_df(q, limit=3, nprobe=4).collect()
+    assert got[0]["ID"] == 910

@@ -1187,6 +1187,7 @@ class Table:
             "seed": seed,
             "version": version,
             "dir": name,
+            "deltas": [],
             "metric": f.metric or "EUCLIDEAN",
             "centroids": idx.centroids,
             "cluster_sizes": {str(c): n for c, n in (idx.cluster_sizes or {}).items()},
@@ -1205,6 +1206,94 @@ class Table:
         }
         self._save_meta(meta)
         return {"field": field, "version": version, "indexedRecords": indexed_up_to}
+
+    def refresh_index(self, field: str) -> dict:
+        """Incremental ANN-index refresh: rows inserted since the last
+        build/refresh self-assign to the STORED centroids (codegen
+        argmin — k inline distances, no refit, no shuffle), get their
+        stored codes (SQ8 quantization / PQ encoding against the stored
+        codebook — both stateless given the manifest), and land in a
+        new immutable delta dir partitioned by ``_cluster``; the
+        manifest extends cluster sizes and advances ``indexed_up_to``
+        in one CAS commit. A growing table keeps probe-pruned searches
+        without per-query tail scans and without re-running KMeans —
+        centroids and the separation-planner statistics stay
+        build-time until a full ``rebuild`` (the text index's delta
+        discipline, applied to vectors; the reference rebuilds from
+        scratch each cycle, table_mvp.cpp:94-203)."""
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        meta = self._load_meta()
+        info = meta.get("indexes", {}).get(field)
+        if info is None:
+            raise VectorDBError(
+                "NOT_IMPLEMENTED_ERROR",
+                f"No index on field {field}; call rebuild first.",
+            )
+        up_to = int(info["indexed_up_to"])
+        if up_to >= int(meta["next_row_id"]):
+            return {"field": field, "version": info["version"], "appendedRecords": 0}
+        tail = self.df().where(F.col("_row_id") >= up_to).select("_row_id", field)
+        dists = F.array(
+            *[
+                l2_squared(F.col(field), vector_literal(c))
+                for c in info["centroids"]
+            ]
+        )
+        assigned = tail.withColumn(
+            "_cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+        if info.get("type") == "IVF_SQ8":
+            from vectordb_spark.functions.distance import dot_product
+            from vectordb_spark.operators.quant import (
+                quant_scale_exprs,
+                quantize_exprs,
+            )
+
+            scale_s, _ = quant_scale_exprs(field)
+            qz_s, _ = quantize_exprs(field, "_scale")
+            assigned = (
+                assigned.withColumn("_scale", F.expr(scale_s))
+                .withColumn("_q", F.expr(qz_s).cast("array<tinyint>"))
+                .withColumn("_norm2", dot_product(F.col(field), F.col(field)))
+                .select("_row_id", "_scale", "_q", "_norm2", "_cluster")
+            )
+        elif info.get("type") == "IVF_PQ":
+            from vectordb_spark.operators.pq import PQIndex
+
+            pqi = PQIndex(m=len(info["pq_codebook"]))
+            pqi.codebook = info["pq_codebook"]
+            assigned = pqi.codes(assigned, field).select(
+                "_row_id", "_pq_codes", "_cluster"
+            )
+        else:
+            assigned = assigned.select("_row_id", field, "_cluster")
+        deltas = list(info.get("deltas", []))
+        name = f"{info['dir']}_delta{len(deltas) + 1}"
+        assigned = assigned.localCheckpoint()  # one compute: write + sizes
+        assigned.write.partitionBy("_cluster").parquet(
+            os.path.join(self.path, name)
+        )
+        delta_sizes = {
+            str(r["_cluster"]): int(r["n"])
+            for r in assigned.groupBy("_cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        appended = sum(delta_sizes.values())
+        sizes = dict(info.get("cluster_sizes") or {})
+        for c, n in delta_sizes.items():
+            sizes[c] = int(sizes.get(c, 0)) + n
+        info["cluster_sizes"] = sizes
+        info["deltas"] = deltas + [name]
+        info["indexed_up_to"] = meta["next_row_id"]
+        self._save_meta(meta)
+        return {
+            "field": field,
+            "version": info["version"],
+            "appendedRecords": appended,
+        }
 
     def search_indexed_df(
         self,
@@ -1258,11 +1347,23 @@ class Table:
                 clusters = idx.plan_probes(q, limit)
         else:
             clusters = idx.probe_clusters(q, nprobe)
-        index_df = self.spark.read.parquet(os.path.join(self.path, info["dir"]))
-        probed = (
-            index_df
-            if clusters is None
-            else index_df.where(F.col("_cluster").isin(clusters))
+        # main dir + refresh deltas, each its own cluster-partitioned
+        # root: probe pruning (PartitionFilters on _cluster) applies
+        # per dir, then the candidate streams union
+        from functools import reduce
+
+        probed = reduce(
+            lambda a, b: a.unionByName(b),
+            (
+                (
+                    d if clusters is None
+                    else d.where(F.col("_cluster").isin(clusters))
+                )
+                for d in (
+                    self.spark.read.parquet(os.path.join(self.path, p))
+                    for p in [info["dir"], *info.get("deltas", [])]
+                )
+            ),
         )
         base = self.df()
         # unchanged manifest mutation_seq ⇒ no deletes/upserts since
