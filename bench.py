@@ -97,6 +97,7 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_bm25_vector_rrf",
     "ann_binary_hamming_rerank",
+    "phrase_bm25_topk",
 ]
 
 _GIST: dict = {}

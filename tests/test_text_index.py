@@ -286,3 +286,59 @@ def test_refresh_after_delete_keeps_exactness(table):
     survivors = set(corpus) - {1, 5, 9}
     want = _py_bm25(corpus, ["shuffle", "spark"], allowed=survivors, n=n, s=s)
     assert {r.ID: (r._score, r._terms) for r in res} == want
+
+
+def _py_phrase_bm25(corpus, phrase, allowed=None, n=None, s=None):
+    """Phrase-as-pseudo-term mirror: tf = overlapping start positions."""
+    docs = {i: w for i, w in corpus.items() if allowed is None or i in allowed}
+    n = len(corpus) if n is None else n
+    s = sum(len(w) for w in corpus.values()) if s is None else s
+    L = len(phrase)
+    tfs = {
+        i: sum(1 for j in range(len(w) - L + 1) if w[j : j + L] == phrase)
+        for i, w in docs.items()
+    }
+    m = {i: tf for i, tf in tfs.items() if tf > 0}
+    df = len(m)
+    out = {}
+    for i, tf in m.items():
+        idf_q = math.floor(math.log((2 * n + 2) / (2 * df + 1)) * BM25_Q)
+        dl = len(docs[i])
+        ratio = (22 * tf * s) / (10 * tf * s + 3 * s + 9 * dl * n)
+        out[i] = (math.floor(idf_q * ratio), 1)
+    return out
+
+
+def test_phrase_search_exact(table):
+    """Exact-phrase search from positional postings: adjacency via the
+    start-position chain, phrase-as-pseudo-term BM25, all from the
+    pruned index — equality against the naive sliding-window mirror.
+    'spark spark' also pins OVERLAPPING occurrence counting."""
+    table.rebuild_text_index("Body", buckets=16)
+    # _body chains tokens with stride 3, so (merge → join) and the
+    # appended (spark → spark) run are REAL adjacencies; a reversed
+    # pair like (join → merge) never occurs — each case asserts a
+    # non-empty expectation where one exists
+    cases = [["merge", "join"], ["spark", "spark"], ["the", "merge", "a"]]
+    assert _py_phrase_bm25(_corpus(0, 120), cases[0])  # non-vacuous
+    for phrase in cases:
+        res = table.search_text_df(
+            " ".join(phrase), limit=300, phrase=True
+        ).collect()
+        want = _py_phrase_bm25(_corpus(0, 120), phrase)
+        assert {r.ID: (r._score, r._terms) for r in res} == want, phrase
+    # docs inserted after the build resolve through the tail path too
+    table.insert(_rows(120, 150))
+    res = table.search_text_df("merge join", limit=300, phrase=True).collect()
+    want = _py_phrase_bm25(_corpus(0, 150), ["merge", "join"])
+    assert want and {r.ID: (r._score, r._terms) for r in res} == want
+
+
+def test_phrase_vs_bag_of_words_differ(table):
+    """Sanity: the phrase result is a strict subset of the AND-of-terms
+    docs — order matters."""
+    table.rebuild_text_index("Body", buckets=16)
+    ph = {r.ID for r in table.search_text_df("the spark", limit=300, phrase=True).collect()}
+    bag = {r.ID for r in table.search_text_df("the spark", limit=300).collect()
+           if r._terms == 2}
+    assert ph and ph < bag

@@ -67,7 +67,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # evicted; IVF coverage is carried by the 5 green ann_* rows plus
     # the newly-rotated-in oracle-gated ann_ivf_autoplan_fallback.
     "semantic_text_search",
-    "a7_percentile_facets",
     # tier C — LLM-pipeline operators
     "asof_join_latest_order",
     "ann_sq8_rerank",
@@ -161,6 +160,12 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # r2-r5; the binned-range-join path keeps geo_join_radius_pairs,
     # the same equi-join-on-bin shape, in window)
     "ann_binary_hamming_rerank",
+    # exact-phrase BM25 (positional adjacency as a codegen
+    # start-position filter; the positional-index twin is pytest-pinned
+    # in test_text_index.py); evicts a7_percentile_facets (driver-green
+    # r1-r5; agg path keeps a5_facets_over_search, a8_value_histogram,
+    # curate_end_to_end)
+    "phrase_bm25_topk",
 )
 
 # Round-7 rotation queue: empty — every round-6 addition (including

@@ -629,3 +629,79 @@ def text_index_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------------------------ phrase BM25
+#
+# Exact-phrase retrieval: the query is an ORDERED adjacency of
+# whitespace tokens; tf counts (possibly overlapping) start positions,
+# df counts docs containing the phrase, and the phrase ranks as one
+# BM25 pseudo-term on the same quantized grid. The corpus-scan shape
+# below verifies positions with a start-position filter inside codegen
+# (no explode — one pass, map-side); the Table's positional inverted
+# index answers the same query from pruned postings alone
+# (search_text_df(phrase=True), exactness pinned in
+# tests/test_text_index.py against this definition).
+_PHRASE = ("window", "merge")
+_PHRASE_K = 15
+
+_PHRASE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+hits AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           CAST(len(list_filter(range(1, len(toks)),
+                i -> toks[i] = '{_PHRASE[0]}' AND toks[i+1] = '{_PHRASE[1]}'))
+                AS BIGINT) AS tf
+    FROM t
+),
+stats AS (
+    SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM hits
+),
+m AS (SELECT * FROM hits WHERE tf > 0),
+dfreq AS (SELECT COUNT(*) AS df FROM m)
+SELECT m.doc_id, m.tf AS phrase_tf,
+       {_bm25_sq_expr("m.tf", "dfreq.df", "m.dl", "stats.n", "stats.s")} AS bm25_q
+FROM m CROSS JOIN dfreq CROSS JOIN stats
+ORDER BY bm25_q DESC, doc_id LIMIT {_PHRASE_K}
+"""
+
+
+@query("phrase_bm25_topk", oracle=_PHRASE_ORACLE)
+def phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scan exact-phrase BM25. The start-position filter runs
+    as a higher-order filter over the token array — one map-side pass,
+    no explode, no shuffle until the (tiny) matching set aggregates;
+    at 100 TB the only full-data work is the per-row array scan. The
+    Spark sequence() guard matters: sequence(1, 0) is DESCENDING
+    [1, 0], not empty, so single-token docs need the CASE."""
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = "split(text, ' ', -1)"
+    tf_expr = (
+        f"CAST(CASE WHEN size({toks}) < 2 THEN 0 ELSE "
+        f"size(filter(sequence(1, size({toks}) - 1), "
+        f"i -> element_at({toks}, i) = '{_PHRASE[0]}' "
+        f"AND element_at({toks}, i + 1) = '{_PHRASE[1]}' )) END AS BIGINT)"
+    )
+    hits = d.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("dl"),
+        F.expr(tf_expr).alias("tf"),
+    )
+    stats = hits.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("s")
+    )
+    m = hits.where(F.col("tf") > 0)
+    dfreq = m.agg(F.count(F.lit(1)).alias("df"))
+    return (
+        m.crossJoin(F.broadcast(dfreq))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("tf").alias("phrase_tf"),
+            F.expr(_bm25_sq_expr("tf", "df", "dl", "n", "s")).alias("bm25_q"),
+        )
+        .orderBy(F.col("bm25_q").desc(), "doc_id")
+        .limit(_PHRASE_K)
+    )

@@ -1558,16 +1558,22 @@ class Table:
     ) -> tuple[int, int]:
         """One explode → groupBy pass over ``df``'s text, written as a
         bucket-partitioned posting dir; returns (doc count, Σ doc
-        lengths) for the manifest stats."""
+        lengths) for the manifest stats. Postings are POSITIONAL
+        (sorted 1-based ``_pos`` array per (doc, token)) so phrase
+        queries resolve from the index alone — the Lucene
+        positions-in-postings layout."""
         words = F.split(F.col(field), " ", -1)
         postings = (
             df.select(
                 "_row_id",
                 F.size(words).cast("long").alias("_dl"),
-                F.explode(words).alias("_token"),
+                F.posexplode(words).alias("_p0", "_token"),
             )
             .groupBy("_row_id", "_dl", "_token")
-            .agg(F.count(F.lit(1)).alias("_tf"))
+            .agg(
+                F.count(F.lit(1)).alias("_tf"),
+                F.sort_array(F.collect_list(F.col("_p0") + 1)).alias("_pos"),
+            )
             .withColumn(
                 "_tb", F.pmod(F.xxhash64("_token"), F.lit(buckets)).cast("int")
             )
@@ -1631,18 +1637,21 @@ class Table:
         }
 
     def _text_postings(self, df: DataFrame, field: str, terms: list[str]) -> DataFrame:
-        """(_row_id, _dl, _token, _tf) for query terms, computed
+        """(_row_id, _dl, _token, _tf, _pos) for query terms, computed
         directly from text — the unindexed-tail scoring path."""
         words = F.split(F.col(field), " ", -1)
         return (
             df.select(
                 "_row_id",
                 F.size(words).cast("long").alias("_dl"),
-                F.explode(words).alias("_token"),
+                F.posexplode(words).alias("_p0", "_token"),
             )
             .where(F.col("_token").isin(*terms))
             .groupBy("_row_id", "_dl", "_token")
-            .agg(F.count(F.lit(1)).alias("_tf"))
+            .agg(
+                F.count(F.lit(1)).alias("_tf"),
+                F.sort_array(F.collect_list(F.col("_p0") + 1)).alias("_pos"),
+            )
         )
 
     def search_text_df(
@@ -1652,6 +1661,7 @@ class Table:
         query_field: str | None = None,
         limit: int = 10,
         filter: str = "",
+        phrase: bool = False,
     ) -> DataFrame:
         """BM25 search through the persisted inverted index, merged
         with a direct scan of the unindexed tail (rows inserted since
@@ -1664,7 +1674,15 @@ class Table:
         Scores are the quantized-grid BM25 of functions.text_rank, so
         indexed results hash-match the corpus-scan query exactly.
         Returns base-table rows (``filter`` applied as a pre-filter
-        semi-join on candidates) with ``_score`` / ``_terms``."""
+        semi-join on candidates) with ``_score`` / ``_terms``.
+
+        ``phrase=True`` treats the query as an EXACT PHRASE: the
+        positional postings resolve adjacency (a start-position chain
+        intersected term by term, the Lucene exact-phrase algorithm),
+        the phrase acts as one pseudo-term (tf = overlapping phrase
+        occurrences, df = docs containing the phrase), and ranking is
+        the same quantized BM25 — all from the pruned index, the raw
+        text is never re-read."""
         from vectordb_spark.functions.text_rank import bm25_sq_expr
 
         meta = self._load_meta()
@@ -1677,7 +1695,8 @@ class Table:
                 f"No text index on field {field or '<none>'}; "
                 "call rebuild_text_index first.",
             )
-        terms = sorted({t for t in query_text.split(" ") if t})
+        seq_terms = [t for t in query_text.split(" ") if t]
+        terms = sorted(set(seq_terms))
         if not terms:
             raise VectorDBError("INVALID_PAYLOAD", "Empty query text.")
         spark = self.spark
@@ -1701,7 +1720,10 @@ class Table:
                     F.col("_tb").isin(sorted(set(tbs)))
                     & F.col("_token").isin(*terms)
                 )
-                .select("_row_id", "_dl", "_token", "_tf")
+                .select(
+                    "_row_id", "_dl", "_token", "_tf",
+                    *(["_pos"] if phrase else []),
+                )
                 for d in [info["dir"], *info.get("deltas", [])]
             ),
         )
@@ -1725,14 +1747,49 @@ class Table:
         postings = idx
         if has_tail:
             tail = base.where(F.col("_row_id") >= up_to)
-            postings = postings.unionByName(
-                self._text_postings(tail, field, terms)
-            )
+            tail_postings = self._text_postings(tail, field, terms)
+            if not phrase:
+                tail_postings = tail_postings.drop("_pos")
+            postings = postings.unionByName(tail_postings)
         # candidate pre-filter (reference semantics: filter before rank)
         ast = parse_filter(filter, self.field_map())
         if ast is not None:
             allowed = base.where(to_spark_column(ast)).select("_row_id")
             postings = postings.join(allowed, "_row_id", "left_semi")
+        if phrase:
+            # Lucene exact-phrase over positional postings: pivot the
+            # query terms' position lists per doc, intersect the
+            # start-position chain term by term (start p is valid iff
+            # term_i sits at p+i for every i; overlapping matches
+            # count), and collapse the phrase into ONE pseudo-term
+            # whose tf is the surviving start count. df/ranking then
+            # flow through the ordinary BM25 machinery unchanged.
+            perdoc = (
+                postings.groupBy("_row_id", "_dl")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("_token", "_pos"))
+                    ).alias("_m"),
+                    F.count(F.lit(1)).alias("_nt"),
+                )
+                .where(F.col("_nt") == len(terms))  # has every term
+            )
+            starts = F.col("_m").getItem(seq_terms[0])
+            for t in seq_terms[1:]:
+                starts = F.array_intersect(
+                    F.transform(starts, lambda p: p + 1),
+                    F.col("_m").getItem(t),
+                )
+            postings = (
+                perdoc.withColumn("_ptf", F.size(starts))
+                .where(F.col("_ptf") > 0)
+                .select(
+                    "_row_id",
+                    "_dl",
+                    F.lit(" ".join(seq_terms)).alias("_token"),
+                    F.col("_ptf").cast("long").alias("_tf"),
+                )
+            )
         dfreq = postings.groupBy("_token").agg(
             F.countDistinct("_row_id").alias("_df")
         )
