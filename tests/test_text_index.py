@@ -342,3 +342,25 @@ def test_phrase_vs_bag_of_words_differ(table):
     bag = {r.ID for r in table.search_text_df("the spark", limit=300).collect()
            if r._terms == 2}
     assert ph and ph < bag
+
+
+def test_vacuum_reclaims_superseded_index_versions(table):
+    """Rebuild supersedes the v1 dirs (main + deltas); vacuum with
+    zero grace reclaims them while the live v2 dir and a reader
+    planned against it survive."""
+    import os
+
+    table.rebuild_text_index("Body", buckets=16)
+    table.insert(_rows(120, 130))
+    table.refresh_text_index("Body")
+    v1_dirs = [
+        d for d in os.listdir(table.path) if d.startswith("textindex_Body_v1")
+    ]
+    assert len(v1_dirs) == 2  # main + delta
+    table.rebuild_text_index("Body", buckets=16)
+    out = table.vacuum(grace_seconds=0)
+    assert out["removedSegments"] >= 2
+    left = {d for d in os.listdir(table.path) if d.startswith("textindex_")}
+    assert left == {"textindex_Body_v2"}
+    # index still serves
+    assert table.search_text_df("spark", limit=3).count() == 3

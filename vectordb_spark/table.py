@@ -827,12 +827,19 @@ class Table:
         referenced = set(meta["files"])
         for h in kept:
             referenced.update(h["files"])
+        # live index dirs: current version + refresh deltas, for every
+        # indexed field (vector and text) — superseded versions from
+        # rebuilds are unreferenced and reclaimable like old segments
+        for fam in ("indexes", "text_indexes"):
+            for info in meta.get(fam, {}).values():
+                referenced.add(info["dir"])
+                referenced.update(info.get("deltas", []))
         removed = skipped_recent = 0
         now = time.time()
         for name in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, name)
             if (
-                (name.startswith("add_") or name.startswith("base_"))
+                name.startswith(("add_", "base_", "index_", "textindex_"))
                 and name not in referenced
                 and os.path.isdir(full)
             ):
