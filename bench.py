@@ -98,6 +98,7 @@ HEADLINE = [
     "hybrid_bm25_vector_rrf",
     "ann_binary_hamming_rerank",
     "phrase_bm25_topk",
+    "bm25_multiquery_batch",
 ]
 
 _GIST: dict = {}

@@ -60,8 +60,11 @@ def main() -> None:
     print("Synthetic zipf corpus, ~30-token docs, 400-word vocab; 3-term")
     print(f"query, buckets={BUCKETS} (terms prune the posting scan to")
     print("|distinct term buckets|/64 of index files at listing time).\n")
-    print("| docs | build s | corpus-scan BM25 s | indexed BM25 s | postings read |")
-    print("|---|---|---|---|---|")
+    print(
+        "| docs | build s | corpus-scan BM25 s | indexed BM25 s "
+        "| phrase s | postings read |"
+    )
+    print("|---|---|---|---|---|---|")
     schema = TableSchema(
         name="d",
         fields=[
@@ -89,6 +92,11 @@ def main() -> None:
 
         t_idx = timed_min3(
             lambda: t.search_text_df(TERMS, limit=10).collect()
+        )
+        t_phrase = timed_min3(
+            lambda: t.search_text_df(
+                "w7 w123", limit=10, phrase=True
+            ).collect()
         )
 
         # corpus-scan comparator: same quantized BM25, no index
@@ -130,7 +138,7 @@ def main() -> None:
         )
         frac = read_postings / total_postings
         print(
-            f"| {n:,} | {t_build} | {t_scan} | {t_idx} | "
+            f"| {n:,} | {t_build} | {t_scan} | {t_idx} | {t_phrase} | "
             f"{read_postings:,}/{total_postings:,} ({frac:.1%}) |"
         )
         shutil.rmtree(work, ignore_errors=True)

@@ -57,7 +57,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "w2_sessionize",
     "w6_gapfill_hourly",
     # tier B — reference-parity scan/filter/agg/ANN surface
-    "fusion_rrf",
     "ann_lsh_multiprobe",
     # round-6: semantic_text_search now carries a REAL oracle (the
     # SqlMockEmbedder reformulation — integer trigram hashing evaluable
@@ -166,6 +165,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # r1-r5; agg path keeps a5_facets_over_search, a8_value_histogram,
     # curate_end_to_end)
     "phrase_bm25_topk",
+    # batch lexical retrieval — Q queries, one corpus pass, rank-window
+    # per-query cut (the lexical t9_knn_batch); evicts fusion_rrf
+    # (driver-green r1-r5; the RRF fusion path keeps
+    # hybrid_bm25_vector_rrf, the strictly richer two-modality variant)
+    "bm25_multiquery_batch",
 )
 
 # Round-7 rotation queue: empty — every round-6 addition (including

@@ -705,3 +705,117 @@ def phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_q").desc(), "doc_id")
         .limit(_PHRASE_K)
     )
+
+
+# ---------------------------------------------------- batch lexical
+#
+# Q queries scored in ONE corpus pass — the lexical analog of
+# t9_knn_batch (training-data pipelines score thousands of probe
+# queries against a corpus; re-scanning per query is the naive O(Q)
+# mistake). The token explode prunes to the UNION of all queries'
+# terms before any shuffle; a broadcast (term → qid) map fans each
+# per-(doc, term) contribution out to its queries; per-qid top-k is a
+# rank window that Spark plans as WindowGroupLimit (per-partition
+# partial top-k before the qid shuffle — no global sort, and the
+# Q-partition window only ever sees ≤ Q·k·partitions rows).
+_BATCH_QUERIES = (
+    ("q0", ("spark", "merge")),
+    ("q1", ("window", "scan")),
+    ("q2", ("join", "the", "fast")),
+)
+_BATCH_K = 5
+
+
+def _batch_oracle() -> str:
+    all_terms = sorted({t for _, ts in _BATCH_QUERIES for t in ts})
+    terms_sql = ", ".join(f"'{t}'" for t in all_terms)
+    qmap = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in _BATCH_QUERIES for t in ts
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl),
+tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM toks
+    WHERE w IN ({terms_sql}) GROUP BY doc_id, w
+),
+dfreq AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks
+    WHERE w IN ({terms_sql}) GROUP BY w
+),
+qmap(qid, w) AS (VALUES {qmap}),
+contrib AS (
+    SELECT qmap.qid, tf.doc_id,
+           {_bm25_sq_expr("tf.tf", "dfreq.df", "dl.dl", "stats.n", "stats.s")} AS sq
+    FROM tf
+    JOIN dfreq USING (w)
+    JOIN qmap USING (w)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT qid, doc_id, CAST(SUM(sq) AS BIGINT) AS bm25_q,
+           COUNT(*) AS n_terms
+    FROM contrib GROUP BY qid, doc_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY bm25_q DESC, doc_id) AS rnk
+    FROM scored
+)
+SELECT qid, doc_id, bm25_q, n_terms, rnk FROM ranked
+WHERE rnk <= {_BATCH_K}
+ORDER BY qid, rnk
+"""
+
+
+@query("bm25_multiquery_batch", oracle=_batch_oracle())
+def bm25_multiquery_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: one corpus scan serves every query. df/tf/corpus
+    stats compute once over the union of terms (all broadcasts except
+    the single (doc, term) hit aggregation), the per-query fan-out is
+    a broadcast join against the Q·|terms| mapping, and the per-query
+    cut is a rank window (WindowGroupLimit, plan-asserted in
+    tests/test_plans.py discipline)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents", rebalance=True)
+    all_terms = sorted({t for _, ts in _BATCH_QUERIES for t in ts})
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BATCH_QUERIES for t in ts], "qid string, w string"
+    )
+    words = F.split("text", " ", -1)
+    toks = d.select("doc_id", F.explode(words).alias("w"))
+    dl = d.select("doc_id", F.size(words).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("s")
+    )
+    hits = toks.where(F.col("w").isin(*all_terms))
+    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(qmap), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(_bm25_sq_expr("tf", "df", "dl", "n", "s")).alias("sq"),
+        )
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(
+        F.sum("sq").cast("long").alias("bm25_q"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("bm25_q").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _BATCH_K)
+        .orderBy("qid", "rnk")
+    )
