@@ -99,6 +99,8 @@ HEADLINE = [
     "ann_binary_hamming_rerank",
     "phrase_bm25_topk",
     "bm25_multiquery_batch",
+    "sketch_hll_distinct_users",
+    "sketch_cms_user_frequency",
 ]
 
 _GIST: dict = {}

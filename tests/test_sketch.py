@@ -1,0 +1,102 @@
+"""Sketch operators: cross-engine hash parity, HLL accuracy across
+scales, CMS one-sided error — the properties the oracle gate's single
+corpus can't cover."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators.sketch import (
+    CMS_D,
+    HLL_M,
+    HLL_W,
+    cms_slot_py,
+    cms_slot_sql,
+    hll_bucket_sql,
+    hll_estimate_py,
+    hll_rank_py,
+    hll_rank_sql,
+    lcg2_py,
+    lcg2_sql,
+)
+
+
+def test_sql_hash_matches_python(spark):
+    """The SQL expressions and the Python mirror are the same
+    function — on negatives, zero, and large ids too."""
+    xs = [0, 1, -1, 5, 149, 2**31 - 2, 2**40 + 7, -(2**35)] + [
+        random.Random(3).randrange(-(2**45), 2**45) for _ in range(50)
+    ]
+    rows = (
+        spark.createDataFrame([(x,) for x in xs], "x long")
+        .select(
+            F.expr(lcg2_sql("x")).alias("h"),
+            F.expr(lcg2_sql("x", salt=1_000_003)).alias("hs"),
+            F.expr(hll_bucket_sql("x")).alias("b"),
+            F.expr(hll_rank_sql("x")).alias("r"),
+            F.expr(cms_slot_sql("x", 2)).alias("s2"),
+        )
+        .collect()
+    )
+    for x, row in zip(xs, rows):
+        assert row.h == lcg2_py(x), x
+        assert row.hs == lcg2_py(x, salt=1_000_003), x
+        assert row.b == lcg2_py(x) % HLL_M, x
+        assert row.r == hll_rank_py(x), x
+        assert row.s2 == cms_slot_py(x, 2), x
+
+
+def test_hll_accuracy_across_scales():
+    """Relative error within ~3 standard errors (1.04/sqrt(64) = 13%)
+    across 3 decades — the quadratic mixer's scatter is real (a linear
+    map measured +68% here)."""
+    for n in (100, 1_000, 10_000, 100_000):
+        regs: dict[int, int] = {}
+        for x in range(n):
+            h = lcg2_py(x)
+            b = h % HLL_M
+            r = hll_rank_py(x)
+            regs[b] = max(regs.get(b, 0), r)
+        est = hll_estimate_py(regs)
+        assert abs(est - n) / n < 0.40, (n, est)
+
+
+def test_hll_register_merge_is_associative():
+    """Fixed-state claim: registers from two disjoint halves merge by
+    elementwise max into exactly the full-data registers — the
+    property that makes the build an ordinary partial aggregate."""
+    n = 5_000
+    full: dict[int, int] = {}
+    a: dict[int, int] = {}
+    b: dict[int, int] = {}
+    for x in range(n):
+        tgt = a if x % 2 else b
+        bkt, r = lcg2_py(x) % HLL_M, hll_rank_py(x)
+        tgt[bkt] = max(tgt.get(bkt, 0), r)
+        full[bkt] = max(full.get(bkt, 0), r)
+    merged = {
+        k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)
+    }
+    assert merged == full
+    assert hll_estimate_py(merged) == hll_estimate_py(full)
+
+
+def test_cms_one_sided_error():
+    """est >= exact always; equality for keys with no collisions."""
+    rng = random.Random(11)
+    stream = [rng.randrange(200) for _ in range(20_000)]
+    counters = [[0] * 512 for _ in range(CMS_D)]
+    for x in stream:
+        for row in range(CMS_D):
+            counters[row][cms_slot_py(x, row)] += 1
+    exact: dict[int, int] = {}
+    for x in stream:
+        exact[x] = exact.get(x, 0) + 1
+    for k, c in exact.items():
+        est = min(counters[row][cms_slot_py(k, row)] for row in range(CMS_D))
+        assert est >= c, k
+        # CMS guarantee: err <= eps * N with eps = e/w, here generous
+        assert est - c <= math.e / 512 * len(stream) * 3, k

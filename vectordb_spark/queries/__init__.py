@@ -55,7 +55,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",
     "w2_sessionize",
-    "w6_gapfill_hourly",
     # tier B — reference-parity scan/filter/agg/ANN surface
     "ann_lsh_multiprobe",
     # round-6: semantic_text_search now carries a REAL oracle (the
@@ -67,7 +66,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # the newly-rotated-in oracle-gated ann_ivf_autoplan_fallback.
     "semantic_text_search",
     # tier C — LLM-pipeline operators
-    "asof_join_latest_order",
     "ann_sq8_rerank",
     "dedup_cluster_components",
     # round-5: the late-data/watermark gate replaces the in-order
@@ -170,6 +168,15 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # (driver-green r1-r5; the RRF fusion path keeps
     # hybrid_bm25_vector_rrf, the strictly richer two-modality variant)
     "bm25_multiquery_batch",
+    # deterministic sketches (beyond-reference pipeline toolkit):
+    # HLL distinct + Count-Min frequency with a cross-engine quadratic
+    # hash, both estimate AND exact in one row set. Evict
+    # w6_gapfill_hourly (G r1-r5; window family keeps w2 + w7-w10) and
+    # asof_join_latest_order (G r2-r5; join family keeps tpch q5/q10 +
+    # geo_join_radius_pairs, asof machinery stays pytest-covered in
+    # tests/test_asof.py)
+    "sketch_hll_distinct_users",
+    "sketch_cms_user_frequency",
 )
 
 # Round-7 rotation queue: empty — every round-6 addition (including
@@ -195,6 +202,7 @@ def _load() -> None:
         joins,
         media,
         pipeline,
+        sketch,
         sparse,
         streaming_gate,
         tpch,
