@@ -145,6 +145,25 @@ SHOWCASE = {
         "with a posting scan pruned by PartitionFilters on the token "
         "hash bucket."
     ),
+    "phrase_bm25_topk": (
+        "Exact-phrase BM25: the start-position adjacency check is a "
+        "higher-order filter over the token array inside codegen — one "
+        "map-side pass, no explode; only the (tiny) phrase-matching set "
+        "ever aggregates or joins."
+    ),
+    "bm25_multiquery_batch": (
+        "Batch lexical retrieval: Q queries, ONE corpus token pass. "
+        "The per-query fan-out is a broadcast join on the (term, query) "
+        "map and the per-query cut plans as WindowGroupLimit — "
+        "per-partition partial top-k before the qid shuffle."
+    ),
+    "sketch_hll_distinct_users": (
+        "HLL registers are a fixed-state partial aggregate: map-side "
+        "combine reduces each partition to ≤ |types|·64 rows before "
+        "the shuffle (see the partial_max in the HashAggregate pair) — "
+        "the COUNT(DISTINCT) expand/shuffle never happens on the "
+        "sketch side."
+    ),
     "tpch_q10_returned_items": (
         "Q10 returned-item report: l_returnflag='R' pushed to the "
         "lineitem scan, fact-fact join shuffles on orderkey, the "
