@@ -364,3 +364,32 @@ def test_vacuum_reclaims_superseded_index_versions(table):
     assert left == {"textindex_Body_v2"}
     # index still serves
     assert table.search_text_df("spark", limit=3).count() == 3
+
+
+def test_multi_field_weighted_search(table):
+    """BM25F-style multi-field search: per-field quantized BM25 scores
+    combined with integer weights — exact vs the per-field mirrors
+    (each field keeps its own dl normalization and df)."""
+    table.rebuild_text_index("Body", buckets=16)
+    table.rebuild_text_index("Lang", buckets=16)
+    res = table.search_text_multi_df(
+        "en spark", {"Body": 2, "Lang": 3}, limit=300
+    ).collect()
+    body = _py_bm25(_corpus(0, 120), ["en", "spark"])
+    langs = {i: ["en" if i % 3 else "de"] for i in range(120)}
+    lang = _py_bm25(langs, ["en", "spark"])
+    want = {}
+    for i in set(body) | set(lang):
+        bs, bt = body.get(i, (0, 0))
+        ls, lt = lang.get(i, (0, 0))
+        want[i] = (2 * bs + 3 * ls, bt + lt)
+    assert {r.ID: (r._score, r._terms) for r in res} == want
+    # errors: empty weights / non-integer weight / unindexed field
+    from vectordb_spark.schema import VectorDBError
+
+    with pytest.raises(VectorDBError):
+        table.search_text_multi_df("x", {})
+    with pytest.raises(VectorDBError):
+        table.search_text_multi_df("x", {"Body": 1.5})
+    with pytest.raises(VectorDBError):
+        table.search_text_multi_df("x", {"Source": 1})

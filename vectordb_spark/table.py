@@ -1868,6 +1868,72 @@ class Table:
             .orderBy(F.col("_score").desc(), F.col("_row_id"))
         )
 
+    def search_text_multi_df(
+        self,
+        query_text: str,
+        field_weights: dict[str, int],
+        *,
+        limit: int = 10,
+        filter: str = "",
+    ) -> DataFrame:
+        """Weighted multi-field lexical search (the practical BM25F
+        variant: per-field BM25 scores linearly combined — each field
+        keeps its own length normalization and document frequencies,
+        then INTEGER weights scale the quantized scores, so the
+        combination stays exact BIGINT arithmetic). Every named field
+        must carry a text index; a doc ranks by
+        Σ_field weight · bm25_field(doc). Candidate docs match in ≥ 1
+        field (absent fields contribute 0) — the multi-field search
+        shape of Lucene's query-time field boosts."""
+        if not field_weights:
+            raise VectorDBError("INVALID_PAYLOAD", "field_weights is empty.")
+        for w in field_weights.values():
+            if not isinstance(w, int) or w <= 0:
+                raise VectorDBError(
+                    "INVALID_PAYLOAD",
+                    "Field weights must be positive integers (the exact-"
+                    "arithmetic discipline: integer-scaled BIGINT scores).",
+                )
+        parts = None
+        for field, w in field_weights.items():
+            p = self.search_text_df(
+                query_text,
+                query_field=field,
+                limit=1 << 30,  # composed plan; the cut happens on the sum
+                filter=filter,
+            ).select(
+                "_row_id",
+                (F.col("_score") * F.lit(int(w))).alias("_ws"),
+                F.col("_terms").alias("_t"),
+            )
+            parts = p if parts is None else parts.unionByName(p)
+        combined = parts.groupBy("_row_id").agg(
+            F.sum("_ws").cast("long").alias("_score"),
+            F.sum("_t").cast("long").alias("_terms"),
+        )
+        top = (
+            combined.orderBy(F.col("_score").desc(), F.col("_row_id"))
+            .limit(limit)
+            .collect()
+        )
+        if not top:
+            return (
+                self.df()
+                .withColumn("_score", F.lit(0).cast("long"))
+                .withColumn("_terms", F.lit(0).cast("long"))
+                .limit(0)
+            )
+        hits = self.spark.createDataFrame(
+            [(r["_row_id"], r["_score"], r["_terms"]) for r in top],
+            "_row_id long, _score long, _terms long",
+        )
+        return (
+            self.df()
+            .where(F.col("_row_id").isin([r["_row_id"] for r in top]))
+            .join(F.broadcast(hits), "_row_id")
+            .orderBy(F.col("_score").desc(), F.col("_row_id"))
+        )
+
     def insert_prepare(self, primary_keys: list | None = None) -> dict:
         """Reference S2 (table_segment_mvp.cpp:816-876): capacity,
         record count, and 32-bit-packed PK-existence bitmasks."""
