@@ -393,3 +393,28 @@ def test_multi_field_weighted_search(table):
         table.search_text_multi_df("x", {"Body": 1.5})
     with pytest.raises(VectorDBError):
         table.search_text_multi_df("x", {"Source": 1})
+
+
+def test_reader_survives_rebuild_swap(table):
+    """Version-swap safety: a search DataFrame PLANNED against index
+    v1 still collects correct results after a v2 rebuild replaces the
+    manifest pointer (v1's dirs stay on disk until vacuum), and new
+    searches pick up v2 — the lock-free double-buffer discipline the
+    vector index already guarantees (reference X3: readers never block
+    on rebuild)."""
+    table.rebuild_text_index("Body", buckets=16)
+    stale = table.search_text_df("spark window", limit=2000)  # planned vs v1
+    table.insert(_rows(120, 140))
+    table.rebuild_text_index("Body", buckets=16)  # v2 swap
+    # the stale plan is a consistent v1 SNAPSHOT: planned when the
+    # corpus was 120 docs with no tail, it still collects exactly the
+    # v1-era answer after the swap (v1's dirs are immutable and stay
+    # on disk until vacuum) — never an error, never a v1/v2 mix
+    got_stale = {r.ID: (r._score, r._terms) for r in stale.collect()}
+    assert got_stale == _py_bm25(_corpus(0, 120), ["spark", "window"])
+    # a fresh plan sees v2: the full 140-doc corpus, no tail
+    got_new = {
+        r.ID: (r._score, r._terms)
+        for r in table.search_text_df("spark window", limit=2000).collect()
+    }
+    assert got_new == _py_bm25(_corpus(0, 140), ["spark", "window"])
