@@ -101,6 +101,7 @@ HEADLINE = [
     "bm25_multiquery_batch",
     "sketch_hll_distinct_users",
     "sketch_cms_user_frequency",
+    "sparse_index_knn_search",
 ]
 
 _GIST: dict = {}

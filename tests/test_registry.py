@@ -17,8 +17,10 @@ DRIVER_WINDOW = 50
 # off-window in round 5 (green r2+r3+r4; window-function path held by
 # w2 + w6 + the four w7-w10 newcomers).
 CORE = [
+    # t1_knn_cosine rotated out in r6 after 4 straight driver greens;
+    # the cosine metric stays windowed via semantic_text_search and
+    # hybrid_bm25_vector_rrf
     "t1_knn_l2",
-    "t1_knn_cosine",
     "t2_knn_prefilter",
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",

@@ -50,7 +50,6 @@ _LOADED = False
 ORACLE_WINDOW: tuple[str, ...] = (
     # tier A — core KNN / window-function / streaming surface
     "t1_knn_l2",
-    "t1_knn_cosine",
     "t2_knn_prefilter",
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",
@@ -177,6 +176,12 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # tests/test_asof.py)
     "sketch_hll_distinct_users",
     "sketch_cms_user_frequency",
+    # full sparse INVERTED-INDEX lifecycle (build → tail insert →
+    # dim-pruned exact search) vs a brute-force oracle; evicts
+    # t1_knn_cosine (driver-green r2-r5; brute-force-KNN path keeps
+    # t1_knn_l2 / t2 / t6 / t9, COSINE metric stays in-window via
+    # semantic_text_search and hybrid_bm25_vector_rrf)
+    "sparse_index_knn_search",
 )
 
 # Round-7 rotation queue: empty — every round-6 addition (including

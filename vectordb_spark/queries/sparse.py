@@ -240,3 +240,87 @@ def sparse_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "distance")
     )
+
+
+@query(
+    "sparse_index_knn_search",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, {_IDX_D} AS indices, {_VAL_D} AS tf_values
+        FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+    ),
+    q AS (
+        SELECT indices AS q_idx, tf_values AS q_val FROM tf WHERE doc_id = 0
+    )
+    SELECT doc_id,
+           ({_NORM_DOC_D}) - 2.0 * ({_DOT_D}) + ({_NORM_Q_D}) AS distance
+    FROM tf CROSS JOIN q
+    ORDER BY distance, doc_id
+    LIMIT 10
+    """,
+)
+def sparse_index_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARSE INVERTED INDEX lifecycle through the gate: TF vectors
+    from documents bulk-insert into an engine table (80%), the
+    dim-partitioned posting index + norms sidecar build, the remaining
+    20% insert as an unindexed tail, and the search answers through
+    dim-pruned postings + void candidates + exact re-score
+    (Table.search_sparse_indexed_df) — while the oracle recomputes
+    brute-force sparse L2 over the raw corpus. Equality proves the
+    pruned path is EXACT, tail included (the same agreement discipline
+    as text_index_bm25_search; dim indices are 60-bit token hashes, so
+    the field declares a 2^60 hashed-vocabulary dimension — exactly the
+    no-global-vocab layout a 100 TB TF pipeline uses)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select(
+        "doc_id",
+        F.struct(
+            F.expr(_TH_S).alias("hs"),
+        ).alias("_t"),
+    ).select(
+        "doc_id",
+        F.struct(
+            F.expr("array_sort(array_distinct(_t.hs))").alias("indices"),
+            F.expr(
+                "transform(array_sort(array_distinct(_t.hs)), "
+                "i -> CAST(size(filter(_t.hs, h -> h = i)) AS FLOAT))"
+            ).alias("values"),
+        ).alias("Vec"),
+    )
+    qrow = tf.where(F.col("doc_id") == 0).select("Vec").head()
+    qv = {
+        "indices": [int(i) for i in qrow[0]["indices"]],
+        "values": [float(v) for v in qrow[0]["values"]],
+    }
+    schema = TableSchema(
+        name="sparse_idx_docs",
+        fields=[
+            FieldSchema(name="doc_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Vec",
+                field_type=FieldType.SPARSE_VECTOR_FLOAT,
+                dimension=1 << 60,
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = _tempfile.mkdtemp(prefix="vdb_sparse_gate_")
+    t = Table(spark, schema, _os.path.join(work, "sparse_idx_docs"))
+    t._init_storage()
+    t.insert_df(tf.where(F.col("doc_id") % 5 != 4))
+    t.rebuild_sparse_index("Vec", buckets=32)
+    t.insert_df(tf.where(F.col("doc_id") % 5 == 4))  # unindexed tail
+    out = (
+        t.search_sparse_indexed_df(qv, limit=10)
+        .select("doc_id", F.col("_distance").alias("distance"))
+        .localCheckpoint()  # materialize before the temp warehouse dies
+    )
+    _shutil.rmtree(work, ignore_errors=True)
+    return out

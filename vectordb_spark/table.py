@@ -830,16 +830,20 @@ class Table:
         # live index dirs: current version + refresh deltas, for every
         # indexed field (vector and text) — superseded versions from
         # rebuilds are unreferenced and reclaimable like old segments
-        for fam in ("indexes", "text_indexes"):
+        for fam in ("indexes", "text_indexes", "sparse_indexes"):
             for info in meta.get(fam, {}).values():
                 referenced.add(info["dir"])
                 referenced.update(info.get("deltas", []))
+                if info.get("norms_dir"):
+                    referenced.add(info["norms_dir"])
         removed = skipped_recent = 0
         now = time.time()
         for name in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, name)
             if (
-                name.startswith(("add_", "base_", "index_", "textindex_"))
+                name.startswith(
+                    ("add_", "base_", "index_", "textindex_", "sparseindex_")
+                )
                 and name not in referenced
                 and os.path.isdir(full)
             ):
@@ -1867,6 +1871,172 @@ class Table:
             base.join(F.broadcast(scored), "_row_id")
             .orderBy(F.col("_score").desc(), F.col("_row_id"))
         )
+
+    def rebuild_sparse_index(self, field: str, *, buckets: int = 64) -> dict:
+        """Inverted index over a SPARSE vector field (the SPLADE-style
+        retrieval layout): one posting row per nonzero (doc, dim),
+        hive-partitioned by ``_db = dim % buckets`` so a query's
+        nonzero dims prune the posting scan at file-listing time, plus
+        a norms sidecar (_row_id, _norm2 — 16 B/row) that completes
+        the candidate set for metrics where docs sharing NO dims can
+        still rank (L2: small-norm docs; dot/cosine: the zero-overlap
+        tie class). Searches are EXACT — the index only prunes; final
+        scores come from the canonical sparse distance expression over
+        the candidate rows (search_sparse_indexed_df)."""
+        f = self.schema.get(field)
+        if f is None or not f.field_type.is_sparse_vector:
+            raise VectorDBError(
+                "INVALID_PAYLOAD", f"Field {field} is not a sparse vector field."
+            )
+        from vectordb_spark.functions.distance import sparse_norm_sq
+
+        meta = self._load_meta()
+        version = (
+            meta.get("sparse_indexes", {}).get(field, {}).get("version", 0) + 1
+        )
+        name = f"sparseindex_{field}_v{version}"
+        df = self.df()
+        self._write_sparse_postings(df, field, buckets, name)
+        norms_name = f"{name}_norms"
+        df.select(
+            "_row_id", sparse_norm_sq(F.col(field)).alias("_norm2")
+        ).write.mode("overwrite").parquet(os.path.join(self.path, norms_name))
+        n = self._dir_count(norms_name)
+        meta.setdefault("sparse_indexes", {})[field] = {
+            "version": version,
+            "dir": name,
+            "norms_dir": norms_name,
+            "buckets": buckets,
+            "indexed_up_to": meta["next_row_id"],
+            "mutation_seq": int(meta.get("mutation_seq", 0)),
+        }
+        self._save_meta(meta)
+        return {"field": field, "version": version, "indexedRecords": n}
+
+    def _write_sparse_postings(
+        self, df: DataFrame, field: str, buckets: int, name: str
+    ) -> None:
+        v = F.col(field)
+        postings = (
+            df.select(
+                "_row_id",
+                F.explode(
+                    F.arrays_zip(v.getField("indices"), v.getField("values"))
+                ).alias("_z"),
+            )
+            .select(
+                "_row_id",
+                F.col("_z.indices").cast("long").alias("_dim"),
+                F.col("_z.values").cast("double").alias("_val"),
+            )
+            .withColumn("_db", F.pmod(F.col("_dim"), F.lit(buckets)).cast("int"))
+        )
+        (
+            # same zipf-skew salting as the text index: hot dims split
+            # across 4 writers, one dir per bucket for pruning
+            postings.repartition(
+                F.col("_db"), F.pmod(F.xxhash64("_row_id"), F.lit(4))
+            )
+            .write.mode("overwrite")
+            .partitionBy("_db")
+            .parquet(os.path.join(self.path, name))
+        )
+
+    def search_sparse_indexed_df(
+        self,
+        query_vector,
+        *,
+        query_field: str | None = None,
+        limit: int,
+        filter: str = "",
+    ) -> DataFrame:
+        """EXACT sparse KNN through the inverted index. Candidates =
+        (rows sharing ≥ 1 nonzero query dim — complete for any score
+        contribution, read from the dim-pruned postings) ∪ (the top
+        ``limit`` VOID rows that share nothing: for EUCLIDEAN the
+        smallest ||x||² from the norms sidecar — a void doc scores
+        ||x||²+||q||², so no doc outside this set can enter the top-k;
+        for DOT/COSINE every void doc ties at 0 / 1.0, so the first
+        ``limit`` by row-id tie-break suffice). The final ranking
+        re-scores candidates with the canonical sparse distance — the
+        index prunes, never approximates. Tail rows (inserted since
+        the build) join both candidate streams via direct scans;
+        dead ids drop via the mutation_seq semi-join when needed."""
+        f = self._resolve_query_field(query_field, None)
+        if not f.field_type.is_sparse_vector:
+            raise VectorDBError(
+                "INVALID_PAYLOAD", f"Field {f.name} is not a sparse vector field."
+            )
+        meta = self._load_meta()
+        info = meta.get("sparse_indexes", {}).get(f.name)
+        if info is None:
+            return self.search_df(
+                query_vector, query_field=f.name, limit=limit, filter=filter
+            )
+        q = _normalize_sparse_query(query_vector, f)
+        dims = [int(i) for i in q["indices"]]
+        buckets = int(info["buckets"])
+        dbs = sorted({d % buckets for d in dims})
+        spark = self.spark
+        base = self.df()
+        ast = parse_filter(filter, self.field_map())
+        clean = info.get("mutation_seq") == meta.get("mutation_seq", 0)
+        up_to = int(info["indexed_up_to"])
+        has_tail = up_to < int(meta["next_row_id"])
+
+        idx_ids = (
+            spark.read.parquet(os.path.join(self.path, info["dir"]))
+            .where(F.col("_db").isin(dbs) & F.col("_dim").isin(dims))
+            .select("_row_id")
+        )
+        norms = spark.read.parquet(
+            os.path.join(self.path, info["norms_dir"])
+        )
+        if not clean:
+            live = base.select("_row_id")
+            idx_ids = idx_ids.join(live, "_row_id", "left_semi")
+            norms = norms.join(live, "_row_id", "left_semi")
+        if has_tail:
+            from vectordb_spark.functions.distance import sparse_norm_sq
+
+            tail = base.where(F.col("_row_id") >= up_to)
+            v = F.col(f.name)
+            tail_ids = tail.select(
+                "_row_id", F.explode(v.getField("indices")).alias("_dim")
+            ).where(F.col("_dim").cast("long").isin(dims)).select("_row_id")
+            idx_ids = idx_ids.unionByName(tail_ids)
+            norms = norms.unionByName(
+                tail.select("_row_id", sparse_norm_sq(v).alias("_norm2"))
+            )
+        if ast is not None:
+            allowed = base.where(to_spark_column(ast)).select("_row_id")
+            idx_ids = idx_ids.join(allowed, "_row_id", "left_semi")
+            norms = norms.join(allowed, "_row_id", "left_semi")
+        sharing = idx_ids.distinct()
+        void = norms.join(sharing, "_row_id", "left_anti")
+        metric = (f.metric or "EUCLIDEAN").upper()
+        if metric == "EUCLIDEAN":
+            void = void.orderBy(F.col("_norm2").asc(), F.col("_row_id").asc())
+        else:  # DOT_PRODUCT / COSINE: void docs tie; row-id order decides
+            void = void.orderBy(F.col("_row_id").asc())
+        cands = sharing.unionByName(
+            void.limit(limit).select("_row_id")
+        ).distinct()
+        qcol = F.struct(
+            F.array(*[F.lit(int(i)) for i in q["indices"]]).alias("indices"),
+            F.array(*[F.lit(float(x)) for x in q["values"]])
+            .cast("array<float>")
+            .alias("values"),
+        )
+        scored = base.join(cands, "_row_id", "left_semi").withColumn(
+            "_distance",
+            sparse_distance_for_metric(f.metric or "EUCLIDEAN", F.col(f.name), qcol),
+        )
+        if ast is not None:
+            scored = scored.where(to_spark_column(ast))
+        return scored.orderBy(
+            F.col("_distance").asc(), F.col("_row_id").asc()
+        ).limit(limit)
 
     def search_text_multi_df(
         self,
