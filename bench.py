@@ -75,6 +75,7 @@ HEADLINE = [
     "w9_ntile_length_deciles",
     "w10_interarrival_stats",
     "vec_centroid_per_label",
+    "vec_kmeans_one_round",
     "text_fuzzy_match",
     "dedup_incremental_newdocs",
     "funnel_conversion",

@@ -20,11 +20,15 @@ CORE = [
     # t1_knn_cosine rotated out in r6 after 4 straight driver greens;
     # the cosine metric stays windowed via semantic_text_search and
     # hybrid_bm25_vector_rrf
+    # w2_sessionize rotated out in r6 after 5 straight driver greens;
+    # the window family stays in-window via w7-w10 and sessionization
+    # machinery stays pytest + selfcheck covered. Its slot funds
+    # vec_kmeans_one_round — the IVF training core's first real oracle.
     "t1_knn_l2",
     "t2_knn_prefilter",
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",
-    "w2_sessionize",
+    "vec_kmeans_one_round",
 ]
 
 

@@ -53,7 +53,13 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "t2_knn_prefilter",
     "t6_knn_postfilter_distance",
     "a5_facets_over_search",
-    "w2_sessionize",
+    # round-6: one full Lloyd iteration of k-means, oracle-exact — the
+    # IVF training core finally earns a driver row after ann_ivf_kmeans
+    # burned 5 rounds as no_oracle (a library KMeans is uncheckable; one
+    # seeded round is plain relational algebra). Evicts w2_sessionize
+    # (driver-green r1–r5; the window family keeps w7–w10 in-window and
+    # sessionization machinery stays pytest-covered + selfcheck).
+    "vec_kmeans_one_round",
     # tier B — reference-parity scan/filter/agg/ANN surface
     "ann_lsh_multiprobe",
     # round-6: semantic_text_search now carries a REAL oracle (the

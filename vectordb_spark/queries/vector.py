@@ -284,6 +284,98 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroid_tall(spark, sf_dir)
 
 
+_KM_K = 4
+_KM_SEEDS = tuple(
+    f"(SELECT embedding FROM embeddings WHERE vec_id = {j})" for j in range(_KM_K)
+)
+_KM_D = [O.duck_l2_sq("embedding", s) for s in _KM_SEEDS]
+
+_KMEANS_ORACLE = f"""
+WITH d AS (
+    SELECT vec_id, embedding,
+           {_KM_D[0]} AS d0, {_KM_D[1]} AS d1,
+           {_KM_D[2]} AS d2, {_KM_D[3]} AS d3
+    FROM embeddings
+),
+asg AS (
+    SELECT embedding,
+           CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                WHEN d2 <= d3 THEN 2
+                ELSE 3 END AS cluster
+    FROM d
+),
+px AS (
+    SELECT cluster, t.pos - 1 AS pos, embedding[t.pos] AS val
+    FROM asg,
+         unnest(generate_series(1, len(embedding))) AS t(pos)
+)
+SELECT cluster, pos,
+       (CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT))
+             AS DOUBLE) / 1e12) / COUNT(*) AS avgv,
+       COUNT(*) AS n_members
+FROM px GROUP BY cluster, pos
+"""
+
+
+@query("vec_kmeans_one_round", oracle=_KMEANS_ORACLE)
+def vec_kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means, oracle-exact — the training
+    core of IVF (operators/ann.py build_ivf; reference ANN X1/X2 builds)
+    as a checkable query. The driver-red history here is
+    `ann_ivf_kmeans` (no_oracle for 5 rounds, evicted r6): KMeans as a
+    library call is uncheckable, but ONE Lloyd round from deterministic
+    seeds is plain relational algebra — assign each vector to the argmin
+    of squared-L2 against the k=4 seed centroids (the embeddings of
+    vec_id 0..3; ties break to the lowest cluster id via the ordered
+    CASE chain, evaluated identically in both engines), then recompute
+    per-cluster per-dimension means on the 1e-12 half-up integer grid
+    (same discipline as vec_centroid_per_label — partition order and
+    engine cannot change a bit).
+
+    Scale shape: k distance folds are codegen'd Columns over one corpus
+    scan (no shuffle for assignment — the seeds are literals, exactly
+    how build_ivf broadcasts its centroid array); the recompute is one
+    hash aggregate over (cluster, pos) tall rows. At 100 TB this is the
+    per-iteration cost profile of distributed Lloyd: scan + map-side
+    partial means + one k×dim-sized shuffle. Output k·dim = 256 rows."""
+    from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in emb.where(F.col("vec_id") < _KM_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    d = [l2_squared(F.col("embedding"), vector_literal(s)) for s in seeds]
+    cluster = (
+        F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), F.lit(0))
+        .when((d[1] <= d[2]) & (d[1] <= d[3]), F.lit(1))
+        .when(d[2] <= d[3], F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    asg = emb.select(cluster.alias("cluster"), "embedding")
+    px = asg.select(
+        "cluster", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    return px.groupBy("cluster", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e12)
+            )
+            / F.count(F.lit(1))
+        ).alias("avgv"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def vec_centroid_per_label_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-assembly variant (label, n_vectors, centroid array<double>)
     — kept out of the registry because the driver canonicalizer cannot
