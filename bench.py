@@ -102,6 +102,7 @@ HEADLINE = [
     "bm25_multiquery_batch",
     "sketch_hll_distinct_users",
     "sketch_cms_user_frequency",
+    "sketch_bloom_prune_join",
     "sparse_index_knn_search",
 ]
 

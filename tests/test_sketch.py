@@ -10,9 +10,11 @@ import random
 from pyspark.sql import functions as F
 
 from vectordb_spark.operators.sketch import (
+    BLOOM_K,
     CMS_D,
     HLL_M,
     HLL_W,
+    bloom_pos_py,
     cms_slot_py,
     cms_slot_sql,
     hll_bucket_sql,
@@ -100,3 +102,35 @@ def test_cms_one_sided_error():
         assert est >= c, k
         # CMS guarantee: err <= eps * N with eps = e/w, here generous
         assert est - c <= math.e / 512 * len(stream) * 3, k
+
+
+def _bloom_member(bits: set[int], key: int) -> bool:
+    return all(bloom_pos_py(key, i) in bits for i in range(BLOOM_K))
+
+
+def test_bloom_never_false_negative_and_fp_bounded():
+    """Soundness of bloom-prune-then-verify: every build key passes
+    membership (zero false negatives, by construction — asserted over
+    a dense filter where false POSITIVES do occur), and the FP rate on
+    non-members stays near the classical (1 - e^{-kn/m})^k bound."""
+    rng = random.Random(7)
+    build = {rng.randrange(1 << 50) for _ in range(4_000)}  # dense: n/m ≈ 0.5
+    bits = {bloom_pos_py(k, i) for k in build for i in range(BLOOM_K)}
+    for k in build:
+        assert _bloom_member(bits, k)
+    probes = [rng.randrange(1 << 50) for _ in range(20_000)]
+    fp = sum(1 for p in probes if p not in build and _bloom_member(bits, p))
+    n_neg = sum(1 for p in probes if p not in build)
+    # k=3, n=4000, m=8192 → theoretical fp ≈ 0.35; demand < 2x of it
+    assert 0 < fp / n_neg < 0.70, fp / n_neg
+
+
+def test_bloom_gate_true_subset_of_candidates(spark):
+    """Per-source n_true <= n_candidates on the gate query — the
+    no-false-negative guarantee surfaced by the driver row."""
+    from vectordb_spark.queries.sketch import sketch_bloom_prune_join
+
+    rows = sketch_bloom_prune_join(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "gate returned no per-source rows"
+    for r in rows:
+        assert r["n_true"] <= r["n_candidates"] <= r["n_probe"], r

@@ -137,3 +137,30 @@ def cms_slot_sql(x: str, row: int) -> str:
 
 def cms_slot_py(x: int, row: int) -> int:
     return lcg2_py(x, salt=CMS_SALTS[row]) % CMS_W
+
+
+# ------------------------------------------------------------- Bloom
+# Bloom filter as a join-prune primitive: the build side reduces to a
+# distinct set of ≤ m bit positions (k salted hashes per key), the
+# probe side keeps a row iff ALL k of its positions are present. No
+# false negatives ever (a present key's bits are all set by
+# construction), false positives at the classical (1-e^{-kn/m})^k rate
+# — so "bloom-prune then exact-verify" is sound, and at 100 TB the
+# build side a probe scan carries is m BITS, not n keys. Spark itself
+# applies this idea internally (runtime bloom-filter join pruning);
+# this explicit form works cross-source and cross-job — build once,
+# prune many ingests — and the lcg2 hash keeps it oracle-checkable.
+
+BLOOM_M = 8192  # bit positions
+BLOOM_K = 3  # hash functions
+BLOOM_SALTS = (0, 500_009, 900_007)
+
+
+def bloom_pos_sql(x: str, i: int) -> str:
+    """Bit position of hash function ``i`` for a BIGINT expression —
+    valid verbatim in Spark SQL and DuckDB."""
+    return f"({lcg2_sql(x, salt=BLOOM_SALTS[i])} % {BLOOM_M})"
+
+
+def bloom_pos_py(x: int, i: int) -> int:
+    return lcg2_py(x, salt=BLOOM_SALTS[i]) % BLOOM_M

@@ -61,7 +61,14 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # sessionization machinery stays pytest-covered + selfcheck).
     "vec_kmeans_one_round",
     # tier B — reference-parity scan/filter/agg/ANN surface
-    "ann_lsh_multiprobe",
+    # round-6: bloom-filter join pruning (the cross-source dedup
+    # primitive: build side → m bits, probe keeps a row iff all k
+    # salted-lcg2 positions set; per-source n_probe/n_candidates/
+    # n_true with n_true ≤ n_candidates = the no-false-negative
+    # soundness row). Evicts ann_lsh_multiprobe (driver-green r1–r5;
+    # the ANN family keeps sq8_rerank, pq_adc, ivf_autoplan_fallback,
+    # and binary_hamming_rerank in-window).
+    "sketch_bloom_prune_join",
     # round-6: semantic_text_search now carries a REAL oracle (the
     # SqlMockEmbedder reformulation — integer trigram hashing evaluable
     # bit-identically in Spark SQL, DuckDB, and Python), closing the

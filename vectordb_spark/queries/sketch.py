@@ -12,13 +12,18 @@ sketch math AND the accuracy claim in one row set.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectordb_spark.operators.dedup import portable_hash64
 from vectordb_spark.operators.sketch import (
+    BLOOM_K,
     CMS_D,
     HLL_ALPHA,
     HLL_M,
+    bloom_pos_sql,
     cms_slot_py,
     cms_slot_sql,
     hll_bucket_sql,
@@ -184,4 +189,119 @@ def sketch_cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
         )
         .orderBy("key")
+    )
+
+
+# -------------------------------------------------------------- Bloom
+
+# fingerprint = the 5-token document prefix hash, the same signal
+# dedup_cross_source_overlap joins on — here the reference source's
+# fingerprint set becomes a bloom filter that prunes other sources
+_PFX_KEY_S, _PFX_KEY_D = portable_hash64(
+    "concat_ws(' ', slice(split(text, ' '), 1, 5))",
+    "array_to_string(string_split(text, ' ')[1:5], ' ')",
+)
+
+_BLOOM_POS_D = [bloom_pos_sql("key", i) for i in range(BLOOM_K)]
+
+_BLOOM_ORACLE = f"""
+WITH bk AS (
+    SELECT DISTINCT {_PFX_KEY_D} AS key FROM documents WHERE source = 'src0'
+),
+bits AS (
+    SELECT {_BLOOM_POS_D[0]} AS pos FROM bk
+    UNION SELECT {_BLOOM_POS_D[1]} FROM bk
+    UNION SELECT {_BLOOM_POS_D[2]} FROM bk
+),
+probe AS (
+    SELECT doc_id, source, {_PFX_KEY_D} AS key
+    FROM documents WHERE source <> 'src0'
+),
+flags AS (
+    SELECT source,
+           (({_BLOOM_POS_D[0]}) IN (SELECT pos FROM bits)
+            AND ({_BLOOM_POS_D[1]}) IN (SELECT pos FROM bits)
+            AND ({_BLOOM_POS_D[2]}) IN (SELECT pos FROM bits)) AS is_cand,
+           (key IN (SELECT key FROM bk)) AS is_true
+    FROM probe
+)
+SELECT source,
+       COUNT(*) AS n_probe,
+       CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+@query("sketch_bloom_prune_join", oracle=_BLOOM_ORACLE)
+def sketch_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, the cross-source dedup primitive at
+    100 TB: src0's document-prefix fingerprints compress to ≤ m = 8192
+    distinct bit positions (k = 3 salted lcg2 hashes per key, a few KB
+    broadcast — constant regardless of the build side's row count);
+    every other source's documents are candidates iff ALL k of their
+    positions are set. The gate emits per-source (n_probe,
+    n_candidates, n_true): n_true ≤ n_candidates on every row is the
+    no-false-negative guarantee that makes bloom-prune-then-verify
+    sound (the pytest pins it), and candidates − true is the measured
+    false-positive cost. Spark's own runtime bloom join pruning is the
+    same idea intra-query; this explicit form persists across jobs —
+    build once from the corpus, prune every future ingest — and the
+    cross-engine hash keeps the whole filter oracle-checkable.
+
+    Plan shape: the filter materializes as a PACKED BITMAP — one
+    aggregation folds the build side's bit positions into m/64 BIGINT
+    words, map_from_entries packs them into a single broadcast row —
+    and the probe-side membership test is pure codegen arithmetic:
+    ``(word(pos/64) >> pos%64) & 1`` per hash, O(1) per probe row with
+    no join at all (a bits-as-relation formulation needs k broadcast
+    joins or, worse, an explode that re-shuffles the probe corpus).
+    The probe side is map-only up to the one groupBy(source) whose
+    shuffle carries |sources| partial rows."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "source", F.expr(_PFX_KEY_S).alias("key"))
+    bk = keyed.where(F.col("source") == "src0").select("key").distinct()
+    bitmap = (
+        bk.select(
+            F.explode(F.array(*[F.expr(p) for p in _BLOOM_POS_D])).alias("pos")
+        )
+        .distinct()
+        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("word")
+        )
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bm"))
+    )
+    hit_cols = [
+        F.expr(
+            f"(shiftright(coalesce(element_at(bm, CAST(({p}) / 64 AS INT)),"
+            f" CAST(0 AS BIGINT)), CAST(({p}) % 64 AS INT)) & 1) = 1"
+        )
+        for p in _BLOOM_POS_D
+    ]
+    truth = bk.withColumn("in_build", F.lit(1))
+    flags = (
+        keyed.where(F.col("source") != "src0")
+        .crossJoin(F.broadcast(bitmap))
+        .join(F.broadcast(truth), "key", "left")
+        .select(
+            "source",
+            functools.reduce(lambda a, b: a & b, hit_cols).alias("is_cand"),
+            F.col("in_build").isNotNull().alias("is_true"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+        )
+        .orderBy("source")
     )
