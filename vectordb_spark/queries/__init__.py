@@ -197,11 +197,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "sparse_index_knn_search",
 )
 
-# Round-7 rotation queue: empty — every round-6 addition (including
-# ann_binary_hamming_rerank) rotated into the window within round 6
-# (the driver gate runs after the build session, so same-round
-# rotation earns evidence a round earlier). Future additions queue
-# here with their eviction rationale.
+# Round-7 rotation queue: empty — every round-6 addition (through the
+# late vec_kmeans_one_round and sketch_bloom_prune_join) rotated into
+# the window within round 6 (the driver gate runs after the build
+# session, so same-round rotation earns evidence a round earlier).
+# Future additions queue here with their eviction rationale.
 
 
 def _load() -> None:
