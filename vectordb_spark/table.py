@@ -386,6 +386,91 @@ class Table:
         hist = [h["version"] for h in meta.get("history", [])]
         return sorted({*hist, meta["version"]})
 
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level changefeed between two committed versions — the
+        Delta-CDF shape on this table format's manifest history, built
+        for incremental downstream pipelines (re-dedup only the new
+        tail, re-index only changed rows) instead of full-snapshot
+        reprocessing at every hop.
+
+        Returns the table's declared columns plus ``_change_type`` ∈
+        {insert, delete, update}: post-image rows for insert/update,
+        pre-image rows for delete; unchanged rows never appear.
+
+        Scale shape — file-level pruning first: segment dirs are
+        immutable, so any dir listed in BOTH manifests cannot contain
+        a change and is never scanned. An append-mostly history diffs
+        by scanning only the appended tail. Dirs only in one manifest
+        (deletes, upsert rewrites, compaction) fall through to a
+        row-level full-outer join on the primary key, where content
+        equality (a null-safe struct compare over the declared
+        columns, deliberately excluding the storage-internal _row_id
+        that compaction reassigns) drops rewritten-but-identical rows
+        — so a pure ``compact()`` boundary yields an EMPTY changefeed
+        at the cost of scanning the rewritten dirs, the honest
+        minimum. The join shuffles only the differing dirs' rows,
+        never the whole table."""
+        meta = self._load_meta()
+        files = {h["version"]: h["files"] for h in meta.get("history", [])}
+        files[meta["version"]] = meta["files"]
+        if v_to is None:
+            v_to = meta["version"]
+        for v in (v_from, v_to):
+            if v not in files:
+                raise VectorDBError(
+                    "VERSION_NOT_FOUND", f"Version {v} not in table history."
+                )
+        pk_field = self.schema.primary_key
+        if pk_field is None:
+            raise VectorDBError(
+                "NO_PRIMARY_KEY", "changes() requires a primary-key field."
+            )
+        pk = pk_field.name
+        cols = [f.name for f in self.schema.fields]
+        old_set, new_set = set(files[v_from]), set(files[v_to])
+
+        def _read(paths: set[str]) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame(
+                    [], self.schema.to_spark_schema(with_row_id=True)
+                ).select(*cols)
+            full = [os.path.join(self.path, p) for p in sorted(paths)]
+            if self.partition_by and len(full) > 1:
+                from functools import reduce
+
+                return reduce(
+                    lambda a, b: a.unionByName(b),
+                    (
+                        self._restore_partition_type(self._read_segments(q))
+                        for q in full
+                    ),
+                ).select(*cols)
+            return self._restore_partition_type(
+                self._read_segments(*full)
+            ).select(*cols)
+
+        old = _read(old_set - new_set).alias("o")
+        new = _read(new_set - old_set).alias("n")
+        j = old.join(new, F.col(f"o.{pk}") == F.col(f"n.{pk}"), "full_outer")
+        o_struct = F.struct(*[F.col(f"o.{c}") for c in cols])
+        n_struct = F.struct(*[F.col(f"n.{c}") for c in cols])
+        change = (
+            F.when(F.col(f"o.{pk}").isNull(), F.lit("insert"))
+            .when(F.col(f"n.{pk}").isNull(), F.lit("delete"))
+            .when(o_struct.eqNullSafe(n_struct), F.lit(None))
+            .otherwise(F.lit("update"))
+        )
+        j = j.withColumn("_change_type", change).where(
+            F.col("_change_type").isNotNull()
+        )
+        out = [
+            F.when(F.col("_change_type") == "delete", F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+        return j.select(*out, "_change_type")
+
     def field_map(self) -> dict[str, FieldType]:
         fm = {
             f.name: f.field_type
