@@ -103,6 +103,7 @@ HEADLINE = [
     "sketch_hll_distinct_users",
     "sketch_cms_user_frequency",
     "sketch_bloom_prune_join",
+    "cdc_changefeed_diff",
     "sparse_index_knn_search",
 ]
 

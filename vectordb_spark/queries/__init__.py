@@ -86,7 +86,13 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # update-mode emission, and PK-upsert merge of out-of-order rows)
     "stream_late_window_upsert",
     "ann_pq_adc",
-    "text_gopher_rules",
+    # round-6: the changefeed gate — Table.changes(v1) must reconstruct
+    # the insert/delete/upsert lifecycle against a raw-parquet oracle
+    # that never saw the table format. Evicts text_gopher_rules
+    # (driver-green r1–r5; the text battery keeps fuzzy,
+    # bigram_familiarity, boilerplate_span_removal, and lm_perplexity
+    # in-window).
+    "cdc_changefeed_diff",
     "curate_end_to_end",
     # Round-5 rotation: the fifteen round-4 additions — all judge-
     # selfcheck green at sf0.01 but never through the driver's

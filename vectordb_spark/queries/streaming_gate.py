@@ -439,3 +439,104 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------------------- changefeed (CDC) gate
+
+_CDC_ORACLE = """
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       'insert' AS change_type
+FROM documents d, mid WHERE d.doc_id > mid.m
+UNION ALL
+SELECT doc_id, lang, CAST(n_chars AS BIGINT), 'delete'
+FROM documents WHERE doc_id IN (SELECT doc_id FROM dels)
+UNION ALL
+SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT), 'update'
+FROM documents WHERE doc_id IN (SELECT doc_id FROM upds)
+"""
+
+
+@query("cdc_changefeed_diff", oracle=_CDC_ORACLE)
+def cdc_changefeed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed gate: the full table lifecycle — bulk ingest (v1),
+    append the second half, delete 3 rows, upsert-modify 3 more — then
+    ``Table.changes(v1)`` must reconstruct exactly the appended rows as
+    inserts, the deleted rows as pre-images, and the upserted rows as
+    post-images, with every untouched row absent. The oracle recomputes
+    the same diff declaratively from the raw parquet, so a hash match
+    proves the manifest-history diff (file-level pruning + PK
+    full-outer join + content-equality cancellation of rewrites)
+    against an implementation that never saw the table format."""
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.table import Table
+
+    d = load_table(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    first = d.where(F.col("doc_id") <= mid)
+    ids = [
+        r[0]
+        for r in first.select("doc_id").orderBy("doc_id").limit(6).collect()
+    ]
+    dels, upds = ids[:3], ids[3:6]
+
+    work = tempfile.mkdtemp(prefix="vdb_cdc_")
+    table_schema = TableSchema(
+        name="cdc_docs",
+        fields=[
+            FieldSchema(name="doc_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="lang", field_type=FieldType.STRING),
+            FieldSchema(name="n_chars", field_type=FieldType.INT8),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, table_schema, os.path.join(work, "cdc_docs"))
+    t._init_storage()
+
+    def _proj(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("Emb"),
+        )
+
+    t.insert_df(_proj(first))
+    v1 = t.versions()[-1]
+    t.insert_df(_proj(d.where(F.col("doc_id") > mid)))
+    t.delete(primary_keys=dels)
+    upd_recs = [
+        {
+            "doc_id": r["doc_id"],
+            "lang": r["lang"],
+            "n_chars": r["n_chars"] + 1000,
+            "Emb": [0.0, 0.0],
+        }
+        for r in d.where(F.col("doc_id").isin(upds))
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    ]
+    t.insert(upd_recs, upsert=True)
+
+    out = t.changes(v1).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_change_type").alias("change_type"),
+    )
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
