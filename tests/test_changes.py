@@ -72,3 +72,39 @@ def test_changes_default_to_current_and_unknown_version(cities):
     assert [r["ID"] for r in rows] == [42]
     with pytest.raises(VectorDBError):
         cities.changes(99)
+
+
+def test_changes_on_partitioned_table(spark, tmp_path):
+    """Changefeed over a hive-partitioned table exercises the
+    per-segment multi-path read route (each dir its own partitioned
+    root) on both sides of the diff."""
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="pcdc",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="etype", field_type=FieldType.STRING),
+            FieldSchema(
+                name="vec", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "pcdc"), partition_by="etype")
+    t._init_storage()
+    t.insert(
+        [
+            {"id": i, "etype": ("click" if i % 2 else "view"), "vec": [float(i), 0.0]}
+            for i in range(10)
+        ]
+    )
+    v1 = t.versions()[-1]
+    t.insert([{"id": 100, "etype": "click", "vec": [9.0, 9.0]}])
+    t.delete(primary_keys=[0])
+    by = _by_type(t.changes(v1).collect())
+    assert [r["id"] for r in by["insert"]] == [100]
+    assert [r["id"] for r in by["delete"]] == [0]
+    assert by["delete"][0]["etype"] == "view"
+    assert "update" not in by
