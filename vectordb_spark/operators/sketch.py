@@ -156,11 +156,13 @@ BLOOM_K = 3  # hash functions
 BLOOM_SALTS = (0, 500_009, 900_007)
 
 
-def bloom_pos_sql(x: str, i: int) -> str:
+def bloom_pos_sql(x: str, i: int, m: int = BLOOM_M) -> str:
     """Bit position of hash function ``i`` for a BIGINT expression —
-    valid verbatim in Spark SQL and DuckDB."""
-    return f"({lcg2_sql(x, salt=BLOOM_SALTS[i])} % {BLOOM_M})"
+    valid verbatim in Spark SQL and DuckDB. ``m`` sizes the filter:
+    the gate query uses the 8192-bit default; size ~10 bits/key for
+    ~1% FP at scale (scripts/bloom_scaling.py measures the tradeoff)."""
+    return f"({lcg2_sql(x, salt=BLOOM_SALTS[i])} % {m})"
 
 
-def bloom_pos_py(x: int, i: int) -> int:
-    return lcg2_py(x, salt=BLOOM_SALTS[i]) % BLOOM_M
+def bloom_pos_py(x: int, i: int, m: int = BLOOM_M) -> int:
+    return lcg2_py(x, salt=BLOOM_SALTS[i]) % m

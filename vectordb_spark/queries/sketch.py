@@ -257,7 +257,13 @@ def sketch_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join at all (a bits-as-relation formulation needs k broadcast
     joins or, worse, an explode that re-shuffles the probe corpus).
     The probe side is map-only up to the one groupBy(source) whose
-    shuffle carries |sources| partial rows."""
+    shuffle carries |sources| partial rows.
+
+    Sizing note (measured, scripts/bloom_scaling.py): the one-row map
+    form is right up to ~2^16 bits; far beyond that a single giant map
+    value goes pathological per-row, and the at-scale form keeps the
+    bitmap as a (word_idx, word) relation bit-tested after k broadcast
+    hash joins — same state size, same map-only probe."""
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select("doc_id", "source", F.expr(_PFX_KEY_S).alias("key"))
     bk = keyed.where(F.col("source") == "src0").select("key").distinct()
