@@ -171,6 +171,20 @@ SHOWCASE = {
         "sizes it at runtime), nation broadcasts, and the top-20 is "
         "TakeOrderedAndProject over the decimal revenue aggregate."
     ),
+    "vec_kmeans_one_round": (
+        "One Lloyd iteration: the argmin-of-L2 assignment is a codegen "
+        "CASE chain over literal seed centroids (no join, no shuffle "
+        "for assignment — exactly how build_ivf broadcasts its "
+        "centroid array), and the recompute is one hash aggregate "
+        "whose exchange carries k·dim rows, not the corpus."
+    ),
+    "sketch_bloom_prune_join": (
+        "Bloom-prune: the filter is ONE broadcast row of packed BIGINT "
+        "words; probe membership is pure arithmetic ((word >> pos%64) "
+        "& 1) under a BroadcastNestedLoopJoin against that single row "
+        "— the probe corpus is never joined row-to-row, never "
+        "shuffled, until the |sources|-row final aggregate."
+    ),
 }
 
 
