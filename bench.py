@@ -104,6 +104,7 @@ HEADLINE = [
     "sketch_cms_user_frequency",
     "sketch_bloom_prune_join",
     "cdc_changefeed_diff",
+    "tpch_q18_large_volume_customer",
     "sparse_index_knn_search",
 ]
 

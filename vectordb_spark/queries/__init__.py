@@ -203,11 +203,15 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "sparse_index_knn_search",
 )
 
-# Round-7 rotation queue: empty — every round-6 addition (through the
-# late vec_kmeans_one_round and sketch_bloom_prune_join) rotated into
-# the window within round 6 (the driver gate runs after the build
-# session, so same-round rotation earns evidence a round earlier).
-# Future additions queue here with their eviction rationale.
+# Round-7 rotation queue — additions built after the round-6 window
+# filled; each is dual-SF selfcheck-green and waits for a slot:
+#   tpch_q18_large_volume_customer — the agg-driven semi-join (HAVING
+#     subquery → LEFT SEMI prune before any fact-fact shuffle); evict
+#     one of the three in-window join rows (q5 / q10 /
+#     geo_join_radius_pairs) once it has a green driver row.
+# Everything else from round 6 (through vec_kmeans_one_round,
+# sketch_bloom_prune_join, cdc_changefeed_diff) rotated into the
+# window within the round.
 
 
 def _load() -> None:

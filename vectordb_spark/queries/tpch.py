@@ -235,3 +235,71 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           DATEDIFF('day', DATE '1970-01-01', o.o_orderdate) AS o_orderdate_day,
+           o.o_totalprice,
+           SUM(l.l_quantity) AS sum_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+      AND c.c_custkey = o.o_custkey
+      AND o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o_orderdate_day, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: large-volume customers — the canonical agg-driven semi-join
+    (HAVING subquery feeding an IN). The qualifying-order set is one
+    hash aggregate over lineitem (SUM(l_quantity) is exact in a double:
+    integral values, far under 2^53) reduced to keys; lineitem re-joins
+    it LEFT SEMI — Catalyst keeps the tiny key set on the build side
+    and AQE broadcasts it, so the fact table never shuffles for the
+    qualification step. Orders then customer join only the surviving
+    rows (at 100 TB: the semi-join prunes ~99.8% of orders before any
+    fact-fact shuffle). Top-100 is TakeOrderedAndProject on the fully
+    deterministic (totalprice DESC, day, orderkey) ordering; the date
+    is emitted as epoch days so both engines hash an integer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    sel = li.join(big, "l_orderkey", "left_semi")
+    return (
+        sel.join(o, sel["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("o_orderdate_day"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate_day"),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            "o_orderdate_day", "o_totalprice", "sum_qty",
+        )
+    )
