@@ -108,3 +108,13 @@ def test_changes_on_partitioned_table(spark, tmp_path):
     assert [r["id"] for r in by["delete"]] == [0]
     assert by["delete"][0]["etype"] == "view"
     assert "update" not in by
+
+
+def test_changes_after_vacuum_raises_cleanly(cities):
+    """vacuum() trims manifest history, so a changefeed from a
+    reclaimed version must fail as VERSION_NOT_FOUND — never a raw
+    path-missing read error (the Delta-CDF retention-bound contract)."""
+    cities.delete(primary_keys=[1])  # v2
+    cities.vacuum(grace_seconds=0)
+    with pytest.raises(VectorDBError):
+        cities.changes(1)
