@@ -105,6 +105,7 @@ HEADLINE = [
     "sketch_bloom_prune_join",
     "cdc_changefeed_diff",
     "tpch_q18_large_volume_customer",
+    "sketch_hdr_quantiles",
     "sparse_index_knn_search",
 ]
 

@@ -134,3 +134,61 @@ def test_bloom_gate_true_subset_of_candidates(spark):
     assert rows, "gate returned no per-source rows"
     for r in rows:
         assert r["n_true"] <= r["n_candidates"] <= r["n_probe"], r
+
+
+def test_hdr_bucket_error_bound_and_monotonicity():
+    """Bucket lower bounds are monotone in bucket id and the relative
+    bucket width never exceeds 1/16 (the by-construction accuracy of
+    the quantile estimate)."""
+    from vectordb_spark.operators.sketch import hdr_bucket_lb_py
+
+    prev_bucket, prev_lb = -1, -1
+    rng = random.Random(3)
+    xs = sorted({rng.randrange(1, 1 << 40) for _ in range(5_000)} | set(range(64)))
+    for x in xs:
+        b, lb = hdr_bucket_lb_py(x)
+        assert lb <= x
+        if b != prev_bucket:
+            assert b > prev_bucket and lb > prev_lb
+            prev_bucket, prev_lb = b, lb
+        if x >= 16:
+            # width of x's bucket relative to its lower bound
+            assert (x - lb) / lb <= 1 / 16 + 1e-12
+
+
+def test_hdr_merge_is_count_addition():
+    """Half-corpus histograms merge by bucket-count addition into the
+    full-corpus histogram — the partial-aggregate property."""
+    from vectordb_spark.operators.sketch import hdr_bucket_lb_py
+
+    rng = random.Random(9)
+    xs = [rng.randrange(0, 1 << 30) for _ in range(20_000)]
+    full: dict[int, int] = {}
+    halves = [{}, {}]
+    for i, x in enumerate(xs):
+        b, _ = hdr_bucket_lb_py(x)
+        full[b] = full.get(b, 0) + 1
+        h = halves[i % 2]
+        h[b] = h.get(b, 0) + 1
+    merged = {
+        k: halves[0].get(k, 0) + halves[1].get(k, 0)
+        for k in set(halves[0]) | set(halves[1])
+    }
+    assert merged == full
+
+
+def test_hdr_gate_estimate_within_bound(spark):
+    """est grid value vs exact quantile: nearest-rank vs interpolated
+    conventions differ by at most one observation, so the sketch's
+    1/16 bucket-width bound holds with a small rank slack."""
+    from vectordb_spark.queries.sketch import sketch_hdr_quantiles
+
+    rows = sketch_hdr_quantiles(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        est50 = r["est_p50_grid"] / 100.0
+        assert est50 <= r["exact_p50"] * (1 + 1e-9) + 0.01
+        assert est50 >= r["exact_p50"] * (1 - 1 / 16) - 0.02, r
+        est99 = r["est_p99_grid"] / 100.0
+        assert est99 <= r["exact_p99"] + 0.01
+        assert est99 >= r["exact_p99"] * (1 - 1 / 16) - 0.02, r

@@ -166,3 +166,48 @@ def bloom_pos_sql(x: str, i: int, m: int = BLOOM_M) -> str:
 
 def bloom_pos_py(x: int, i: int, m: int = BLOOM_M) -> int:
     return lcg2_py(x, salt=BLOOM_SALTS[i]) % m
+
+
+# -------------------------------------------- HDR quantile histogram
+# HdrHistogram-style quantile sketch over NON-NEGATIVE INTEGER values:
+# exponent buckets with 16 linear sub-buckets each (4 sub-bits), so
+# bucket width / bucket lower-bound ≤ 1/16 — a ≤ 6.25% relative-error
+# quantile from fixed state (≤ 16·(52-4)+16 buckets ever, regardless of
+# row count), mergeable by plain count addition, i.e. an ordinary
+# partial-then-final aggregate where exact quantiles need a full sort.
+# All arithmetic is integer compares + floor-division by power-of-two
+# DOUBLE constants (exact for x < 2^53 — dyadic rationals), so the
+# bucket id is bit-identical in Spark SQL, DuckDB, and Python: the
+# standard t-digest/HDR tradeoff with a cross-engine-checkable face.
+
+HDR_MAX_EXP = 52  # values above 2^53 fall off the ladder (NULL)
+
+
+def hdr_bucket_lb_sql(x: str) -> tuple[str, str]:
+    """(bucket id, bucket lower bound) CASE ladders over a BIGINT
+    expression — shared verbatim by Spark SQL and DuckDB."""
+    b = [f"WHEN {x} < 16 THEN {x}"]
+    lb = [f"WHEN {x} < 16 THEN {x}"]
+    for e in range(4, HDR_MAX_EXP + 1):
+        hi = 1 << (e + 1)
+        pw = 1 << (e - 4)
+        b.append(
+            f"WHEN {x} < {hi} THEN "
+            f"{(e - 4) * 16} + CAST(floor(({x}) / {pw}.0) AS BIGINT)"
+        )
+        lb.append(
+            f"WHEN {x} < {hi} THEN "
+            f"CAST(floor(({x}) / {pw}.0) AS BIGINT) * {pw}"
+        )
+    return (
+        "CASE " + " ".join(b) + " END",
+        "CASE " + " ".join(lb) + " END",
+    )
+
+
+def hdr_bucket_lb_py(x: int) -> tuple[int, int]:
+    if x < 16:
+        return x, x
+    e = x.bit_length() - 1
+    pw = 1 << (e - 4)
+    return (e - 4) * 16 + x // pw, (x // pw) * pw

@@ -209,6 +209,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     subquery → LEFT SEMI prune before any fact-fact shuffle); evict
 #     one of the three in-window join rows (q5 / q10 /
 #     geo_join_radius_pairs) once it has a green driver row.
+#   sketch_hdr_quantiles — HDR-histogram p50/p99 (fixed-state,
+#     integer-exact, mergeable) + exact quantiles in one row set;
+#     evict one of the three in-window sketch rows (hll / cms / bloom)
+#     once each has a green driver row.
 # Everything else from round 6 (through vec_kmeans_one_round,
 # sketch_bloom_prune_join, cdc_changefeed_diff) rotated into the
 # window within the round.

@@ -26,6 +26,7 @@ from vectordb_spark.operators.sketch import (
     bloom_pos_sql,
     cms_slot_py,
     cms_slot_sql,
+    hdr_bucket_lb_sql,
     hll_bucket_sql,
     hll_rank_sql,
 )
@@ -311,3 +312,92 @@ def sketch_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- HDR quantile histogram
+
+_HDR_X = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+_HDR_B, _HDR_LB = hdr_bucket_lb_sql("x")
+
+_HDR_ORACLE = f"""
+WITH iv AS (
+    SELECT event_type, {_HDR_X} AS x FROM events
+),
+b AS (
+    SELECT event_type, {_HDR_B} AS bucket, MIN({_HDR_LB}) AS lb,
+           COUNT(*) AS c
+    FROM iv GROUP BY event_type, {_HDR_B}
+),
+cum AS (
+    SELECT event_type, bucket, lb, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM b
+)
+SELECT c1.event_type,
+       MIN(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN lb END)
+           AS est_p50_grid,
+       MIN(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN lb END)
+           AS est_p99_grid,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(e.p50) AS exact_p50,
+       MAX(e.p99) AS exact_p99
+FROM cum c1 JOIN (
+    SELECT event_type, quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+) e ON c1.event_type = e.event_type
+GROUP BY c1.event_type
+ORDER BY c1.event_type
+"""
+
+
+@query("sketch_hdr_quantiles", oracle=_HDR_ORACLE)
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantiles per event type — the fixed-state
+    alternative to sort-based exact percentiles at 100 TB. Values
+    quantize to a 0.01 grid, bucket into exponent ranges × 16 linear
+    sub-buckets (pure integer compares + exact dyadic floor-division —
+    operators/sketch.py hdr_bucket_lb_sql), and the p50/p99 estimates
+    read off the cumulative bucket counts at the nearest-rank
+    positions: state is ≤ ~790 buckets per group FOREVER, built as an
+    ordinary partial-then-final count aggregate (map-side combined,
+    mergeable by addition — the property t-digest buys with float
+    centroids, here with exact integers and ≤ 1/16 relative error by
+    construction). The exact interpolated quantiles ride along in the
+    same row set, so the driver hash pins the sketch math AND the
+    accuracy claim; tests/test_sketch.py pins the error bound and
+    half-merge associativity."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select("event_type", F.expr(_HDR_X).alias("x"))
+    b = iv.groupBy("event_type", F.expr(_HDR_B).alias("bucket")).agg(
+        F.expr(f"MIN({_HDR_LB})").alias("lb"), F.count(F.lit(1)).alias("c")
+    )
+    wc = W.partitionBy("event_type").orderBy("bucket")
+    wn = W.partitionBy("event_type")
+    cum = (
+        b.withColumn("cum", F.sum("c").over(wc))
+        .withColumn("n", F.sum("c").over(wn))
+    )
+    est = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("CAST(ceil(0.50 * n) AS BIGINT)"),
+                F.col("lb"),
+            )
+        ).alias("est_p50_grid"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("CAST(ceil(0.99 * n) AS BIGINT)"),
+                F.col("lb"),
+            )
+        ).alias("est_p99_grid"),
+        F.max("n").cast("long").alias("n"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.99)").alias("exact_p99"),
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
