@@ -326,6 +326,9 @@ class Table:
                         f"Version {version} not in table history.",
                     )
                 files = hist[version]
+        return self._df_for_files(files)
+
+    def _df_for_files(self, files: list[str]) -> DataFrame:
         paths = [os.path.join(self.path, p) for p in files]
         if not paths:
             return self.spark.createDataFrame(
@@ -344,6 +347,45 @@ class Table:
             ]
             return reduce(lambda a, b: a.unionByName(b), dfs)
         return self._restore_partition_type(self._read_segments(*paths))
+
+    def scan_df(
+        self,
+        filter: str = "",
+        *,
+        extra_bounds: dict[str, tuple[float | None, float | None]] | None = None,
+    ) -> DataFrame:
+        """Distributed filtered snapshot with MANIFEST-LEVEL segment
+        skipping — the documented bulk-consumer scan route. The
+        filter's conjunctive range constraints on integer fields
+        (expr/prune.py range_bounds) are checked against the
+        per-segment min/max recorded at write time; segments that
+        provably can't match never enter the Spark plan — at 100 TB
+        this prunes before file listing, one layer above parquet
+        row-group stats. Anything not range-extractable (OR, LIKE,
+        arithmetic) just skips pruning; the full predicate is always
+        applied to the surviving rows, so results never depend on the
+        stats. ``extra_bounds`` lets callers tighten further (the PK
+        point-lookup route passes the PK list's min/max)."""
+        meta = self._load_meta()
+        ast = parse_filter(filter, self.field_map())
+        files = list(meta["files"])
+        stats = meta.get("segment_stats") or {}
+        from vectordb_spark.expr.prune import range_bounds, segment_overlaps
+
+        bounds = range_bounds(ast)
+        for col, (lo, hi) in (extra_bounds or {}).items():
+            cur_lo, cur_hi = bounds.get(col, (None, None))
+            if lo is not None and (cur_lo is None or lo > cur_lo):
+                cur_lo = lo
+            if hi is not None and (cur_hi is None or hi < cur_hi):
+                cur_hi = hi
+            bounds[col] = (cur_lo, cur_hi)
+        if bounds and stats:
+            files = [f for f in files if segment_overlaps(stats.get(f), bounds)]
+        df = self._df_for_files(files)
+        if ast is not None:
+            df = df.where(to_spark_column(ast))
+        return df
 
     def _read_segments(self, *paths: str) -> DataFrame:
         """Segment read with partition-type-inference protection. When
@@ -738,6 +780,31 @@ class Table:
         never a data scan."""
         return int(self.spark.read.parquet(os.path.join(self.path, name)).count())
 
+    def _segment_stats(self, name: str) -> dict[str, list]:
+        """Per-segment min/max of the INTEGER fields, from parquet
+        FOOTER metadata (spark.sql.parquet.aggregatePushdown — no data
+        scan), recorded in the manifest for driver-side segment
+        skipping (expr/prune.py). Integer-only on purpose: int footer
+        stats are exact, while float stats are unreliable under NaN and
+        string stats truncate."""
+        cols = [f.name for f in self.schema.fields if f.field_type.is_int]
+        if not cols:
+            return {}
+        self.spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = self.spark.read.parquet(os.path.join(self.path, name))
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        row = df.agg(*aggs).first()
+        return {
+            c: [int(row[f"lo_{c}"]), int(row[f"hi_{c}"])]
+            for c in cols
+            if row[f"lo_{c}"] is not None
+        }
+
     def _append(self, new_df: DataFrame, meta: dict, next_row_id: int) -> None:
         before = self._count(meta)  # resolve before files change (legacy fallback)
         self._record_history(meta)
@@ -748,6 +815,7 @@ class Table:
         meta["version"] = version
         meta["next_row_id"] = next_row_id
         meta["row_count"] = before + self._dir_count(name)
+        meta.setdefault("segment_stats", {})[name] = self._segment_stats(name)
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
 
@@ -770,6 +838,7 @@ class Table:
         meta["version"] = version
         meta["next_row_id"] = next_row_id
         meta["row_count"] = self._dir_count(name)
+        meta.setdefault("segment_stats", {})[name] = self._segment_stats(name)
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
 
@@ -938,6 +1007,12 @@ class Table:
                 shutil.rmtree(full)
                 removed += 1
         meta["history"] = kept
+        if meta.get("segment_stats"):
+            meta["segment_stats"] = {
+                k: v
+                for k, v in meta["segment_stats"].items()
+                if k in referenced
+            }
         self._save_meta(meta)
         return {
             "removedSegments": removed,
@@ -1112,17 +1187,19 @@ class Table:
         reads and pages. Bulk consumers must stay distributed: use
         ``df()`` (full snapshot incl. time travel) or ``search_df``
         and keep the result a DataFrame."""
-        df = self.df()
+        extra_bounds = None
         if primary_keys:
             pk_field = self.schema.primary_key
             if pk_field is None:
                 raise VectorDBError(
                     "DB_UNEXPECTED_ERROR", f"Primary key not found: {self.schema.name}"
                 )
+            if pk_field.field_type.is_int and primary_keys:
+                nums = [int(k) for k in primary_keys]
+                extra_bounds = {pk_field.name: (min(nums), max(nums))}
+        df = self.scan_df(filter, extra_bounds=extra_bounds)
+        if primary_keys:
             df = df.where(F.col(pk_field.name).isin(primary_keys))
-        ast = parse_filter(filter, self.field_map())
-        if ast is not None:
-            df = df.where(to_spark_column(ast))
         df = df.orderBy("_row_id")
         if skip:
             df = df.offset(skip)
