@@ -103,3 +103,34 @@ def test_delete_keeps_stats_fresh(ranged):
     ranged.delete(primary_keys=[25, 26, 27, 28, 29])
     df = ranged.scan_df("id >= 20")
     assert sorted(r["id"] for r in df.collect()) == list(range(20, 25))
+
+
+def test_pruning_on_partitioned_table(spark, tmp_path):
+    """Segment skipping composes with hive partitioning: manifest
+    stats prune whole segment dirs, PartitionFilters prune inside the
+    survivors."""
+    schema = TableSchema(
+        name="pranged",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="shard", field_type=FieldType.INT4),
+            FieldSchema(
+                name="vec", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "pranged"), partition_by="shard")
+    t._init_storage()
+    for base in (0, 10):
+        t.insert(
+            [
+                {"id": base + i, "shard": i % 2, "vec": [0.0, 0.0]}
+                for i in range(10)
+            ]
+        )
+    meta = t._load_meta()
+    assert all("id" in st for st in meta["segment_stats"].values())
+    df = t.scan_df("id >= 15")
+    assert len(_seg_files(t, df)) == 1
+    assert sorted(r["id"] for r in df.collect()) == list(range(15, 20))
