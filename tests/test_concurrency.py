@@ -481,3 +481,68 @@ def test_first_commit_crash_rolls_forward_on_reopen(tmp_path, spark):
     t._init_storage()  # no CONCURRENT_WRITE: table recognized as existing
     t.insert([{"ID": 1, "etype": "a", "Emb": [0.0, 0.0]}])
     assert t.df().count() == 1
+
+
+def test_gc_hole_cannot_resurrect_stale_commit(tmp_path):
+    # Deterministic replay of the phantom-win race: a stale writer
+    # whose claimed seq token was GC'd must NOT link into the hole and
+    # count a win the chain never sees (wins = version + 1). Two
+    # defenses are pinned here: (a) tokens younger than
+    # SEQ_TOKEN_MIN_AGE_S survive GC even beyond the retention count,
+    # (b) once a hole DOES exist (tokens aged out), the stale commit
+    # aborts with CONCURRENT_WRITE via the tip check instead of
+    # resurrecting the seq.
+    import os
+    import time as _time
+
+    from vectordb_spark.schema import (
+        FieldSchema,
+        FieldType,
+        TableSchema,
+        VectorDBError,
+    )
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="locked",
+        fields=[
+            FieldSchema(name="ID", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    path = str(tmp_path / "gc")
+    t = Table(None, schema, path)
+    t._init_storage()  # seq 1
+    stale = t._load_meta()  # stale writer's view: seq 1, targets seq 2
+
+    for v in range(1, 7):  # chain advances to seq 7
+        fresh = t._load_meta()
+        fresh["version"] = v
+        t._save_meta(fresh)
+
+    # (a) recent tokens are never GC'd, whatever the retention count
+    tokens = lambda: sorted(  # noqa: E731
+        n for n in os.listdir(path)
+        if n.startswith("_meta.s") and n.endswith(".json")
+    )
+    assert len(tokens()) == 7  # GC ran after every commit, deleted none
+
+    # age every token past the GC floor and let the next commit GC
+    old = _time.time() - 2 * Table.SEQ_TOKEN_MIN_AGE_S
+    for n in tokens():
+        os.utime(os.path.join(path, n), (old, old))
+    fresh = t._load_meta()
+    fresh["version"] = 7
+    t._save_meta(fresh)  # seq 8; GC now removes s1..s4
+    assert tokens()[0] == "_meta.s5.json"  # the hole at s2 exists
+
+    # (b) the stale writer targeting the GC'd seq 2 must abort cleanly
+    stale["version"] = 99
+    with pytest.raises(VectorDBError) as exc:
+        t._save_meta(stale)
+    assert exc.value.code == "CONCURRENT_WRITE"
+    final = t._load_meta()
+    assert final["version"] == 7 and final["seq"] == 8

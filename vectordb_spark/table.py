@@ -32,6 +32,7 @@ import math
 import os
 import tempfile
 import threading
+import time
 from contextlib import contextmanager
 from typing import Any
 
@@ -266,6 +267,33 @@ class Table:
         replace loses nothing)."""
         os.makedirs(self.path, exist_ok=True)
         base_seq = int(meta.get("seq") or 0)
+        # Resurrection guard (the Delta-Lake retention invariant). The
+        # link-CAS below is only sound while the claimed token name
+        # s{base_seq+1} cannot have EXISTED AND BEEN GC'd — a stale
+        # writer linking into such a hole "wins" a commit the chain
+        # never sees (observed: a 10 ms-stale writer after five racing
+        # commits + count-only GC → wins = version + 1, a silent lost
+        # update). Two pieces close it:
+        #   1. Here: refuse when the chain has visibly advanced. GC
+        #      always retains the RETENTION newest tokens, and a tip
+        #      token is only deleted once newer ones exist, so
+        #      max(existing tokens) IS the true tip — this check is
+        #      exact, not heuristic.
+        #   2. _gc_seq_manifests: never delete a token younger than
+        #      SEQ_TOKEN_MIN_AGE_S. The only window this check leaves
+        #      open is check→link (microseconds); a hole needs a
+        #      younger-than-tip token to age 60 s first, so within the
+        #      window the link can only LOSE cleanly, never resurrect.
+        # Long-held manifests (a multi-minute segment write at scale)
+        # stay safe: if anything committed meanwhile, its token is
+        # still visible here and the writer gets a clean retry signal.
+        newest = self._seq_manifests()
+        if newest and newest[-1] > base_seq:
+            raise VectorDBError(
+                "CONCURRENT_WRITE",
+                f"Commit {base_seq + 1} is stale: the manifest chain is "
+                f"already at {newest[-1]}; reload the table and retry.",
+            )
         # Bump seq in the SERIALIZED copy only; the caller's dict
         # advances after the link succeeds. If the caller's dict were
         # bumped first, a CONCURRENT_WRITE loser that retried with the
@@ -297,11 +325,19 @@ class Table:
     # retained seq tokens: enough that a reader between list and open
     # never sees its chosen (max) token GC'd by the next few commits
     SEQ_MANIFEST_RETENTION = 4
+    # tokens younger than this (fs mtime) are NEVER GC'd regardless of
+    # count — the other half of the staleness contract in _save_meta:
+    # deleting a recent token re-opens its name for os.link, turning a
+    # stale writer's claim into a phantom commit the chain never sees.
+    SEQ_TOKEN_MIN_AGE_S = 60.0
 
     def _gc_seq_manifests(self) -> None:
+        cutoff = time.time() - self.SEQ_TOKEN_MIN_AGE_S
         for s in self._seq_manifests()[: -self.SEQ_MANIFEST_RETENTION]:
+            p = self._seq_path(s)
             try:
-                os.unlink(self._seq_path(s))
+                if os.path.getmtime(p) <= cutoff:
+                    os.unlink(p)
             except FileNotFoundError:
                 pass
 
