@@ -107,6 +107,9 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "sketch_hdr_quantiles",
     "sparse_index_knn_search",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
 ]
 
 _GIST: dict = {}

@@ -213,6 +213,12 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     integer-exact, mergeable) + exact quantiles in one row set;
 #     evict one of the three in-window sketch rows (hll / cms / bloom)
 #     once each has a green driver row.
+#   tpch_q4_order_priority / tpch_q14_promo_revenue /
+#   tpch_q17_small_quantity_revenue — three relational patterns the
+#     window doesn't carry yet (EXISTS semi-join with a both-sides
+#     inequality residual; conditional-aggregate ratio over a
+#     broadcast dim; decorrelated scalar-avg subquery); candidates to
+#     evict the older of the in-window TPC-H rows (q5/q10) once green.
 # Everything else from round 6 (through vec_kmeans_one_round,
 # sketch_bloom_prune_join, cdc_changefeed_diff) rotated into the
 # window within the round.

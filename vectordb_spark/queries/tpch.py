@@ -303,3 +303,175 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "o_orderdate_day", "o_totalprice", "sum_qty",
         )
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analog: order-priority checking — EXISTS becomes a LEFT SEMI
+    hash join whose condition mixes the equi key (orderkey) with an
+    inequality that references BOTH sides (l_shipdate > o_orderdate +
+    60d; the testdata has no commit/receipt dates, so "late" = shipped
+    >60 days after order). Catalyst hashes on the equi part and applies
+    the inequality as a residual inside the same join — no cartesian,
+    no second pass. The date-range filter prunes orders at the parquet
+    scan BEFORE the join, so at 100 TB the semi-join's probe side is
+    the 9-month slice, not the full table, and lineitem never
+    aggregates or deduplicates: semi-join semantics give the
+    at-least-one quantifier for free (vs an EXISTS-via-groupBy rewrite,
+    which would shuffle the whole fact table to count matches it then
+    throws away)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_win = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    late = o_win.join(
+        li,
+        (o_win["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o_win["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    WITH j AS (
+        SELECT CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1.0 - l.l_discount)
+                    ELSE 0.0 END AS promo_rev,
+               l.l_extendedprice * (1.0 - l.l_discount) AS total_rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    )
+    SELECT CAST(SUM(CAST(promo_rev AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+               AS promo_micro,
+           CAST(SUM(CAST(total_rev AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+               AS total_micro,
+           CAST(CAST(SUM(CAST(promo_rev AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                AS DOUBLE) * 100.0 /
+           CAST(CAST(SUM(CAST(total_rev AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                AS DOUBLE) AS promo_pct
+    FROM j
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 analog: promo revenue ratio — conditional aggregation over a
+    dimension join. part broadcasts (O(SF·2k) rows); the CASE folds the
+    p_type predicate into the aggregate so one pass produces both the
+    conditional and unconditional sum — no second scan, no pivot. The
+    ratio is emitted THREE ways deterministic at any partition count:
+    both sums as exact integer micro-units (decimal(28,6) accumulation
+    → ×1e6 → BIGINT, associative), and the percentage as one IEEE
+    double division of those two integers — both engines divide the
+    SAME two longs, so the quotient is bit-identical, unlike dividing
+    two independently-rounded doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (F.sum(promo.cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("promo_micro"),
+            (F.sum(rev.cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("total_micro"),
+        )
+    )
+    return agg.select(
+        "promo_micro",
+        "total_micro",
+        (
+            F.col("promo_micro").cast("double")
+            * F.lit(100.0)
+            / F.col("total_micro").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pk AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#4' AND p_type = 'MEDIUM'
+    ),
+    thresh AS (
+        SELECT l_partkey,
+               0.2 * ({O.dec_avg("l_quantity")}) AS qty_cut
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM pk)
+        GROUP BY l_partkey
+    )
+    SELECT {O.dec_sum("l.l_extendedprice", 2)} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN thresh t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_cut
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analog: small-quantity-order revenue — the correlated scalar
+    aggregate subquery (per-part AVG compared against each line of the
+    same part), decorrelated the way Catalyst itself would: semi-join
+    lineitem to the qualifying parts FIRST (Brand#4/MEDIUM — parquet
+    scans part once, broadcasts ~70 keys), aggregate the per-part
+    average over that pruned slice, then join the threshold back and
+    filter. The naive correlated form re-scans lineitem per outer row;
+    this shape scans it twice total, and at 100 TB both scans carry the
+    broadcast partkey prune down to the row-group level. Determinism:
+    the threshold is dec-decimal avg → one double multiply by 0.2, so
+    both engines compare against the bit-identical cut; revenue is
+    decimal-accumulated and the /7.0 is a single IEEE division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pk = p.where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    pruned = li.join(
+        F.broadcast(pk), li["l_partkey"] == pk["p_partkey"], "left_semi"
+    )
+    thresh = pruned.groupBy("l_partkey").agg(
+        (F.lit(0.2) * dec_avg("l_quantity")).alias("qty_cut")
+    )
+    t = thresh.withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        pruned.join(
+            F.broadcast(t),
+            (pruned["l_partkey"] == t["t_partkey"])
+            & (pruned["l_quantity"] < t["qty_cut"]),
+        )
+        .agg(
+            (dec_sum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
