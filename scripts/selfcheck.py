@@ -25,7 +25,9 @@ import numpy as np
 import pandas as pd
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import types as T
 from vectordb_spark import get_spark
+from vectordb_spark.queries import ORACLE_WINDOW
 from vectordb_spark.sources.readers import TESTDATA_TABLES
 
 
@@ -118,7 +120,29 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf).toPandas()
+            spark_df = qs[name](spark, args.sf)
+            # Driver-canonicalizer rule (VERDICT r5/r6, three strikes):
+            # in-window gate outputs must be scalar-only — the driver's
+            # pandas sort over all columns crashes on list cells. Catch
+            # it HERE, where every future gate query passes, instead of
+            # re-diagnosing it one round after each regression.
+            if name in ORACLE_WINDOW:
+                complex_cols = [
+                    f.name
+                    for f in spark_df.schema.fields
+                    if isinstance(
+                        f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                    )
+                ]
+                if complex_cols:
+                    print(
+                        f"FAIL {name}: non-scalar output columns "
+                        f"{complex_cols} would crash the driver "
+                        "canonicalizer — flatten to scalar columns"
+                    )
+                    n_fail += 1
+                    continue
+            sdf = spark_df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1

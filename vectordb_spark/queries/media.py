@@ -27,8 +27,14 @@ _W, _H = 16, 8
 _NPX = _W * _H  # 128 = 2^7 → exact float normalization
 _BINS = 16
 
-_FEATURE_LIST = ", ".join(
+# Driver-canonicalizer rule (VERDICT r5 + r6: third strike): gate
+# output columns must be SCALAR — the driver's pandas sort_values over
+# all columns raises "unhashable type: 'list'" on array cells. The
+# 16-bin histogram therefore lands as wide scalar columns f0..f15 on
+# BOTH sides, not as an array<float>.
+_FEATURE_COLS = ", ".join(
     f"CAST(SUM(CASE WHEN bin = {b} THEN 1 ELSE 0 END) / {_NPX}.0 AS FLOAT4)"
+    f" AS f{b}"
     for b in range(_BINS)
 )
 
@@ -38,7 +44,7 @@ WITH px AS (
            ((d.doc_id * 31 + i.i * 7) % 256) // {256 // _BINS} AS bin
     FROM documents d, (SELECT UNNEST(range(0, {_NPX})) AS i) i
 )
-SELECT media_id, 'image' AS kind, [{_FEATURE_LIST}] AS features
+SELECT media_id, 'image' AS kind, {_FEATURE_COLS}
 FROM px
 GROUP BY media_id
 """
@@ -86,7 +92,15 @@ def media_pgm_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = d.mapInPandas(_gen, gen_schema)
-    return MM.extract_image_features(media, bins=_BINS)
+    feats = MM.extract_image_features(media, bins=_BINS)
+    # array → wide scalar columns: the driver gate sorts/hashes every
+    # output cell, so lists must be flattened before they leave the
+    # query (the operator itself keeps the array form — it feeds KNN).
+    return feats.select(
+        "media_id",
+        "kind",
+        *[F.col("features")[b].alias(f"f{b}") for b in range(_BINS)],
+    )
 
 
 # ------------------------------------------------------------ audio twin
@@ -103,6 +117,7 @@ _FLEN = _NSAMP // _FRAMES  # 250 samples/frame
 # bitwise.
 _RMS_COLS = ", ".join(
     f"CAST(MAX(CASE WHEN frame = {fr} THEN rms END) / ANY_VALUE(peak) AS FLOAT4)"
+    f" AS r{fr}"
     for fr in range(_FRAMES)
 )
 
@@ -131,7 +146,7 @@ zc AS (
     GROUP BY media_id
 )
 SELECT f.media_id, 'audio' AS kind, {_RATE} AS sample_rate,
-       [{_RMS_COLS}, CAST(ANY_VALUE(z.zcr) AS FLOAT4)] AS features
+       {_RMS_COLS}, CAST(ANY_VALUE(z.zcr) AS FLOAT4) AS zcr
 FROM fr f
 JOIN pk USING (media_id)
 JOIN zc z USING (media_id)
@@ -189,7 +204,16 @@ def media_wav_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = d.mapInPandas(_gen, gen_schema)
-    return MM.extract_audio_features(media, frames=_FRAMES)
+    feats = MM.extract_audio_features(media, frames=_FRAMES)
+    # same scalar-only flattening as the image gate: 8 RMS frames +
+    # the trailing zero-crossing rate become wide columns r0..r7, zcr
+    return feats.select(
+        "media_id",
+        "kind",
+        "sample_rate",
+        *[F.col("features")[fr].alias(f"r{fr}") for fr in range(_FRAMES)],
+        F.col("features")[_FRAMES].alias("zcr"),
+    )
 
 
 # ------------------------------------------------------------ video twin
