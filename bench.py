@@ -110,6 +110,12 @@ HEADLINE = [
     "tpch_q4_order_priority",
     "tpch_q14_promo_revenue",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_customers",
 ]
 
 _GIST: dict = {}
@@ -153,6 +159,53 @@ def _ann_gist_shape(spark, sf_dir):
     )
 
 
+_LIFECYCLE: dict = {}
+
+
+def _sparse_index_knn_search(spark, sf_dir):
+    """Bench variant of the sparse-index gate: the table build (bulk
+    insert → inverted-index build → tail insert) is memoized across the
+    interleaved runs — exactly the _GIST pattern — so the recorded time
+    is the dim-pruned SEARCH the gate exists to measure, not 3× ingest
+    plumbing (VERDICT r6 #3). The correctness gate still runs the full
+    lifecycle every time."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.queries.sparse import build_sparse_gate_table
+
+    if "sparse" not in _LIFECYCLE:
+        work = tempfile.mkdtemp(prefix="vdb_bench_sparse_")
+        _LIFECYCLE["sparse"] = build_sparse_gate_table(spark, sf_dir, work)
+    t, qv = _LIFECYCLE["sparse"]
+    return t.search_sparse_indexed_df(qv, limit=10).select(
+        "doc_id", F.col("_distance").alias("distance")
+    )
+
+
+def _cdc_changefeed_diff(spark, sf_dir):
+    """Bench variant of the changefeed gate: the 4-mutation lifecycle
+    is memoized; the recorded time is the manifest diff
+    (Table.changes(v1)) itself."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.queries.streaming_gate import build_cdc_gate_table
+
+    if "cdc" not in _LIFECYCLE:
+        work = tempfile.mkdtemp(prefix="vdb_bench_cdc_")
+        _LIFECYCLE["cdc"] = build_cdc_gate_table(spark, sf_dir, work)
+    t, v1 = _LIFECYCLE["cdc"]
+    return t.changes(v1).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 def _run_once(qs, name: str, spark, sf_dir: str) -> float:
     # collect() for every query: count() lets Spark prune the whole
     # projection (a map-only text query "ran" in 0.01s while computing
@@ -178,6 +231,9 @@ def main() -> None:
     # bench-only entry (not a gate query: no sf table has a 960-d
     # column, and recall for this shape is SCALING.md's job)
     qs["ann_gist_shape"] = _ann_gist_shape
+    # lifecycle gates: memoize the build, time the operation
+    qs["sparse_index_knn_search"] = _sparse_index_knn_search
+    qs["cdc_changefeed_diff"] = _cdc_changefeed_diff
     names = [n for n in HEADLINE if n in qs]
 
     # Warm up the JVM + parquet footers once; not counted.
@@ -208,16 +264,44 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
         "sf": float(sf) if sf else sf_dir,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # The driver keeps only a ~2000-char stdout tail; with ~90 headline
+    # queries the full per-query map stopped fitting in r3 and BENCH_r{3,5,6}
+    # all recorded "parsed": null. Full detail goes to an artifact file;
+    # stdout gets ONE compact line (headline total + the 10 slowest at
+    # 2 dp) with a hard length assert so the contract can't silently
+    # break again as the query list grows.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(
+            ((n, round(t, 2)) for n, t in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf else sf_dir,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out)
+    assert len(line) < 1500, f"bench stdout line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

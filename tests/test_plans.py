@@ -277,3 +277,80 @@ def test_maxsim_single_scan_single_shuffle(spark, qs):
     gb_exch = max(i for i, l in enumerate(lines) if "+- Exchange" in l)
     assert any("HashAggregate" in l for l in lines[gb_exch:]), plan
     assert plan.count("regexp_replace") == 1  # embed stages not duplicated
+
+
+def test_tpch_q19_hull_factored_to_both_scans(spark, qs):
+    # the OR-of-ANDs must NOT block pushdown: the single-side hulls
+    # (quantity BETWEEN 1 AND 30 on lineitem; brand IN (...) on part)
+    # reach their respective parquet scans, the part side broadcasts,
+    # and no nested-loop appears
+    df = qs["tpch_q19_disjunctive_revenue"](spark, SF)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_quantity,1.0)")
+    assert_pushed_filters(df, "LessThanOrEqual(l_quantity,30.0)")
+    assert_pushed_filters(df, "In(p_brand")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_tpch_q13_outer_join_preserved(spark, qs):
+    # the priority exclusion must ride INSIDE the left outer join (a
+    # post-join filter would drop the zero-order customers); the
+    # orders-side filter still reaches the scan
+    df = qs["tpch_q13_customer_order_distribution"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftOuter" in plan
+    assert_pushed_filters(df, "Not(EqualTo(o_orderpriority,1-URGENT))")
+    assert_no_cartesian(df)
+
+
+def test_tpch_q15_scalar_max_is_broadcast_not_collect(spark, qs):
+    # the MAX(total_revenue) probe must be a 1-row broadcast join —
+    # plan shows BroadcastNestedLoopJoin over the scalar, and the
+    # revenue view is checkpointed so lineitem is scanned once
+    df = qs["tpch_q15_top_supplier"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # checkpointed view: both the MAX and the equality probe feed from
+    # the materialized RDD — lineitem appears in NO scan (the only
+    # parquet scan left is the supplier dim)
+    assert "lineitem" not in plan
+    # formatted plans print each node twice (tree + detail section):
+    # 2 hits = exactly one scan node (the supplier dim)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_tpch_q21_single_fact_shuffle(spark, qs):
+    # the two quantifiers must come from ONE per-order aggregate, not
+    # self-joins: exactly one join of lineitem with orders (status
+    # filter pushed), no cartesian, semi-join back on orderkey
+    df = qs["tpch_q21_sole_late_supplier"](spark, SF)
+    assert_pushed_filters(df, "EqualTo(o_orderstatus,F)")
+    assert_no_cartesian(df)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, qs):
+    # dormancy = LEFT ANTI on date-pruned orders; the avg cut is a
+    # 1-row broadcast; segment IN-filter reaches the customer scan
+    df = qs["tpch_q22_dormant_customers"](spark, SF)
+    assert_pushed_filters(df, "In(c_mktsegment")
+    assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate")
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is allowed: the 1-row scalar-avg
+    # broadcast (joining a single aggregate row needs no key); the
+    # anti join itself must be a hash join on custkey
+    # formatted plans print each node twice: 2 hits = one node
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "BroadcastNestedLoopJoin LeftAnti" not in plan
+
+
+def test_tpch_q7_semi_prune_before_fact_shuffle(spark, qs):
+    # the two-nation supplier set must broadcast onto lineitem BEFORE
+    # the orderkey shuffle; the shipdate window reaches the scan
+    df = qs["tpch_q7_nation_volume"](spark, SF)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)

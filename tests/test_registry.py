@@ -44,25 +44,31 @@ def test_window_fits_driver_cap():
     assert len(set(ORACLE_WINDOW)) == DRIVER_WINDOW
 
 
-def test_round6_additions_rotated_in():
-    # the nine round-5 queries that had never had a driver row
-    # (VERDICT r5, "Next round" #2) must hold window slots this round,
-    # plus semantic_text_search which only now carries a real oracle
-    # (VERDICT r5 #3)
+def test_round7_rotation():
+    # round-7 window facts (VERDICT r6 "Next round" #1 and #4): the two
+    # media rows stay in-window until their reshaped scalar output gets
+    # a green DRIVER row (selfcheck-green is not driver evidence), and
+    # the five round-6-queue queries take their first driver slots.
+    # tpch_q5/q10, sketch_cms, w7 and funnel_conversion rotated out on
+    # multi-round green driver history.
     for name in [
         "media_pgm_histogram_features",
         "media_wav_rms_features",
-        "media_video_frame_sampling",
-        "dedup_substring_fingerprint",
-        "geo_join_radius_pairs",
-        "tpch_q5_local_supplier_volume",
-        "stream_dedup_incremental",
-        "ann_ivf_autoplan_fallback",
-        "text_boilerplate_span_removal",
-        "semantic_text_search",
-        "vec_centroid_per_label",
+        "tpch_q18_large_volume_customer",
+        "tpch_q4_order_priority",
+        "tpch_q14_promo_revenue",
+        "tpch_q17_small_quantity_revenue",
+        "sketch_hdr_quantiles",
     ]:
         assert name in ORACLE_WINDOW, name
+    for gone in [
+        "tpch_q5_local_supplier_volume",
+        "tpch_q10_returned_items",
+        "sketch_cms_user_frequency",
+        "w7_sliding_window",
+        "funnel_conversion",
+    ]:
+        assert gone not in ORACLE_WINDOW, gone
 
 
 def test_no_oracle_rows_evicted():

@@ -110,11 +110,9 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # tpch_q1_pricing_summary (agg path = a5/a7/curate),
     # chunk_documents_overlap + split_hash_assign + pii_redact
     # (map-side pipeline path: rj/asof/curate stay).
-    "w7_sliding_window",
     "w8_rollup_grains",
     "w9_ntile_length_deciles",
     "w10_interarrival_stats",
-    "funnel_conversion",
     "cohort_retention",
     "a8_value_histogram",
     "dedup_keep_best",
@@ -147,7 +145,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "media_video_frame_sampling",
     "dedup_substring_fingerprint",
     "geo_join_radius_pairs",
-    "tpch_q5_local_supplier_volume",
     "stream_dedup_incremental",
     "ann_ivf_autoplan_fallback",
     "text_boilerplate_span_removal",
@@ -168,7 +165,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "text_index_bm25_search",
     "semantic_maxsim_search",
     "text_lm_perplexity",
-    "tpch_q10_returned_items",
     "stream_enrich_join",
     # binary quantization rung of the SQ8/PQ ladder, built and rotated
     # in the same round; evicts rj_follow_on_events (driver-green
@@ -194,34 +190,52 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # geo_join_radius_pairs, asof machinery stays pytest-covered in
     # tests/test_asof.py)
     "sketch_hll_distinct_users",
-    "sketch_cms_user_frequency",
     # full sparse INVERTED-INDEX lifecycle (build → tail insert →
     # dim-pruned exact search) vs a brute-force oracle; evicts
     # t1_knn_cosine (driver-green r2-r5; brute-force-KNN path keeps
     # t1_knn_l2 / t2 / t6 / t9, COSINE metric stays in-window via
     # semantic_text_search and hybrid_bm25_vector_rrf)
     "sparse_index_knn_search",
+    # Round-7 rotation: the five round-6-queue queries — every one
+    # dual-SF selfcheck-green since r6 (judge re-verified all 5 in
+    # VERDICT r6) — take their first driver rows. Rotated out to make
+    # room, each with an in-window compile-path sibling:
+    #   tpch_q5_local_supplier_volume + tpch_q10_returned_items
+    #     (G r6; the join/TPC-H path is carried by the four newcomers
+    #     below — q18's agg-semi-join subsumes q5/q10's star shape —
+    #     plus geo_join_radius_pairs),
+    #   sketch_cms_user_frequency (G r6; sketch family keeps hll +
+    #     bloom_prune + the hdr newcomer),
+    #   w7_sliding_window (G r5-r6; window family keeps w8/w9/w10),
+    #   funnel_conversion (G r5-r6; sequential-pattern path carried by
+    #     cohort_retention + curate_end_to_end).
+    "tpch_q18_large_volume_customer",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "sketch_hdr_quantiles",
 )
 
-# Round-7 rotation queue — additions built after the round-6 window
-# filled; each is dual-SF selfcheck-green and waits for a slot:
-#   tpch_q18_large_volume_customer — the agg-driven semi-join (HAVING
-#     subquery → LEFT SEMI prune before any fact-fact shuffle); evict
-#     one of the three in-window join rows (q5 / q10 /
-#     geo_join_radius_pairs) once it has a green driver row.
-#   sketch_hdr_quantiles — HDR-histogram p50/p99 (fixed-state,
-#     integer-exact, mergeable) + exact quantiles in one row set;
-#     evict one of the three in-window sketch rows (hll / cms / bloom)
-#     once each has a green driver row.
-#   tpch_q4_order_priority / tpch_q14_promo_revenue /
-#   tpch_q17_small_quantity_revenue — three relational patterns the
-#     window doesn't carry yet (EXISTS semi-join with a both-sides
-#     inequality residual; conditional-aggregate ratio over a
-#     broadcast dim; decorrelated scalar-avg subquery); candidates to
-#     evict the older of the in-window TPC-H rows (q5/q10) once green.
-# Everything else from round 6 (through vec_kmeans_one_round,
-# sketch_bloom_prune_join, cdc_changefeed_diff) rotated into the
-# window within the round.
+# Round-8 rotation queue — additions built after the round-7 window
+# filled wait here for a slot; each must be dual-SF selfcheck-green
+# (scalar-only output columns — selfcheck enforces this) before it is
+# queued:
+#   tpch_q7_nation_volume — two-role dimension join (nation under
+#     supplier AND customer roles) + cross-side disjunction residual.
+#   tpch_q13_customer_order_distribution — outer-join COUNT with
+#     zero-group preservation + two-level aggregation funnel.
+#   tpch_q15_top_supplier — scalar MAX over an aggregated view,
+#     equality-joined back (exact: decimal-accumulated revenue).
+#   tpch_q19_disjunctive_revenue — OR-of-ANDs mixed-side predicate
+#     with explicit single-side hull factoring (disjunctive pushdown).
+#   tpch_q21_sole_late_supplier — EXISTS + NOT-EXISTS self-quantifiers
+#     collapsed to one per-order aggregate; oracle runs the literal
+#     quantifier SQL, proving the rewrite.
+#   tpch_q22_dormant_customers — uncorrelated scalar-avg subquery via
+#     1-row broadcast + LEFT ANTI recency join.
+# All six dual-SF selfcheck-green (sf0.001 + sf0.01) when queued;
+# candidates to evict: the six oldest multi-round-green relational
+# rows (q4/q14/q17/q18 after their first driver rows land, j2, so3).
 
 
 def _load() -> None:

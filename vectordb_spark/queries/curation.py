@@ -270,7 +270,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`cc.localCheckpoint()` or persist to parquet — its output is the
     natural pipeline checkpoint) and feed this election from it."""
     docs = load_table(spark, sf_dir, "documents")
-    cc = dedup_cluster_components(spark, sf_dir)
+    # Materialize the CC map once (the prescription above): without
+    # this the iterative pointer-doubling lineage is recomputed for
+    # BOTH downstream actions, doubling the gate's wall time.
+    cc = dedup_cluster_components(spark, sf_dir).localCheckpoint()
     from pyspark.sql import Window as W
 
     j = docs.join(cc, "doc_id", "left").select(

@@ -474,6 +474,28 @@ def cdc_changefeed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the manifest-history diff (file-level pruning + PK
     full-outer join + content-equality cancellation of rewrites)
     against an implementation that never saw the table format."""
+    work = tempfile.mkdtemp(prefix="vdb_cdc_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+
+    out = t.changes(v1).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_change_type").alias("change_type"),
+    )
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def build_cdc_gate_table(spark: SparkSession, sf_dir: str, work: str):
+    """Run the changefeed gate's mutation lifecycle (bulk ingest v1 →
+    append → delete ×3 → upsert ×3) on a table under ``work`` and
+    return ``(table, v1)``. Split out of the gate so bench.py can
+    amortize the 4-mutation build and time only ``changes(v1)`` — the
+    manifest-diff operation the gate exists to measure."""
     from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
     from vectordb_spark.sources.readers import load_table
     from vectordb_spark.table import Table
@@ -487,8 +509,6 @@ def cdc_changefeed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in first.select("doc_id").orderBy("doc_id").limit(6).collect()
     ]
     dels, upds = ids[:3], ids[3:6]
-
-    work = tempfile.mkdtemp(prefix="vdb_cdc_")
     table_schema = TableSchema(
         name="cdc_docs",
         fields=[
@@ -528,15 +548,4 @@ def cdc_changefeed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     t.insert(upd_recs, upsert=True)
-
-    out = t.changes(v1).select(
-        "doc_id",
-        "lang",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("_change_type").alias("change_type"),
-    )
-    out = out.localCheckpoint()
-    import shutil
-
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+    return t, v1

@@ -475,3 +475,401 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           {O.dec_sum("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 analog: volume shipping between two nations — the two-ROLE
+    dimension join (nation joined twice under different roles, supplier
+    side and customer side) plus a cross-side disjunction. Scale shape:
+    both nation joins ride broadcasts of a 25-row dim; the suppliers of
+    the two nations reduce to a broadcast semi-filter on lineitem
+    BEFORE the fact-fact shuffle, so the orderkey shuffle carries only
+    the two nations' line traffic (~8%% of lineitem), and the
+    (n1,n2)|(n2,n1) disjunction is evaluated as a residual on the
+    already-joined row, never as a cartesian. The year extraction
+    groups 24 months into 2 buckets; revenue accumulates in decimal.
+    Reference parity: joins are beyond the reference engine
+    (SURVEY §2.3 "None"); this carries the multi-role-dim pattern of
+    its catalog queries instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    two = n.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    sup = s.join(
+        F.broadcast(two), s["s_nationkey"] == two["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = c.join(
+        F.broadcast(two), c["c_nationkey"] == two["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum(rev, 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q13 analog: customer order-count distribution — the outer-join
+    count pattern whose whole point is PRESERVING the zero group
+    (customers with no qualifying orders must appear as c_count=0, so
+    an inner join is wrong and COUNT must count the join's right side,
+    not rows). The join predicate carries the non-equi residual
+    (priority <> '1-URGENT') INSIDE the outer join — filtering orders
+    before the join is the correct decorrelation, filtering after it
+    would turn matched-but-excluded customers into NULL-mismatches.
+    Scale shape: two shuffles (custkey join, c_count regroup), the
+    second over at most a few hundred distinct counts → the classic
+    two-level aggregation funnel. COUNT of a key column skips NULLs by
+    SQL semantics — that IS the zero-preservation mechanism, in both
+    engines identically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT"),
+            c["c_custkey"] == o["o_custkey"],
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {O.dec_sum("l_extendedprice * (1.0 - l_discount)", 6)}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog: top supplier by quarterly revenue — the scalar
+    aggregate over an aggregated view (the reference's CREATE VIEW +
+    correlated MAX). Spark shape: the revenue view materializes ONCE
+    via localCheckpoint — without it the lineitem aggregation lineage
+    runs twice, once under the MAX and once under the equality probe —
+    then the scalar max rides a 1-row broadcast cross-join (Catalyst
+    folds it to BroadcastNestedLoopJoin with a single build row: no
+    shuffle, no collect-to-driver). Equality on the max is safe only
+    because revenue is decimal-accumulated — exact, so the view row
+    that produced the max compares bit-equal to it in both engines.
+    Ties all surface (ORDER BY suppkey), matching the SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dec_sum(rev, 6).alias("total_revenue"))
+        .localCheckpoint()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {O.dec_sum("l.l_extendedprice * (1.0 - l.l_discount)", 6)}
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 analog: discounted revenue under an OR-of-ANDs predicate —
+    the disjunctive-pushdown stress test. Each disjunct mixes
+    part-side (brand, size) and lineitem-side (quantity) conjuncts, so
+    the optimizer must FACTOR the single-side implications out of the
+    OR rather than evaluate it only post-join: the derived
+    `brand IN (12,23,34) AND size BETWEEN 1 AND 15` prunes part before
+    its broadcast build, and `quantity BETWEEN 1 AND 30` reaches the
+    lineitem parquet scan as a pushed row-group filter. Catalyst does
+    both via constraint propagation from the explicit pre-filters
+    below (written once on each side — exactly the implied hull, so
+    semantics are unchanged); the full OR stays as the join residual.
+    At 100 TB the broadcast carries ~2%% of part and the scan skips
+    every row group whose quantity stats miss [1,30]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    p_hull = p.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    li_hull = li.where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li_hull.join(F.broadcast(p_hull), li["l_partkey"] == p["p_partkey"])
+        .where(disj)
+        .agg(
+            dec_sum(rev, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH lines AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    waiting AS (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM lines l1
+        WHERE l1.is_late
+          AND EXISTS (SELECT 1 FROM lines l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lines l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late)
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM waiting w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 analog: suppliers who kept orders waiting — the hardest
+    relational shape in the suite: a self-joined EXISTS (another
+    supplier participated in the order) AND NOT EXISTS (no OTHER
+    supplier was late) over the same fact table. "Late" = shipped >60
+    days after the order date (the testdata has no commit/receipt
+    dates). Scale shape: the annotated lines view is ONE orderkey
+    shuffle (lineitem⋈orders, status-filtered at the scan), after
+    which BOTH quantifiers collapse into a single per-order aggregate
+    — count of distinct suppliers and count of distinct LATE suppliers
+    — broadcast-joined back to the late lines. That replaces the two
+    self-joins of the literal SQL with one reduce: EXISTS(other supp)
+    ≡ n_supp > 1, NOT EXISTS(other late supp) ≡ n_late_supp = 1 for a
+    row that is itself late. At 100 TB this is one fact shuffle + one
+    tiny agg instead of three fact-fact joins; the oracle runs the
+    literal quantifier form, proving the rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lines = (
+        li.join(
+            o.where(F.col("o_orderstatus") == "F"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lines.where(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT {O.dec_avg("c_acctbal", 2)} AS avg_bal
+        FROM customer
+        WHERE c_acctbal > 0.0
+          AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           {O.dec_sum("c.c_acctbal", 2)} AS totacctbal
+    FROM customer c, cutoff
+    WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog: dormant high-balance customers — uncorrelated scalar
+    subquery (the positive-balance average over three segments, the
+    analog of q22's phone-prefix cohort) feeding a filter, then NOT
+    EXISTS against RECENT orders (every testdata customer has *some*
+    order, so q22's "never ordered" is re-keyed as "no order since
+    2000-01-01" — same anti-join pattern, non-degenerate population).
+    Scale shape: the scalar average is a 1-row broadcast nested-loop
+    join (never a collect); the NOT EXISTS is a LEFT ANTI hash join on
+    custkey whose right side is date-pruned AT THE SCAN — at 100 TB
+    that is the one shuffle, and AQE converts it to broadcast when the
+    recent-order set is small. The avg cut accumulates in decimal so
+    both engines threshold on the bit-identical double; per-segment
+    totals likewise."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    seg = c.where(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+    )
+    cutoff = seg.where(F.col("c_acctbal") > 0.0).agg(
+        dec_avg("c_acctbal", 2).alias("avg_bal")
+    )
+    return (
+        seg.join(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.where(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01").cast("timestamp_ntz")
+            ),
+            seg["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal", 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
