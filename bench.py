@@ -116,6 +116,9 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_sole_late_supplier",
     "tpch_q22_dormant_customers",
+    "media_ahash_near_dup",
+    "ann_matryoshka_rerank",
+    "ann_ivfpq_adc",
 ]
 
 _GIST: dict = {}

@@ -159,3 +159,37 @@ def test_video_frame_sampling(spark):
     frames = sample_video_frames(df, every_ms=1000)
     got = sorted((r.media_id, r.frame_ts_ms) for r in frames.collect())
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)]
+
+
+def test_image_ahash_bands_and_invariants(spark):
+    from vectordb_spark.operators.multimodal import extract_image_ahash
+
+    df = synthesize_media(spark, 16).repartition(4)
+    h = extract_image_ahash(df)
+    rows = {r.media_id: [r[f"b{j}"] for j in range(8)] for r in h.collect()}
+    assert len(rows) == 16
+    # 16-bit bands, partition-count independent
+    assert all(0 <= v < 65536 for bands in rows.values() for v in bands)
+    rows2 = {
+        r.media_id: [r[f"b{j}"] for j in range(8)]
+        for r in extract_image_ahash(df.repartition(2)).collect()
+    }
+    assert rows == rows2
+    # out-of-band twin: regenerate media 3's pixels with the same
+    # seeded RNG make_fake_image uses and recompute the hash in numpy
+    # (whole-image integer mean test, first 128 bits banded)
+    import hashlib
+
+    import numpy as np
+
+    i = 3
+    w, h_ = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+    seed = hashlib.blake2b(str(i).encode(), digest_size=8).digest()
+    rng = np.random.RandomState(int.from_bytes(seed[:4], "little"))
+    px = rng.randint(0, 256, size=w * h_, dtype=np.uint8).astype(np.int64)
+    bits = (px.size * px > px.sum()).astype(np.int64)
+    bits = np.pad(bits, (0, max(0, 128 - bits.size)))
+    expect = [
+        int((bits[j * 16 : (j + 1) * 16] << np.arange(16)).sum()) for j in range(8)
+    ]
+    assert rows[i] == expect

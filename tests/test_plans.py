@@ -354,3 +354,34 @@ def test_tpch_q7_semi_prune_before_fact_shuffle(spark, qs):
     assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_ahash_near_dup_is_banded_hash_join(spark, qs):
+    # candidate generation must be an equi-join on (band, value) —
+    # never an all-pairs nested loop; Hamming runs only on candidates
+    df = qs["media_ahash_near_dup"](spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_matryoshka_both_stages_take_ordered(spark, qs):
+    # prefix rank and exact rerank must both be per-partition top-K
+    df = qs["ann_matryoshka_rerank"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_ivfpq_prunes_before_adc(spark, qs):
+    # the probe filter must sit below the ADC projection and the
+    # ranking must be TakeOrdered; cells are a Filter on the scan
+    # column here (at scale: a hive partition key → partition pruning)
+    df = qs["ann_ivfpq_adc"](spark, SF)
+    assert_take_ordered(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # the cell-assignment Filter (argmin over centroid literals) must
+    # sit DIRECTLY on the scan, below the ADC Projects (tree prints
+    # top-down, so the Filter index is greater)
+    fil = next(i for i, l in enumerate(lines) if "Filter array_position" in l)
+    prj = next(i for i, l in enumerate(lines) if "Project" in l)
+    assert fil > prj, plan[:2000]
+    assert any("FileScan" in l for l in lines[fil:]), plan[:2000]

@@ -341,3 +341,48 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def extract_image_ahash(df: DataFrame, *, bands: int = 8) -> DataFrame:
+    """content → 128-bit average-hash, emitted as ``bands`` 16-bit
+    integer band columns b0..b{bands-1} (the LSH-joinable layout: a
+    near-dup self-join is an equi-join on any one band, and 8 bands of
+    16 bits make banding LOSSLESS for Hamming <= 7 by pigeonhole).
+
+    The hash bit for pixel p_i is the integer predicate
+    ``npx * p_i > sum(p)`` — the classic brighter-than-mean aHash, kept
+    in pure integer arithmetic so Spark, the closed-form oracle, and
+    any other engine agree bit-for-bit (no float mean). Same Arrow
+    batch shape as the sibling extractors: Python only at the codec
+    boundary, one batch in / one out. Reference parity: the reference
+    has no media pipeline at all; this is the image twin of its
+    binary-vector Hamming index (SURVEY §2.6 T3/binary)."""
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"b{j}", T.LongType(), False) for j in range(bands)]
+    )
+    bits_per = 128 // bands
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                px = _to_gray(_decode_image(bytes(content))).ravel().astype(np.int64)
+                npx = px.size
+                bits = (npx * px > px.sum()).astype(np.int64)
+                # 128-pixel contract: smaller media zero-pad (bit=0:
+                # a missing pixel is never brighter than the mean)
+                if bits.size < 128:
+                    bits = np.pad(bits, (0, 128 - bits.size))
+                vals = [
+                    int((bits[j * bits_per : (j + 1) * bits_per]
+                         << np.arange(bits_per)).sum())
+                    for j in range(bands)
+                ]
+                rows.append(vals)
+            out = {"media_id": pdf["media_id"]}
+            for j in range(bands):
+                out[f"b{j}"] = [r[j] for r in rows]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_extract, out_schema)

@@ -343,3 +343,50 @@ class PQIndex:
             .limit(k)
             .drop("_pq_grid", "_pq_dist")
         )
+
+
+N_COARSE = 16
+
+
+def seeded_coarse_centroids(
+    dim: int, n: int = N_COARSE, seed: int = 77
+) -> list[list[int]]:
+    """Data-independent integer coarse centroids for the IVF tier of
+    IVFPQ: ``n`` full-dimension int vectors on the same [-100, 100]
+    grid as :func:`seeded_codebook`'s sub-centroids. Deterministic at
+    import time → embeddable as literals in both engines (the trained
+    k-means tier lives in operators/ann.py IVFIndex; this seeded tier
+    exists so the full IVF→ADC→rerank cascade is oracle-replayable)."""
+    rng = random.Random(seed)
+    return [[rng.randint(-100, 100) for _ in range(dim)] for _ in range(n)]
+
+
+def coarse_cell_exprs(
+    q_col: str, centroids: list[list[int]]
+) -> tuple[str, str]:
+    """(spark, duck) expression assigning a grid-quantized vector
+    column to its nearest coarse centroid (1-based cell id, exact
+    integer L2, first-occurrence argmin — the same tie rule in both
+    engines)."""
+    s_cb = "array(" + ", ".join(_spark_arr(c) for c in centroids) + ")"
+    d_cb = "[" + ", ".join(_duck_arr(c) for c in centroids) + "]"
+    s_dists = f"transform({s_cb}, c -> {_spark_int_l2('c', q_col)})"
+    d_dists = f"list_transform({d_cb}, c -> {_duck_int_l2('c', q_col)})"
+    return (
+        f"array_position({s_dists}, array_min({s_dists}))",
+        f"list_position({d_dists}, list_min({d_dists}))",
+    )
+
+
+def coarse_probe_cells(
+    q_ints: Sequence[int], centroids: list[list[int]], nprobe: int
+) -> list[int]:
+    """Driver-side twin: the ``nprobe`` nearest coarse cells to the
+    grid-quantized query (1-based ids, ties by lower id) — the literal
+    probe list both the Spark plan and the oracle embed."""
+    dists = [
+        (sum((a - b) * (a - b) for a, b in zip(q_ints, c)), i + 1)
+        for i, c in enumerate(centroids)
+    ]
+    dists.sort()
+    return sorted(cell for _, cell in dists[:nprobe])

@@ -233,9 +233,19 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     quantifier SQL, proving the rewrite.
 #   tpch_q22_dormant_customers — uncorrelated scalar-avg subquery via
 #     1-row broadcast + LEFT ANTI recency join.
-# All six dual-SF selfcheck-green (sf0.001 + sf0.01) when queued;
-# candidates to evict: the six oldest multi-round-green relational
-# rows (q4/q14/q17/q18 after their first driver rows land, j2, so3).
+#   media_ahash_near_dup — perceptual-hash image near-dup: real codec
+#     → 128-bit integer aHash → exact-dup collapse → LSH-banded join,
+#     banding PROVEN lossless (8 bands, Hamming <= 7, pigeonhole) by
+#     the all-pairs oracle.
+#   ann_matryoshka_rerank — prefix-truncation (MRL) two-stage search:
+#     16-dim approx rank → full-width exact rerank.
+#   ann_ivfpq_adc — the full IVFPQ cascade (seeded coarse cells →
+#     probe pruning → integer PQ-ADC → exact rerank), all three tiers
+#     oracle-replayed including the probe-set selection.
+# All nine dual-SF selfcheck-green (sf0.001 + sf0.01) when queued;
+# candidates to evict: the oldest multi-round-green relational rows
+# (q4/q14/q17/q18 after their first driver rows land, j2, so3) and
+# the longest-green ann rows (sq8/pq_adc once ivfpq carries the path).
 
 
 def _load() -> None:

@@ -422,3 +422,164 @@ def ann_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", "hamming", "distance")
     )
+
+
+# ------------------------------------------------ matryoshka prefix path
+
+_MRL_DIMS = 16  # prefix length: 16 of 64 dims = 4x less scan per probe
+_MRL_REFINE = 64
+
+_MRL_QV_SQL = f"(SELECT embedding[1:{_MRL_DIMS}] FROM embeddings WHERE vec_id = 0)"
+
+
+@query(
+    "ann_matryoshka_rerank",
+    oracle=f"""
+    WITH approx AS (
+        SELECT vec_id, label, embedding,
+               {O.duck_l2_sq(f"embedding[1:{_MRL_DIMS}]", _MRL_QV_SQL)}
+                   AS approx_dist
+        FROM embeddings
+        ORDER BY approx_dist, vec_id
+        LIMIT {_MRL_REFINE}
+    )
+    SELECT vec_id, label, {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+    FROM approx
+    ORDER BY distance, vec_id
+    LIMIT 10
+    """,
+)
+def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-truncation) two-stage search: rank everything
+    on the FIRST {_MRL_DIMS} of 64 dimensions, exact-rerank the top
+    {_MRL_REFINE} at full width — the standard serving pattern for
+    MRL-trained embeddings, where prefix dims carry most of the signal.
+    100 TB shape: the prefix is stored as its own parquet column (or
+    leading pages), so the first pass reads 4x fewer bytes than a
+    full-width scan and stays a per-partition top-K (TakeOrdered, no
+    global sort); only {_MRL_REFINE} rows ever touch the full vector.
+    Both stages are the same sequential-fold L2 as t1, so the oracle
+    replays them bit-for-bit — approximation quality is the embedding
+    model's property, not the engine's."""
+    from vectordb_spark.functions.distance import l2_squared, vector_literal
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    approx = (
+        emb.withColumn(
+            "approx_dist",
+            l2_squared(
+                F.slice(F.col("embedding"), 1, _MRL_DIMS),
+                vector_literal(qv[:_MRL_DIMS]),
+            ),
+        )
+        .orderBy("approx_dist", "vec_id")
+        .limit(_MRL_REFINE)
+    )
+    return (
+        approx.withColumn(
+            "distance", l2_squared(F.col("embedding"), vector_literal(qv))
+        )
+        .orderBy("distance", "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "distance")
+    )
+
+
+# ------------------------------------------------ IVF x PQ composition
+
+_IVFPQ_NPROBE = 4
+
+
+def _ivfpq_oracle() -> str:
+    """IVFPQ oracle: replay all three tiers — seeded-coarse cell
+    assignment (integer argmin), probe-set selection (the nprobe
+    centroids nearest the query's grid vector, ties to the lower cell
+    id — computed IN SQL from the same centroid literals the Spark
+    plan embeds), integer PQ-ADC ranking, exact re-rank."""
+    from vectordb_spark.operators import pq as PQ
+
+    cc = PQ.seeded_coarse_centroids(64)
+    cb = PQ.seeded_codebook(64)
+    _, grid_d = PQ.grid_exprs("embedding")
+    _, cell_d = PQ.coarse_cell_exprs("q", cc)
+    adc_d = PQ.adc_oracle_expr("q", "qq", cb)
+    d_cb = "[" + ", ".join(PQ._duck_arr(c) for c in cc) + "]"
+    qdists = f"list_transform({d_cb}, c -> {PQ._duck_int_l2('c', 'qq')})"
+    n = len(cc)
+    return f"""
+WITH g AS (
+    SELECT vec_id, label, embedding, {grid_d} AS q FROM embeddings
+),
+qrow AS (SELECT q AS qq FROM g WHERE vec_id = 0),
+pd AS (
+    SELECT UNNEST({qdists}) AS dist, UNNEST(range(1, {n + 1})) AS cell
+    FROM qrow
+),
+probes AS (SELECT cell FROM pd ORDER BY dist, cell LIMIT {_IVFPQ_NPROBE}),
+assigned AS (
+    SELECT vec_id, label, embedding, q, {cell_d}::BIGINT AS cell FROM g
+),
+approx AS (
+    SELECT a.vec_id, a.label, a.embedding, a.cell, {adc_d} AS approx_dist
+    FROM assigned a CROSS JOIN qrow
+    WHERE a.cell IN (SELECT cell FROM probes)
+    ORDER BY approx_dist, a.vec_id
+    LIMIT {_PQ_REFINE}
+)
+SELECT vec_id, label, cell, {O.duck_l2_sq("embedding", _QV_SQL)} AS distance
+FROM approx
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("ann_ivfpq_adc", oracle=_ivfpq_oracle())
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFPQ cascade in one plan — coarse inverted-file
+    pruning x product-quantized scoring, the composition every
+    billion-vector system (FAISS IVFPQ et al.) serves from:
+    tier 1: assign each vector to its nearest of 16 seeded
+    coarse centroids (exact int L2); probe the {_IVFPQ_NPROBE} cells
+    nearest the query — at 100 TB `cell` is the hive partition key and
+    this tier is partition PRUNING (~{_IVFPQ_NPROBE}/16 of
+    the data ever scanned);
+    tier 2: integer PQ-ADC ranking within the probed cells (4 B codes,
+    no float math);
+    tier 3: exact L2 re-rank of the top {_PQ_REFINE}.
+    The seeded (data-independent) quantizers make all three tiers
+    oracle-replayable; the TRAINED twins (IVFIndex k-means cells,
+    PQIndex k-means codebooks) carry recall gates in tests/test_ann.py
+    and tests/test_pq.py. Probe-list determinism: computed driver-side
+    from the same centroid literals, ties to the lower cell id."""
+    from vectordb_spark.functions.distance import l2_squared, vector_literal
+    from vectordb_spark.operators import pq as PQ
+    from vectordb_spark.queries.vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    cc = PQ.seeded_coarse_centroids(64)
+    cb = PQ.seeded_codebook(64)
+    q_ints = PQ.quantize_query(qv)
+    probes = PQ.coarse_probe_cells(q_ints, cc, _IVFPQ_NPROBE)
+    table = PQ.adc_table(cb, q_ints)
+    grid_s, _ = PQ.grid_exprs("embedding")
+    cell_s, _ = PQ.coarse_cell_exprs("_pq_grid", cc)
+    adc_s, _ = PQ.adc_exprs("_pq_grid", cb, table)
+    approx = (
+        emb.withColumn("_pq_grid", F.expr(grid_s))
+        .withColumn("cell", F.expr(cell_s))
+        .where(F.col("cell").isin(probes))
+        .withColumn("approx_dist", F.expr(adc_s))
+        .orderBy("approx_dist", "vec_id")
+        .limit(_PQ_REFINE)
+    )
+    return (
+        approx.withColumn(
+            "distance", l2_squared(F.col("embedding"), vector_literal(qv))
+        )
+        .orderBy("distance", "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "cell", "distance")
+    )

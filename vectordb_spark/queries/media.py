@@ -249,3 +249,146 @@ def media_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = MM.sample_video_frames(d, every_ms=_EVERY_MS)
     return out.withColumn("frame_ts_ms", F.col("frame_ts_ms").cast("long"))
+
+
+# ------------------------------------------------- perceptual near-dup
+
+_AB = 8  # hash bands; 8 x 16 bits = 128-bit aHash
+_AT = 7  # Hamming threshold: <= bands-1 makes banding LOSSLESS
+
+_AHASH_ORACLE = f"""
+WITH px AS (
+    SELECT d.doc_id AS media_id, i.i,
+           ((d.doc_id * 31 + i.i * 7) % 256) AS p
+    FROM documents d, (SELECT UNNEST(range(0, {_NPX})) AS i) i
+),
+sums AS (SELECT media_id, SUM(p) AS s FROM px GROUP BY media_id),
+bits AS (
+    SELECT px.media_id, px.i,
+           CASE WHEN {_NPX} * px.p > sums.s THEN 1 ELSE 0 END AS bit
+    FROM px JOIN sums ON px.media_id = sums.media_id
+),
+h AS (
+    SELECT media_id,
+           {", ".join(
+               f"SUM(CASE WHEN i // 16 = {j} THEN bit << (i % 16) ELSE 0 END)"
+               f"::BIGINT AS b{j}" for j in range(_AB)
+           )}
+    FROM bits GROUP BY media_id
+),
+reps AS (
+    SELECT MIN(media_id) AS rep_id, COUNT(*) AS dups,
+           {", ".join(f"b{j}" for j in range(_AB))}
+    FROM h GROUP BY {", ".join(f"b{j}" for j in range(_AB))}
+)
+SELECT a.rep_id AS rep_a, b.rep_id AS rep_b,
+       ({" + ".join(
+           f"bit_count(xor(a.b{j}, b.b{j}))::BIGINT" for j in range(_AB)
+       )}) AS hamming,
+       a.dups AS dups_a, b.dups AS dups_b
+FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+WHERE ({" + ".join(
+           f"bit_count(xor(a.b{j}, b.b{j}))::BIGINT" for j in range(_AB)
+       )}) <= {_AT}
+ORDER BY rep_a, rep_b
+"""
+
+
+@query("media_ahash_near_dup", oracle=_AHASH_ORACLE)
+def media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) near-duplicate detection over the
+    binary-image plane — the image twin of MinHash/SimHash text dedup:
+    synthesize PGM bytes (real encoder) → decode + 128-bit aHash via
+    ``extract_image_ahash`` (real Arrow-batched codec, integer-only
+    bits) → exact-dup collapse (group by full hash: rep = min media_id,
+    dup count — the quadratic within-cluster pair explosion never
+    materializes) → LSH-banded self-join over the 8x16-bit bands →
+    Hamming <= 7 on candidates via XOR+bit_count.
+
+    Banding is PROVEN lossless here, not assumed: with 8 bands, any
+    pair at Hamming <= 7 shares an intact band (pigeonhole), so the
+    banded join returns the exact same pair set as the oracle's
+    all-pairs scan — the driver gate certifies the recall claim, at
+    the same time as the codec byte-exactness. 100 TB shape: the join
+    is equi on (band_idx, band_value) over DISTINCT hashes only;
+    hamming is 8 integer XOR+popcounts per candidate, JVM codegen."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import vectordb_spark.operators.multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches):
+        idx = np.arange(_NPX)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                px = ((int(did) * 31 + idx * 7) % 256).astype(np.uint8)
+                rows.append(MM._encode_image(px.reshape(_H, _W), "PGM"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "content": rows,
+                }
+            )
+
+    media = d.mapInPandas(_gen, gen_schema)
+    h = MM.extract_image_ahash(media, bands=_AB)
+    bcols = [f"b{j}" for j in range(_AB)]
+    reps = h.groupBy(*bcols).agg(
+        F.min("media_id").alias("rep_id"), F.count(F.lit(1)).alias("dups")
+    )
+    # candidate generation: explode bands, equi-join on (band, value)
+    bands = reps.select(
+        "rep_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("bj"), F.col(c).alias("bv"))
+                for j, c in enumerate(bcols)
+            ])
+        ).alias("band"),
+    ).select("rep_id", "band.bj", "band.bv")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.bj") == F.col("y.bj"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.rep_id") < F.col("y.rep_id")),
+        )
+        .select(
+            F.col("x.rep_id").alias("rep_a"), F.col("y.rep_id").alias("rep_b")
+        )
+        .distinct()
+    )
+    a = reps.select(
+        F.col("rep_id").alias("rep_a"),
+        F.col("dups").alias("dups_a"),
+        *[F.col(c).alias(f"a_{c}") for c in bcols],
+    )
+    b = reps.select(
+        F.col("rep_id").alias("rep_b"),
+        F.col("dups").alias("dups_b"),
+        *[F.col(c).alias(f"b_{c}") for c in bcols],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a_b{j} ^ b_b{j}")).cast("long")
+        for j in range(_AB)
+    ).alias("hamming")
+    return (
+        cand.join(a, "rep_a")
+        .join(b, "rep_b")
+        .select("rep_a", "rep_b", hamming, "dups_a", "dups_b")
+        .where(F.col("hamming") <= _AT)
+        .orderBy("rep_a", "rep_b")
+    )
