@@ -119,6 +119,7 @@ HEADLINE = [
     "media_ahash_near_dup",
     "ann_matryoshka_rerank",
     "ann_ivfpq_adc",
+    "zorder_range_scan",
 ]
 
 _GIST: dict = {}
@@ -247,22 +248,38 @@ def main() -> None:
     # Record the error once, skip its remaining samples, keep going.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(runs):
-        for name in names:
-            if name in errors:
-                continue
-            try:
-                dt = _run_once(qs, name, spark, sf_dir)
-            except Exception as exc:  # noqa: BLE001 — artifact resilience
-                # Keep any earlier successful timing: dropping it would
-                # silently shrink the headline total on a flaky one-off
-                # failure and make cross-round totals incomparable. The
-                # error string records the flakiness alongside the best
-                # good sample.
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                continue
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+    # Sample schedule (r7): pass 1 is INTERLEAVED round-robin over all
+    # queries (a multi-second throttle burst poisons at most one sample
+    # of each query); the remaining runs-1 samples are BACK-TO-BACK per
+    # query. Fully interleaved sampling systematically overstated every
+    # query ~2.4x once the list hit ~96 entries: with 95 other queries
+    # between two samples of the same plan, every sample ran with
+    # washed CPU caches / JIT profiles (measured: text_fuzzy_match
+    # 2.29s interleaved min-of-3 vs 0.77s warm in a fresh session —
+    # same code, same data). min across the mixed schedule = the warm
+    # steady-state cost, with the interleaved sample as the rescue if a
+    # burst covers a whole back-to-back block.
+    def _sample(name: str) -> None:
+        if name in errors:
+            return
+        try:
+            dt = _run_once(qs, name, spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — artifact resilience
+            # Keep any earlier successful timing: dropping it would
+            # silently shrink the headline total on a flaky one-off
+            # failure and make cross-round totals incomparable. The
+            # error string records the flakiness alongside the best
+            # good sample.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return
+        if name not in timings or dt < timings[name]:
+            timings[name] = dt
+
+    for name in names:
+        _sample(name)
+    for name in names:
+        for _ in range(runs - 1):
+            _sample(name)
     timings = {n: round(t, 4) for n, t in timings.items()}
     total = round(sum(timings.values()), 4)
 

@@ -242,6 +242,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #   ann_ivfpq_adc — the full IVFPQ cascade (seeded coarse cells →
 #     probe pruning → integer PQ-ADC → exact rerank), all three tiers
 #     oracle-replayed including the probe-set selection.
+#   zorder_range_scan — Morton rectangle scan: two-column range served
+#     as one z-interval + exact residual; the oracle runs the plain
+#     rectangle (never sees z), certifying the interval bound and the
+#     bit-interleave; layout twin = Table.rewrite_zorder (pruning
+#     measured in tests/test_zorder.py).
 # All nine dual-SF selfcheck-green (sf0.001 + sf0.01) when queued;
 # candidates to evict: the oldest multi-round-green relational rows
 # (q4/q14/q17/q18 after their first driver rows land, j2, so3) and

@@ -398,3 +398,72 @@ def a8_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         "event_type", F.expr(_HIST_BUCKET).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------- z-order range scan
+
+
+def _zorder_oracle() -> str:
+    """The oracle runs the PLAIN rectangle predicate — it never sees a
+    z-value. If the engine's z-range bound were wrong in either
+    direction (excluding true rows, or the residual failing to cut
+    false positives) the row sets diverge and the gate fails."""
+    return """
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE (l_partkey % 1024) BETWEEN 100 AND 160
+      AND (l_suppkey % 1024) BETWEEN 40 AND 80
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+@query("zorder_range_scan", oracle=_zorder_oracle())
+def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) rectangle scan: the two-column range predicate
+    (partkey-bucket x suppkey-bucket) is served as ONE z-interval plus
+    the exact rectangle residual. Because the spread function is
+    strictly monotone per axis, z(lo_a, lo_b)..z(hi_a, hi_b) is a
+    provably correct SUPERSET interval — the oracle runs the plain
+    rectangle with no z anywhere, so the gate certifies the interval
+    bound and the bit-interleave arithmetic at once.
+
+    100 TB shape: on a table laid out with operators/zorder.zorder_by,
+    `_z BETWEEN lo AND hi` is a single parquet min/max byte-range prune
+    over files that are tight in BOTH columns (the one-sort-order
+    limitation this exists to break; pruning measured in
+    tests/test_zorder.py). All z math is shifts+adds — codegen, no UDF,
+    bit-identical in DuckDB. Reference parity: the reference has no
+    layout clustering at all (single in-memory segment,
+    table_segment_mvp.cpp); beyond-reference scale surface."""
+    from vectordb_spark.operators.zorder import z_value_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = z_value_sql("l_partkey % 1024", "l_suppkey % 1024", 10)
+    z_lo = _z_of(100, 40)
+    z_hi = _z_of(160, 80)
+    return (
+        li.withColumn("_z", F.expr(z))
+        .where(F.col("_z").between(z_lo, z_hi))  # the index interval
+        .where(
+            (F.col("l_partkey") % 1024).between(100, 160)
+            & ((F.col("l_suppkey") % 1024).between(40, 80))
+        )  # exact residual
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _z_of(a: int, b: int, bits: int = 10) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((a >> j) & 1) << (2 * j)
+        z |= ((b >> j) & 1) << (2 * j + 1)
+    return z

@@ -946,6 +946,83 @@ class Table:
         self._write_base(df, meta, meta["next_row_id"])
         return {"segmentsBefore": n_before, "segmentsAfter": 1}
 
+    @_writer_locked
+    def rewrite_zorder(
+        self,
+        columns: tuple[str, str],
+        *,
+        segments: int = 8,
+        bits: int = 16,
+    ) -> dict:
+        """Clustered rewrite on the Morton curve of two INTEGER fields —
+        the scalar twin of ``compact(cluster_by=<vector field>)``: lay
+        the live rows out z-sorted and cut them into ``segments`` base
+        segment dirs. Because z-contiguous runs are tight in BOTH
+        source columns, the ordinary per-segment integer min/max stats
+        (``_segment_stats``) then prune a two-column rectangle filter
+        driver-side — no z column is stored, no query-side change: any
+        existing ``scan_df("a >= .. AND b <= ..")`` benefits. This
+        breaks the one-sort-order limitation (a partkey-sorted layout
+        gives suppkey predicates nothing; the Delta/Databricks OPTIMIZE
+        ZORDER discipline over this engine's manifest format).
+
+        Scale shape: boundaries come from a sampled quantile sketch
+        (approxQuantile — layout quality, not correctness, depends on
+        them), the source snapshot is checkpointed ONCE, and each
+        segment write is a filter over it; on a cluster the same layout
+        is one repartitionByRange write. Old versions stay readable
+        (time travel) until vacuum; readers never block."""
+        from vectordb_spark.operators.zorder import z_value_sql
+
+        a, b = columns
+        for c in (a, b):
+            f = self.schema.get(c)
+            if f is None or not f.field_type.is_int:
+                raise VectorDBError(
+                    "INVALID_PAYLOAD",
+                    f"rewrite_zorder requires integer fields, got {c}.",
+                )
+        meta = self._load_meta()
+        n_before = len(meta["files"])
+        zdf = (
+            self.df()
+            .withColumn("_z", F.expr(z_value_sql(a, b, bits)))
+            .localCheckpoint()
+        )
+        n_seg = max(1, int(segments))
+        qs = [i / n_seg for i in range(1, n_seg)]
+        bounds = zdf.stat.approxQuantile("_z", qs, 0.001) if qs else []
+        self._record_history(meta)
+        version = meta["version"] + 1
+        names: list[str] = []
+        total = 0
+        for i in range(n_seg):
+            lo = bounds[i - 1] if i > 0 else None
+            hi = bounds[i] if i < n_seg - 1 else None
+            part = zdf
+            if lo is not None:
+                part = part.where(F.col("_z") > lo)
+            if hi is not None:
+                part = part.where(F.col("_z") <= hi)
+            part = part.sortWithinPartitions("_z").drop("_z")
+            name = f"zrw_{version}_{i}"
+            cnt_df = part.localCheckpoint()  # freeze before the dir write
+            n = cnt_df.count()
+            if n == 0:
+                continue  # duplicate-heavy boundary collapsed a bucket
+            self._write_segment(cnt_df, name)
+            names.append(name)
+            total += n
+        meta["files"] = names
+        meta["version"] = version
+        meta["row_count"] = total
+        meta["segment_stats"] = {
+            n: self._segment_stats(n) for n in names
+        }
+        meta["index_sources"] = self.index_sources
+        self._save_meta(meta)
+        return {"segmentsBefore": n_before, "segmentsAfter": len(names)}
+
     def _cluster_layout_index(self, meta: dict | None = None):
         """Reconstruct the coarse quantizer from the manifest's
         persisted cluster layout (None if the table was never
