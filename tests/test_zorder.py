@@ -73,12 +73,23 @@ def test_rewrite_zorder_prunes_rectangle(spark, tmp_path):
             FieldSchema(name="rid", field_type=FieldType.INT8, primary_key=True),
             FieldSchema(name="a", field_type=FieldType.INT8),
             FieldSchema(name="b", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
         ],
     )
     t = Table(spark, schema, str(tmp_path / "zseg"))
     t._init_storage()
     rows = [
-        {"rid": rid, "a": (rid * 37) % 256, "b": (rid * 91) % 256}
+        {
+            "rid": rid,
+            # decoupled axes: rid mod 256 x a bit-shuffled high part —
+            # the image covers the plane, not a 1-D line through it
+            "a": rid % 256,
+            "b": ((rid * 7919) // 128) % 256,
+            "v": [float(rid % 7), 0.0],
+        }
         for rid in range(2000)
     ]
     # ingest in rid order (worst case: every segment spans both domains)

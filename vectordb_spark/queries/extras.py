@@ -414,8 +414,8 @@ def _zorder_oracle() -> str:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
                AS sum_price
     FROM lineitem
-    WHERE (l_partkey % 1024) BETWEEN 100 AND 160
-      AND (l_suppkey % 1024) BETWEEN 40 AND 80
+    WHERE (l_partkey % 256) BETWEEN 32 AND 95
+      AND (l_suppkey % 8) BETWEEN 2 AND 5
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """
@@ -442,15 +442,15 @@ def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_spark.operators.zorder import z_value_sql
 
     li = load_table(spark, sf_dir, "lineitem")
-    z = z_value_sql("l_partkey % 1024", "l_suppkey % 1024", 10)
-    z_lo = _z_of(100, 40)
-    z_hi = _z_of(160, 80)
+    z = z_value_sql("l_partkey % 256", "l_suppkey % 8", 8)
+    z_lo = _z_of(32, 2, 8)
+    z_hi = _z_of(95, 5, 8)
     return (
         li.withColumn("_z", F.expr(z))
         .where(F.col("_z").between(z_lo, z_hi))  # the index interval
         .where(
-            (F.col("l_partkey") % 1024).between(100, 160)
-            & ((F.col("l_suppkey") % 1024).between(40, 80))
+            (F.col("l_partkey") % 256).between(32, 95)
+            & ((F.col("l_suppkey") % 8).between(2, 5))
         )  # exact residual
         .groupBy("l_returnflag")
         .agg(
@@ -461,7 +461,7 @@ def zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _z_of(a: int, b: int, bits: int = 10) -> int:
+def _z_of(a: int, b: int, bits: int = 16) -> int:
     z = 0
     for j in range(bits):
         z |= ((a >> j) & 1) << (2 * j)
