@@ -120,6 +120,7 @@ HEADLINE = [
     "ann_matryoshka_rerank",
     "ann_ivfpq_adc",
     "zorder_range_scan",
+    "stream_stream_join_attribution",
 ]
 
 _GIST: dict = {}

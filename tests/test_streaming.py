@@ -314,3 +314,94 @@ def test_sliding_counts_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM slide_counts").collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_evicts_expired_click_state(spark, tmp_path):
+    """The eviction half of the stream-STREAM join contract (the gate
+    stream_stream_join_attribution proves completeness with a
+    span-exceeding watermark). A click whose join window [c, c+4d] has
+    fallen fully behind the watermark must leave the state store, so a
+    later purchase inside that window finds nothing — the pair a batch
+    rejoin WOULD produce is absent, by design."""
+    DAY_NS = 86_400_000_000_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def spill(name, batches):
+        src = tmp_path / name
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            half = tmp_path / f"{name}_h{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(half))
+            part = next(
+                n for n in os.listdir(half)
+                if n.endswith(".parquet") and not n.startswith("_")
+            )
+            dst = src / f"b{i}.parquet"
+            os.rename(half / part, dst)
+            os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        return str(src)
+
+    # click at day 0; batch 1 purchases at day 20 push the watermark to
+    # day 19 >> day 0 + 4d, evicting the click's state; batch 2 then
+    # delivers a purchase at day 1 that WOULD match in a batch join
+    clicks_src = spill(
+        "clicks",
+        [
+            [(1, 0, 7, "click", 1.0, "{}"),
+             (2, 18 * DAY_NS, 7, "click", 1.0, "{}")],
+            [],
+        ],
+    )
+    purch_src = spill(
+        "purch",
+        [
+            [(100, 20 * DAY_NS, 7, "purchase", 5.0, "{}")],
+            [(101, 1 * DAY_NS, 7, "purchase", 9.0, "{}")],  # late
+        ],
+    )
+
+    def rd(src, side):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return s.withColumn(
+            "wts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        ).withWatermark("wts", "1 day")
+
+    c = rd(clicks_src, "c").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("wts").alias("c_wts"),
+    )
+    p = rd(purch_src, "p").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("wts").alias("p_wts"),
+    )
+    pairs = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_wts") >= F.col("c_wts"))
+        & (F.col("p_wts") <= F.col("c_wts") + F.expr("INTERVAL 4 DAYS")),
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ssj_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT click_id, purchase_id FROM ssj_evict").collect()
+    }
+    # day-18 click x day-20 purchase joins; the day-1 purchase finds
+    # the day-0 click GONE (a batch join would emit (1, 101))
+    assert (2, 100) in got
+    assert (1, 101) not in got

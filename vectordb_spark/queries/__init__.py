@@ -247,6 +247,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     rectangle (never sees z), certifying the interval bound and the
 #     bit-interleave; layout twin = Table.rewrite_zorder (pruning
 #     measured in tests/test_zorder.py).
+#   stream_stream_join_attribution — the symmetric-hash stream-STREAM
+#     interval join (watermarks both sides, state-bounded time range,
+#     cross-batch matches) vs the batch interval-join oracle;
+#     watermark EVICTION pinned in tests/test_streaming.py.
 # All nine dual-SF selfcheck-green (sf0.001 + sf0.01) when queued;
 # candidates to evict: the oldest multi-round-green relational rows
 # (q4/q14/q17/q18 after their first driver rows land, j2, so3) and

@@ -549,3 +549,169 @@ def build_cdc_gate_table(spark: SparkSession, sf_dir: str, work: str):
     ]
     t.insert(upd_recs, upsert=True)
     return t, v1
+
+
+# --------------------------------------------- stream-STREAM join gate
+
+_3D_NS = 3 * 86400 * 1_000_000_000
+
+_SSJ_ORACLE = f"""
+WITH c AS (
+    SELECT user_id, event_id AS click_id, epoch_ns(ts) AS cts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS pts,
+           value AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.purchase_id) AS n_attributed,
+       {O.dec_sum("p.purchase_value")} AS sum_purchase_value
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.pts >= c.cts
+ AND p.pts - c.cts <= {_3D_NS}
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@query("stream_stream_join_attribution", oracle=_SSJ_ORACLE)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the attribution shape (purchase
+    joined to every click by the same user in the prior 3 days) run on
+    TWO live file streams through Spark's symmetric-hash stream-stream
+    join, with event-time watermarks on both sides and the time-range
+    constraint that lets the state store evict expired rows. Each side
+    replays as two mtime-ordered micro-batches, deliberately
+    interleaved so pairs MUST match across batch boundaries (click
+    batch 1 x purchase batch 2 and vice versa) — exactly what the
+    join state exists for; a stream-static join cannot express this.
+    The watermark delay (90 days) exceeds the events table's 30-day
+    span, so completeness is exact and the DuckDB batch interval join
+    is the oracle; state EVICTION under short watermarks is pinned in
+    tests/test_streaming.py. Precision discipline: the range residual
+    compares raw epoch-ns BIGINTs (exact); the watermark columns are
+    us-truncated twins used only for the (superset) time constraint.
+    100 TB shape: both sides shuffle once on user_id and state holds
+    only the watermark horizon — the unbounded-backlog alternative
+    (periodic batch re-joins) rescans history every run."""
+    from vectordb_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    work = tempfile.mkdtemp(prefix="vdb_ssj_")
+    stream_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def _spill(kind: str) -> str:
+        src = os.path.join(work, kind)
+        os.makedirs(src)
+        for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+            half = os.path.join(work, f"{kind}_half{i}")
+            ev.where(f"event_type = '{kind}'").where(pred).coalesce(1)\
+                .write.parquet(half)
+            part = next(
+                n for n in os.listdir(half)
+                if n.endswith(".parquet") and not n.startswith("_")
+            )
+            dst = os.path.join(src, f"b{i}.parquet")
+            os.rename(os.path.join(half, part), dst)
+            os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+        return src
+
+    def _read(src: str):
+        s = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return s.withColumn(
+            "wts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        ).withWatermark("wts", "90 days")
+
+    clicks = _read(_spill("click")).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+        F.col("wts").alias("c_wts"),
+    )
+    purchases = _read(_spill("purchase")).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+        F.col("wts").alias("p_wts"),
+    )
+    # JOIN condition = equi key + the watermarked time range ONLY:
+    # StreamingJoinHelper can then extract the state-eviction
+    # constraint (mixing the raw-ns residual into the join condition
+    # defeats the extractor — it logs per-batch errors and the state
+    # never evicts). The exact ns residual runs as a post-join filter.
+    # JOIN condition = equi key + the watermarked time range ONLY:
+    # StreamingJoinHelper can then extract the state-eviction
+    # constraint (mixing the raw-ns residual into the join condition
+    # defeats the extractor — it logs per-batch errors and the state
+    # never evicts). The exact ns residual runs as a post-join filter.
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_wts") >= F.col("c_wts"))
+        & (F.col("p_wts") <= F.col("c_wts") + F.expr("INTERVAL 4 DAYS")),
+    ).where(
+        (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") - F.col("cts") <= F.lit(_3D_NS))
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+    )
+    # sink = Spark's native exactly-once parquet sink (checkpointed
+    # file-commit log). The stream->engine-Table path is already gated
+    # three ways (stream_ingest/late_window/dedup_incremental); this
+    # gate isolates the stream-STREAM join. The symmetric-hash join
+    # keeps one state-store instance per shuffle partition per side,
+    # so the stream runs at a state-sized partition count (the join
+    # key space here is 15 users), restored after.
+    out_dir = os.path.join(work, "pairs_out")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    out = (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_attributed"),
+            dec_sum("purchase_value").alias("sum_purchase_value"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
