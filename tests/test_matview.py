@@ -1,0 +1,103 @@
+"""Incremental materialized views: delta algebra (insert/delete/
+update retraction), group drop-out, no-op refresh, multi-step refresh
+chains, and the changefeed pre-image form they consume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_spark.operators.matview import IncrementalAggView
+from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+from vectordb_spark.table import Table
+
+
+@pytest.fixture
+def t(spark, tmp_path):
+    schema = TableSchema(
+        name="mv_src",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "mv_src"))
+    t._init_storage()
+    t.insert(
+        [
+            {"id": i, "grp": "ab"[i % 2], "val": 10 * i, "v": [0.0, 0.0]}
+            for i in range(10)
+        ]
+    )
+    return t
+
+
+def _rows(mv):
+    return {
+        r["grp"]: (r["n_rows"], float(r["_sum_dec"]))
+        for r in mv.df().collect()
+    }
+
+
+def test_changes_update_preimages(t):
+    v1 = t._load_meta()["version"]
+    t.insert([{"id": 3, "grp": "b", "val": 999, "v": [0.0, 0.0]}], upsert=True)
+    ch = {
+        (r["id"], r["_change_type"]): r["val"]
+        for r in t.changes(v1, update_preimages=True).collect()
+    }
+    assert ch == {(3, "update_pre"): 30, (3, "update_post"): 999}
+    # default form unchanged: single post-image 'update' row
+    default = t.changes(v1).collect()
+    assert [(r["id"], r["_change_type"], r["val"]) for r in default] == [
+        (3, "update", 999)
+    ]
+
+
+def test_refresh_matches_full_rebuild(t, tmp_path):
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    base = _rows(mv)
+    assert base == {"a": (5, 200.0), "b": (5, 250.0)}
+
+    t.insert([{"id": 100, "grp": "a", "val": 7, "v": [0.0, 0.0]}])
+    t.delete(primary_keys=[1, 3])  # grp b, vals 10 + 30
+    t.insert([{"id": 5, "grp": "b", "val": 1000, "v": [0.0, 0.0]}], upsert=True)
+    v = mv.refresh()
+    assert v == t._load_meta()["version"]
+    got = _rows(mv)
+    # full rebuild twin
+    mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
+    mv2.full_build()
+    assert got == _rows(mv2)
+    assert got["a"] == (6, 207.0)
+    assert got["b"] == (3, 1160.0)  # 5 - 2 deletes; 250 - 10 - 30 - 50 + 1000
+
+
+def test_group_drops_at_zero_and_noop_refresh(t, tmp_path):
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    t.delete(primary_keys=[1, 3, 5, 7, 9])  # all of grp b
+    mv.refresh()
+    assert set(_rows(mv)) == {"a"}
+    v = mv.refresh()  # no source change: version unchanged, no write
+    assert v == t._load_meta()["version"]
+    assert set(_rows(mv)) == {"a"}
+
+
+def test_refresh_chain_across_compact(t, tmp_path):
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    t.insert([{"id": 200, "grp": "a", "val": 1, "v": [0.0, 0.0]}])
+    mv.refresh()
+    t.compact()  # row-preserving rewrite: empty changefeed
+    t.delete(primary_keys=[0])
+    mv.refresh()
+    mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
+    mv2.full_build()
+    assert _rows(mv) == _rows(mv2)

@@ -251,6 +251,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     interval join (watermarks both sides, state-bounded time range,
 #     cross-batch matches) vs the batch interval-join oracle;
 #     watermark EVICTION pinned in tests/test_streaming.py.
+#   mv_incremental_refresh — incremental materialized-view maintenance
+#     from the engine's own changefeed (Delta-CDF-complete pre-images:
+#     insert/update_post add, delete/update_pre retract) vs a
+#     from-scratch recompute oracle; delta algebra, group drop-out,
+#     and compact-boundary chains pinned in tests/test_matview.py.
 # All nine dual-SF selfcheck-green (sf0.001 + sf0.01) when queued;
 # candidates to evict: the oldest multi-round-green relational rows
 # (q4/q14/q17/q18 after their first driver rows land, j2, so3) and

@@ -715,3 +715,68 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------- incremental materialized view
+
+_MV_ORACLE = """
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3),
+final AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM upds)
+                THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dels)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sum_chars
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
+@query("mv_incremental_refresh", oracle=_MV_ORACLE)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance composed from the
+    engine's own changefeed: a per-language COUNT/SUM view is
+    full-built at the table's FIRST version, the table then lives
+    through the full mutation lifecycle (bulk append, 3 deletes, 3
+    upserts), and ONE refresh advances the view by merging the
+    retractable delta stream (``changes(v1, update_preimages=True)`` —
+    insert/update_post add, delete/update_pre subtract). The oracle
+    recomputes the final aggregate from raw parquet + the same mutation
+    plan, so equality proves the delta algebra (including the upsert
+    pre-image retractions) reproduces the from-scratch answer. 100 TB
+    shape: refresh cost is the changefeed (file-pruned manifest diff)
+    plus a merge keyed by ≤|groups| rows — never a base-table rescan;
+    mid-lifecycle correctness and no-op refresh are pinned in
+    tests/test_matview.py."""
+    from vectordb_spark.operators.matview import IncrementalAggView
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    mv = IncrementalAggView(t, os.path.join(work, "mv"), ["lang"], "n_chars")
+    # rebuild the view AT v1 (full_build reads the current snapshot, so
+    # time-travel the build through the table's own history): compute
+    # from df(v1) then refresh the rest of the lifecycle incrementally
+    mv._commit(mv._agg(t.df(version=v1)), v1)
+    mv.refresh()
+    out = (
+        mv.df()
+        .select(
+            "lang",
+            F.col("n_rows").alias("n_docs"),
+            F.col("_sum_dec").cast("double").alias("sum_chars"),
+        )
+        .orderBy("lang")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -464,7 +464,13 @@ class Table:
         hist = [h["version"] for h in meta.get("history", [])]
         return sorted({*hist, meta["version"]})
 
-    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        *,
+        update_preimages: bool = False,
+    ) -> DataFrame:
         """Row-level changefeed between two committed versions — the
         Delta-CDF shape on this table format's manifest history, built
         for incremental downstream pipelines (re-dedup only the new
@@ -473,7 +479,11 @@ class Table:
 
         Returns the table's declared columns plus ``_change_type`` ∈
         {insert, delete, update}: post-image rows for insert/update,
-        pre-image rows for delete; unchanged rows never appear.
+        pre-image rows for delete; unchanged rows never appear. With
+        ``update_preimages=True`` the feed is Delta-CDF-complete:
+        updates emit an ``update_pre`` row (old image) and an
+        ``update_post`` row — what a subtractive incremental consumer
+        (operators/matview.py) needs to retract old contributions.
 
         Scale shape — file-level pruning first: segment dirs are
         immutable, so any dir listed in BOTH manifests cannot contain
@@ -547,7 +557,26 @@ class Table:
             .alias(c)
             for c in cols
         ]
-        return j.select(*out, "_change_type")
+        if not update_preimages:
+            return j.select(*out, "_change_type")
+        # Delta-CDF-complete form: updates emit BOTH images (the join
+        # already holds both sides — this is a projection choice, not
+        # extra scanning). Incremental consumers that maintain
+        # subtractive state (count/sum views) need the pre-image to
+        # retract the old contribution; insert/delete rows unchanged.
+        pre = [F.col(f"o.{c}").alias(c) for c in cols]
+        upd = j.where(F.col("_change_type") == "update")
+        return (
+            j.select(
+                *out,
+                F.when(F.col("_change_type") == "update", "update_post")
+                .otherwise(F.col("_change_type"))
+                .alias("_change_type"),
+            )
+            .unionByName(
+                upd.select(*pre, F.lit("update_pre").alias("_change_type"))
+            )
+        )
 
     def field_map(self) -> dict[str, FieldType]:
         fm = {
