@@ -192,3 +192,118 @@ def test_batch_knn_gemm_id_tiebreak_at_k_boundary(spark):
     ]
     # decoy first, then the four SMALLEST ids among the nine tied rows
     assert [v for v, _ in got] == [100, 1, 2, 3, 4]
+
+
+def test_residual_ivfpq_discriminates_inside_tight_blobs(spark):
+    """Raw-vector PQ collapses inside a tight cluster — blob members
+    quantize to a handful of shared codes, so ADC cannot rank within
+    the blob; residual encoding re-centers each cluster at the origin
+    and the same codebook budget spreads over the within-cluster
+    geometry. Pinned via the MECHANISM (distinct codes per cluster)
+    plus recall at an equal refine budget; the 1M-scale numbers live
+    in SCALING.md."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.operators.ann import IVFIndex
+
+    n, dim, blobs = 20_000, 32, 8
+    rng = np.random.RandomState(3)
+    centers = rng.uniform(-0.5, 0.5, size=(blobs, dim))
+    cent_sql = ", ".join(
+        "array(" + ", ".join(f"CAST({v:.6f} AS FLOAT)" for v in c) + ")"
+        for c in centers
+    )
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"zip_with(element_at(array({cent_sql}), "
+                f"CAST(id % {blobs} AS INT) + 1), "
+                f"transform(sequence(1, {dim}), j -> "
+                "CAST(sin(id * 32 + j) * 0.05 AS FLOAT)), "
+                "(c, e) -> CAST(c + e AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    df.count()
+    ivf = IVFIndex(k=blobs, seed=42)
+    indexed = ivf.build(df, "embedding").cache()
+    try:
+        raw = PQ.PQIndex(seed=42).fit(df, "embedding")
+        raw_coded = raw.codes(indexed, "embedding").cache()
+        rpq = PQ.ResidualPQIndex(seed=42).fit_residual(ivf, indexed, "embedding")
+        res_coded = rpq.codes_residual(indexed, "embedding").cache()
+
+        # mechanism: distinct codes available for ranking within one
+        # cluster — raw collapses, residual discriminates
+        def distinct_codes(coded):
+            return (
+                coded.groupBy("_cluster")
+                .agg(F.countDistinct("_pq_codes").alias("d"))
+                .agg(F.min("d"), F.max("d"))
+                .head()
+            )
+        raw_lo, raw_hi = distinct_codes(raw_coded)
+        res_lo, res_hi = distinct_codes(res_coded)
+        assert raw_hi <= 16, (raw_lo, raw_hi)
+        assert res_lo > raw_hi and res_hi >= 50, (
+            (raw_lo, raw_hi), (res_lo, res_hi),
+        )
+
+        # consequence: at the same refine budget, residual recall
+        # dominates raw recall (deterministic corpus + seeds)
+        def recall(fn):
+            hit = 0
+            for qid in (123, 4567, 19999):
+                q = [
+                    float(x)
+                    for x in df.where(f"vec_id = {qid}").head()["embedding"]
+                ]
+                exact = {
+                    r.vec_id
+                    for r in knn(
+                        df, "embedding", q, 10,
+                        metric="EUCLIDEAN", id_col="vec_id",
+                    ).collect()
+                }
+                hit += len(fn(q) & exact)
+            return hit / 30
+
+        raw_recall = recall(
+            lambda q: {
+                r.vec_id
+                for r in raw.search_ivfpq(
+                    ivf, raw_coded, "embedding", q, 10, nprobe=2, refine=64
+                ).collect()
+            }
+        )
+        res_recall = recall(
+            lambda q: {
+                r.vec_id
+                for r in rpq.search(
+                    ivf, res_coded, "embedding", q, 10, nprobe=2, refine=64
+                ).collect()
+            }
+        )
+        # at this 20k scale the recall gap is inside the noise floor
+        # (the decisive 1M numbers are SCALING.md's job) — pin only
+        # no-regression here; the mechanism assert above is the teeth
+        assert res_recall >= raw_recall, (raw_recall, res_recall)
+        # full refine -> exact within the probed cells: the residual
+        # path loses nothing to encoding (rerank is exact)
+        full = recall(
+            lambda q: {
+                r.vec_id
+                for r in rpq.search(
+                    ivf, res_coded, "embedding", q, 10, nprobe=blobs,
+                    refine=n,
+                ).collect()
+            }
+        )
+        assert full == 1.0
+    finally:
+        indexed.unpersist()
+        df.unpersist()

@@ -390,3 +390,114 @@ def coarse_probe_cells(
     ]
     dists.sort()
     return sorted(cell for _, cell in dists[:nprobe])
+
+
+# ------------------------------------------------ residual (IVF-PQ) tier
+
+
+def residual_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """Spark expression for the RESIDUAL of a vector against its
+    assigned coarse centroid (``_cluster`` column, 0-based): the form
+    every production IVFPQ encodes, because raw-vector PQ collapses
+    inside a tight cluster — all members share one code and ADC cannot
+    rank within the blob (measured: 1M x 64-blob corpus, 3,125 rows
+    tied at the minimum ADC distance, recall@10 = 0 at refine=64).
+    Encoding (vec - centroid) re-centers every cluster at the origin,
+    so the grid + codebook spend their entire resolution on the
+    within-cluster geometry that ranking actually needs."""
+    cents = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({float(v)!r} AS FLOAT)" for v in c) + ")"
+        for c in centroids
+    ) + ")"
+    return (
+        f"zip_with({vec_col}, element_at({cents}, CAST(_cluster AS INT) + 1), "
+        "(x, c) -> CAST(x - c AS FLOAT))"
+    )
+
+
+class ResidualPQIndex(PQIndex):
+    """IVF-PQ with residual encoding: fit/encode/search all operate on
+    (vec - coarse_centroid[_cluster]). Requires a built
+    operators.ann.IVFIndex; stores its centroids so the query side can
+    form the per-cluster residual query and its per-cluster ADC table.
+
+    Serving path (search): probe the ``nprobe`` nearest coarse cells;
+    for EACH probed cell, rank its rows by ADC against that cell's
+    residual query (q - centroid_c) and keep a local top-``refine``;
+    union the probed candidates; exact re-rank on the float column.
+    At 100 TB the per-cell branch is a partition-pruned scan of stored
+    4-byte codes, and the union carries nprobe * refine rows."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.coarse_centroids: list[list[float]] | None = None
+
+    def fit_residual(
+        self, ivf, indexed, vec_col: str, *, id_col: str = "vec_id"
+    ) -> "ResidualPQIndex":
+        from pyspark.sql import functions as F
+
+        assert ivf.centroids is not None, "IVFIndex.build() first"
+        self.coarse_centroids = ivf.centroids
+        res = indexed.withColumn(
+            "_res", F.expr(residual_expr(vec_col, ivf.centroids))
+        )
+        super().fit(res, "_res", id_col=id_col)
+        return self
+
+    def codes_residual(self, indexed, vec_col: str, *, out_col: str = "_pq_codes"):
+        from pyspark.sql import functions as F
+
+        assert self.coarse_centroids is not None, "fit_residual() first"
+        res = indexed.withColumn(
+            "_res", F.expr(residual_expr(vec_col, self.coarse_centroids))
+        )
+        grid_s, _ = grid_exprs("_res")
+        return (
+            res.withColumn("_pq_grid", F.expr(grid_s))
+            .withColumn(out_col, F.expr(encode_expr("_pq_grid", self.codebook)))
+            .drop("_res", "_pq_grid")
+        )
+
+    def search(
+        self,
+        ivf,
+        coded,
+        vec_col: str,
+        query_vec,
+        k: int,
+        *,
+        nprobe: int = 4,
+        refine: int = 64,
+        codes_col: str = "_pq_codes",
+        id_col: str = "vec_id",
+    ):
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        assert self.coarse_centroids is not None, "fit_residual() first"
+        branches = []
+        for c in ivf.probe_clusters(query_vec, nprobe):
+            cent = self.coarse_centroids[c]
+            res_q = [float(q) - float(v) for q, v in zip(query_vec, cent)]
+            table = adc_table(self.codebook, quantize_query(res_q))
+            branches.append(
+                coded.where(F.col("_cluster") == c)
+                .withColumn(
+                    "_pq_dist", F.expr(adc_from_codes_expr(codes_col, table))
+                )
+                .orderBy("_pq_dist", id_col)
+                .limit(refine)
+            )
+        approx = reduce(lambda a, b: a.unionByName(b), branches)
+        return (
+            approx.withColumn(
+                "_distance", l2_squared(F.col(vec_col), vector_literal(query_vec))
+            )
+            .orderBy("_distance", id_col)
+            .limit(k)
+            .drop("_pq_dist")
+        )
