@@ -1475,17 +1475,22 @@ class Table:
             # coarse quantizer (_cluster) for pruning + fine quantizer
             # (PQ codes, 4 bytes/row at M=8×K=16) for ranking: the
             # probe-scan reads M nibbles/row instead of 4·dim bytes;
-            # float vectors are touched only for the re-rank candidates
-            from vectordb_spark.operators.pq import PQIndex
+            # float vectors are touched only for the re-rank candidates.
+            # Codes are RESIDUAL-encoded (vec − assigned centroid):
+            # raw-vector codes collapse inside tight clusters — every
+            # member shares a code and ADC cannot rank within the blob
+            # (SCALING.md "residual encoding is load-bearing": 3,125-way
+            # ADC ties, recall 0; residual 0.91 at the same budget)
+            from vectordb_spark.operators.pq import ResidualPQIndex
 
             # M must divide the dimension (each subspace = dim/M
             # contiguous components); largest of 8/4/2/1 that does
             m_sub = next(m for m in (8, 4, 2, 1) if (f.dimension or 0) % m == 0)
-            pqi = PQIndex(m=m_sub, seed=seed).fit(
-                df.select("_row_id", field), field, id_col="_row_id"
+            pqi = ResidualPQIndex(m=m_sub, seed=seed).fit_residual(
+                idx, assigned, field, id_col="_row_id"
             )
             pq_codebook = pqi.codebook
-            assigned = pqi.codes(assigned, field).select(
+            assigned = pqi.codes_residual(assigned, field).select(
                 "_row_id", "_pq_codes", "_cluster"
             )
         version = meta.get("indexes", {}).get(field, {}).get("version", 0) + 1
@@ -1509,6 +1514,9 @@ class Table:
             "indexed_up_to": indexed_up_to,
             "mutation_seq": int(meta.get("mutation_seq", 0)),
             "pq_codebook": pq_codebook,
+            # residual-encoded codes (build ≥ r7); absent/False in
+            # older manifests → the raw-code search path still serves
+            "pq_residual": itype == "IVF_PQ",
             # separation statistics → the exact-fallback planner rule
             # applies to persisted-index searches too (None = +inf)
             "mean_intra_radius": idx.mean_intra_radius,
@@ -1575,13 +1583,21 @@ class Table:
                 .select("_row_id", "_scale", "_q", "_norm2", "_cluster")
             )
         elif info.get("type") == "IVF_PQ":
-            from vectordb_spark.operators.pq import PQIndex
+            from vectordb_spark.operators.pq import PQIndex, ResidualPQIndex
 
-            pqi = PQIndex(m=len(info["pq_codebook"]))
-            pqi.codebook = info["pq_codebook"]
-            assigned = pqi.codes(assigned, field).select(
-                "_row_id", "_pq_codes", "_cluster"
-            )
+            if info.get("pq_residual"):
+                rpqi = ResidualPQIndex(m=len(info["pq_codebook"]))
+                rpqi.codebook = info["pq_codebook"]
+                rpqi.coarse_centroids = info["centroids"]
+                assigned = rpqi.codes_residual(assigned, field).select(
+                    "_row_id", "_pq_codes", "_cluster"
+                )
+            else:  # pre-residual manifest: keep its raw encoding
+                pqi = PQIndex(m=len(info["pq_codebook"]))
+                pqi.codebook = info["pq_codebook"]
+                assigned = pqi.codes(assigned, field).select(
+                    "_row_id", "_pq_codes", "_cluster"
+                )
         else:
             assigned = assigned.select("_row_id", field, "_cluster")
         deltas = list(info.get("deltas", []))
@@ -1734,7 +1750,6 @@ class Table:
                 probed = probed.join(
                     base.select("_row_id"), "_row_id", "left_semi"
                 )
-            table = adc_table(info["pq_codebook"], quantize_query(q))
             refine = max(4 * limit, 64)
             if clusters is None:
                 # whole-index ADC fallback (unclusterable corpus):
@@ -1742,10 +1757,33 @@ class Table:
                 # budget collapses recall when 4-bit ADC ranks
                 # distance-concentrated data (see operators/ann.py)
                 refine = max(refine, 16 * limit, info["indexed_up_to"] // 50)
-            probed = (
-                probed.withColumn(
-                    "_approx", F.expr(adc_from_codes_expr("_pq_codes", table))
+            if info.get("pq_residual"):
+                # per-cluster ADC: each probed cell ranks its codes
+                # against ITS residual query (q − centroid_c); residual
+                # ADC values approximate the same true L2 across cells,
+                # so one global refine cut stays rank-correct
+                cents = info["centroids"]
+                cl_list = (
+                    clusters if clusters is not None
+                    else list(range(len(cents)))
                 )
+                approx = F.lit(None).cast("long")
+                for c in cl_list:
+                    res_q = [
+                        float(a) - float(b) for a, b in zip(q, cents[c])
+                    ]
+                    tab = adc_table(
+                        info["pq_codebook"], quantize_query(res_q)
+                    )
+                    approx = F.when(
+                        F.col("_cluster") == int(c),
+                        F.expr(adc_from_codes_expr("_pq_codes", tab)),
+                    ).otherwise(approx)
+            else:  # pre-residual manifest: one global table
+                table = adc_table(info["pq_codebook"], quantize_query(q))
+                approx = F.expr(adc_from_codes_expr("_pq_codes", table))
+            probed = (
+                probed.withColumn("_approx", approx)
                 .orderBy(F.col("_approx").asc(), F.col("_row_id").asc())
                 .limit(refine)
             )
