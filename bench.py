@@ -120,6 +120,7 @@ HEADLINE = [
     "ann_matryoshka_rerank",
     "ann_ivfpq_adc",
     "zorder_range_scan",
+    "media_scene_change_detection",
     # streaming gates (stream_* / cdc lifecycle) stay out of HEADLINE:
     # their wall time is availableNow micro-batch orchestration latency,
     # not plan cost — the correctness gate carries them every round

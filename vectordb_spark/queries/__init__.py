@@ -251,6 +251,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     interval join (watermarks both sides, state-bounded time range,
 #     cross-batch matches) vs the batch interval-join oracle;
 #     watermark EVICTION pinned in tests/test_streaming.py.
+#   media_scene_change_detection — temporal video analysis: frame
+#     fan-out → real codec decode+histogram → per-video lag window
+#     emitting shot boundaries; closed-form-histogram oracle runs the
+#     same window.
 #   mv_incremental_refresh — incremental materialized-view maintenance
 #     from the engine's own changefeed (Delta-CDF-complete pre-images:
 #     insert/update_post add, delete/update_pre retract) vs a

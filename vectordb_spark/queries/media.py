@@ -392,3 +392,152 @@ def media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _AT)
         .orderBy("rep_a", "rep_b")
     )
+
+
+# --------------------------------------------- video scene-change cuts
+
+_SC_EVERY = 500  # frame sampling stride, ms
+_SC_LEN = 4  # scene length in frames
+
+_SCENE_ORACLE = f"""
+WITH vids AS (
+    SELECT doc_id AS media_id,
+           1000 + (doc_id % 20) * 500 AS duration_ms
+    FROM documents
+),
+frames AS (
+    SELECT media_id, UNNEST(range(0, duration_ms // {_SC_EVERY} + 1))
+               AS frame_idx
+    FROM vids
+),
+h2 AS (
+    SELECT f.media_id, f.frame_idx,
+           ((f.media_id * 31 + (f.frame_idx // {_SC_LEN}) * 57 + px.i * 7)
+            % 256) // 16 AS bin
+    FROM frames f, (SELECT UNNEST(range(0, {_NPX})) AS i) px(i)
+),
+hist2 AS (
+    SELECT media_id, frame_idx, bin, COUNT(*) AS c
+    FROM h2 GROUP BY media_id, frame_idx, bin
+),
+wide AS (
+    SELECT media_id, frame_idx,
+           {", ".join(
+               f"COALESCE(SUM(CASE WHEN bin = {b} THEN c END), 0)::BIGINT"
+               f" AS h{b}"
+               for b in range(_BINS)
+           )}
+    FROM hist2 GROUP BY media_id, frame_idx
+),
+delta AS (
+    SELECT media_id, frame_idx,
+           ({" + ".join(
+               f"ABS(h{b} - lag(h{b}) OVER w)" for b in range(_BINS)
+           )})::BIGINT AS l1_delta
+    FROM wide
+    WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+)
+SELECT media_id, frame_idx, l1_delta
+FROM delta
+WHERE l1_delta > 0
+ORDER BY media_id, frame_idx
+"""
+
+
+@query("media_scene_change_detection", oracle=_SCENE_ORACLE)
+def media_scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video analysis through the full media plane: the
+    per-video frame plan (Column-only sequence+explode, same shape as
+    media_video_frame_sampling) fans out to frames; each frame is
+    synthesized as PGM bytes through the REAL encoder (pixels change
+    every {_SC_LEN} frames — the scene), decoded + 16-bin histogrammed
+    through the REAL Arrow-batched codec; a lag window per video then
+    emits the frames whose integer L1 histogram delta vs the previous
+    frame is non-zero — the classic shot-boundary detector. The oracle
+    computes every histogram in closed form from the pixel formula and
+    runs the same window, so a hash match certifies the frame fan-out,
+    the codec loop, and the temporal window at once. 100 TB shape:
+    frames are rows (explode), decode is Arrow-batched Python at the
+    codec boundary only, and the scene comparison is a codegen window
+    over 16 int columns — no per-row Python, no collect."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql import Window as W
+
+    import vectordb_spark.operators.multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1000) + (F.col("doc_id") % 20) * 500).alias("duration_ms"),
+    )
+    plan = d.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.col("duration_ms") / _SC_EVERY).cast("int")
+            )
+        ).alias("frame_idx"),
+    )
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches):
+        idx = np.arange(_NPX)
+        for pdf in batches:
+            rows = []
+            for mid, fi in zip(pdf["media_id"], pdf["frame_idx"]):
+                scene = int(fi) // _SC_LEN
+                px = ((int(mid) * 31 + scene * 57 + idx * 7) % 256).astype(
+                    np.uint8
+                )
+                rows.append(MM._encode_image(px.reshape(_H, _W), "PGM"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(pdf),
+                    "frame_idx": pdf["frame_idx"],
+                    "content": rows,
+                }
+            )
+
+    frames = plan.mapInPandas(_gen, gen_schema)
+
+    hist_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+        ]
+        + [T.StructField(f"h{b}", T.LongType(), False) for b in range(_BINS)]
+    )
+
+    def _hist(batches):
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "frame_idx": pdf["frame_idx"]}
+            hists = []
+            for content in pdf["content"]:
+                px = MM._to_gray(MM._decode_image(bytes(content)))
+                h, _ = np.histogram(px, bins=_BINS, range=(0, 256))
+                hists.append(h)
+            for b in range(_BINS):
+                out[f"h{b}"] = [int(h[b]) for h in hists]
+            yield pd.DataFrame(out)
+
+    hists = frames.mapInPandas(_hist, hist_schema)
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    l1 = sum(
+        F.abs(F.col(f"h{b}") - F.lag(f"h{b}").over(w)) for b in range(_BINS)
+    ).alias("l1_delta")
+    return (
+        hists.select("media_id", "frame_idx", l1)
+        .where(F.col("l1_delta") > 0)
+        .orderBy("media_id", "frame_idx")
+        .withColumn("frame_idx", F.col("frame_idx").cast("long"))
+    )
