@@ -121,9 +121,11 @@ HEADLINE = [
     "ann_ivfpq_adc",
     "zorder_range_scan",
     "media_scene_change_detection",
-    # streaming gates (stream_* / cdc lifecycle) stay out of HEADLINE:
-    # their wall time is availableNow micro-batch orchestration latency,
-    # not plan cost — the correctness gate carries them every round
+    # stream_* gates stay out of HEADLINE: their wall time is
+    # availableNow micro-batch orchestration latency, not plan cost —
+    # the correctness gate carries them every round. cdc_changefeed_diff
+    # IS in (above): its lifecycle is memoized, so it times only the
+    # manifest diff — real plan cost.
 ]
 
 _GIST: dict = {}
@@ -170,6 +172,18 @@ def _ann_gist_shape(spark, sf_dir):
 _LIFECYCLE: dict = {}
 
 
+def _mkworkdir(prefix: str) -> str:
+    """mkdtemp that cleans up at process exit — memoized lifecycle
+    warehouses must not leak a temp dir per bench run."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
 def _sparse_index_knn_search(spark, sf_dir):
     """Bench variant of the sparse-index gate: the table build (bulk
     insert → inverted-index build → tail insert) is memoized across the
@@ -184,7 +198,7 @@ def _sparse_index_knn_search(spark, sf_dir):
     from vectordb_spark.queries.sparse import build_sparse_gate_table
 
     if "sparse" not in _LIFECYCLE:
-        work = tempfile.mkdtemp(prefix="vdb_bench_sparse_")
+        work = _mkworkdir("vdb_bench_sparse_")
         _LIFECYCLE["sparse"] = build_sparse_gate_table(spark, sf_dir, work)
     t, qv = _LIFECYCLE["sparse"]
     return t.search_sparse_indexed_df(qv, limit=10).select(
@@ -203,7 +217,7 @@ def _cdc_changefeed_diff(spark, sf_dir):
     from vectordb_spark.queries.streaming_gate import build_cdc_gate_table
 
     if "cdc" not in _LIFECYCLE:
-        work = tempfile.mkdtemp(prefix="vdb_bench_cdc_")
+        work = _mkworkdir("vdb_bench_cdc_")
         _LIFECYCLE["cdc"] = build_cdc_gate_table(spark, sf_dir, work)
     t, v1 = _LIFECYCLE["cdc"]
     return t.changes(v1).select(

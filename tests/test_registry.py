@@ -44,29 +44,47 @@ def test_window_fits_driver_cap():
     assert len(set(ORACLE_WINDOW)) == DRIVER_WINDOW
 
 
-def test_round7_rotation():
-    # round-7 window facts (VERDICT r6 "Next round" #1 and #4): the two
-    # media rows stay in-window until their reshaped scalar output gets
-    # a green DRIVER row (selfcheck-green is not driver evidence), and
-    # the five round-6-queue queries take their first driver slots.
-    # tpch_q5/q10, sketch_cms, w7 and funnel_conversion rotated out on
-    # multi-round green driver history.
+def test_round8_rotation():
+    # round-8 window facts (VERDICT r7 "Next round" #1): the thirteen
+    # round-7-queue queries — all judge-verified dual-SF selfcheck
+    # green — take their first driver slots. Rotated out on driver-green
+    # history with in-window compile-path siblings: q4/q14/q17/q18
+    # (subsumed by the six TPC-H newcomers), sq8/pq_adc (quantized-ANN
+    # ladder carried by ann_ivfpq_adc), w10, a8, cross_source,
+    # bigram_familiarity, pgm + video_frame (media carried by ahash +
+    # scene_change), stream_dedup_incremental.
     for name in [
-        "media_pgm_histogram_features",
+        "tpch_q7_nation_volume",
+        "tpch_q13_customer_order_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q21_sole_late_supplier",
+        "tpch_q22_dormant_customers",
+        "media_ahash_near_dup",
+        "ann_matryoshka_rerank",
+        "ann_ivfpq_adc",
+        "zorder_range_scan",
+        "stream_stream_join_attribution",
+        "media_scene_change_detection",
+        "mv_incremental_refresh",
         "media_wav_rms_features",
-        "tpch_q18_large_volume_customer",
-        "tpch_q4_order_priority",
-        "tpch_q14_promo_revenue",
-        "tpch_q17_small_quantity_revenue",
         "sketch_hdr_quantiles",
     ]:
         assert name in ORACLE_WINDOW, name
     for gone in [
-        "tpch_q5_local_supplier_volume",
-        "tpch_q10_returned_items",
-        "sketch_cms_user_frequency",
-        "w7_sliding_window",
-        "funnel_conversion",
+        "tpch_q4_order_priority",
+        "tpch_q14_promo_revenue",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "ann_sq8_rerank",
+        "ann_pq_adc",
+        "w10_interarrival_stats",
+        "a8_value_histogram",
+        "dedup_cross_source_overlap",
+        "text_bigram_familiarity",
+        "media_pgm_histogram_features",
+        "media_video_frame_sampling",
+        "stream_dedup_incremental",
     ]:
         assert gone not in ORACLE_WINDOW, gone
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -124,11 +125,24 @@ class IncrementalAggView:
                 ).alias("d_sum"),
             )
         )
+        # Null-SAFE key equality: a name-list full_outer join uses
+        # null-unsafe `=`, so a NULL group key present on both sides
+        # would duplicate instead of merging/retracting — silent view
+        # corruption for nullable group columns. eqNullSafe (`<=>`)
+        # treats NULL as a joinable value; keys are coalesced back out.
+        cur = self.df()
+        cond = reduce(
+            lambda a, b: a & b,
+            [cur[c].eqNullSafe(delta[c]) for c in self.group_cols],
+        )
         merged = (
-            self.df()
-            .join(delta, self.group_cols, "full_outer")
+            cur
+            .join(delta, cond, "full_outer")
             .select(
-                *self.group_cols,
+                *[
+                    F.coalesce(cur[c], delta[c]).alias(c)
+                    for c in self.group_cols
+                ],
                 (
                     F.coalesce(F.col("n_rows"), F.lit(0))
                     + F.coalesce(F.col("d_rows"), F.lit(0))

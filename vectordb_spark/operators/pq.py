@@ -313,6 +313,13 @@ class PQIndex:
 
         clusters = ivf.probe_clusters(query_vec, nprobe)
         probed = indexed.where(F.col("_cluster").isin(clusters))
+        if "_pq_codes" in indexed.columns:
+            # serving path: rank from the stored 4-byte codes rather
+            # than re-encoding the float column per query
+            return self.search_codes(
+                probed, vec_col, "_pq_codes", query_vec, k,
+                refine=refine, id_col=id_col,
+            ).drop("_cluster")
         return self.search(
             probed, vec_col, query_vec, k, refine=refine, id_col=id_col
         ).drop("_cluster")
@@ -479,8 +486,17 @@ class ResidualPQIndex(PQIndex):
         from vectordb_spark.functions.distance import l2_squared, vector_literal
 
         assert self.coarse_centroids is not None, "fit_residual() first"
+        probe = ivf.probe_clusters(query_vec, nprobe)
+        if not probe:
+            # degenerate index / nprobe=0: an empty result with the
+            # search schema, not a reduce() TypeError
+            return (
+                coded.withColumn("_distance", F.lit(0.0))
+                .where(F.lit(False))
+                .limit(k)
+            )
         branches = []
-        for c in ivf.probe_clusters(query_vec, nprobe):
+        for c in probe:
             cent = self.coarse_centroids[c]
             res_q = [float(q) - float(v) for q, v in zip(query_vec, cent)]
             table = adc_table(self.codebook, quantize_query(res_q))

@@ -47,9 +47,21 @@ def z_value_sql(a: str, b: str, bits: int = DEFAULT_BITS) -> str:
 
 
 def z_value(a: Column | str, b: Column | str, bits: int = DEFAULT_BITS) -> Column:
-    a_sql = a if isinstance(a, str) else a._jc.toString()
-    b_sql = b if isinstance(b, str) else b._jc.toString()
-    return F.expr(z_value_sql(a_sql, b_sql, bits))
+    """Morton z-value Column, composed from Column ops only (no SQL
+    string round-trip, no private JVM handles — Spark Connect safe)."""
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    z: Column = F.lit(0).cast("bigint")
+    for j in range(bits):
+        z = z + F.shiftleft(F.shiftright(a, j).bitwiseAND(F.lit(1)), 2 * j)
+        z = z + F.shiftleft(
+            F.shiftright(b, j).bitwiseAND(F.lit(1)), 2 * j + 1
+        )
+    return z
 
 
 def zorder_by(

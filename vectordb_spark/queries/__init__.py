@@ -78,14 +78,12 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # the newly-rotated-in oracle-gated ann_ivf_autoplan_fallback.
     "semantic_text_search",
     # tier C — LLM-pipeline operators
-    "ann_sq8_rerank",
     "dedup_cluster_components",
     # round-5: the late-data/watermark gate replaces the in-order
     # replay gate (green r3+r4; same readStream→foreachBatch→Table
     # machinery, which the late gate also exercises — plus watermark,
     # update-mode emission, and PK-upsert merge of out-of-order rows)
     "stream_late_window_upsert",
-    "ann_pq_adc",
     # round-6: the changefeed gate — Table.changes(v1) must reconstruct
     # the insert/delete/upsert lifecycle against a raw-parquet oracle
     # that never saw the table format. Evicts text_gopher_rules
@@ -112,17 +110,13 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # (map-side pipeline path: rj/asof/curate stay).
     "w8_rollup_grains",
     "w9_ntile_length_deciles",
-    "w10_interarrival_stats",
     "cohort_retention",
-    "a8_value_histogram",
     "dedup_keep_best",
     "dedup_incremental_newdocs",
-    "dedup_cross_source_overlap",
     "sparse_knn_l2",
     "t9_knn_batch",
     "vec_centroid_per_label",
     "text_fuzzy_match",
-    "text_bigram_familiarity",
     # Round-6 rotation: the nine round-5 additions — selfcheck-green at
     # sf0.001 AND sf0.01 but never through the driver — take their
     # first driver rows. Rotated out to make room (every eviction is a
@@ -140,12 +134,9 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # sparse_tfidf_weights + text_token_count + text_lang_id (G r1–r5;
     # sparse path keeps sparse_knn_l2, text battery keeps repetition /
     # gopher / fuzzy / bigram_familiarity / top_bigrams).
-    "media_pgm_histogram_features",
     "media_wav_rms_features",
-    "media_video_frame_sampling",
     "dedup_substring_fingerprint",
     "geo_join_radius_pairs",
-    "stream_dedup_incremental",
     "ann_ivf_autoplan_fallback",
     "text_boilerplate_span_removal",
     # Round-6 additions, rotated in the same round they were built —
@@ -209,11 +200,46 @@ ORACLE_WINDOW: tuple[str, ...] = (
     #   w7_sliding_window (G r5-r6; window family keeps w8/w9/w10),
     #   funnel_conversion (G r5-r6; sequential-pattern path carried by
     #     cohort_retention + curate_end_to_end).
-    "tpch_q18_large_volume_customer",
-    "tpch_q4_order_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
     "sketch_hdr_quantiles",
+    # Round-8 rotation: the thirteen round-7-queue queries — every one
+    # dual-SF selfcheck-green since r7 (judge re-verified all 13 in
+    # VERDICT r7) — take their first driver rows. Rotated out to make
+    # room, each a driver-green row with an in-window compile-path
+    # sibling:
+    #   tpch_q4/q14/q17/q18 (G r7; the TPC-H semi-join/agg shapes are
+    #     strictly subsumed by the six newcomers — q21 carries the
+    #     EXISTS/NOT-EXISTS quantifiers, q13 the outer-join funnel,
+    #     q15 the agg-view equi-back-join, q19 disjunctive pushdown,
+    #     q7 the two-role star, q22 the anti-join),
+    #   ann_sq8_rerank + ann_pq_adc (G r4-r7; the quantized-ANN ladder
+    #     is carried by ann_ivfpq_adc — its ADC tier IS the pq_adc
+    #     compile path — plus ann_binary_hamming_rerank and
+    #     ann_ivf_autoplan_fallback),
+    #   w10_interarrival_stats (G r5-r7; window family keeps w8/w9),
+    #   a8_value_histogram (G r5-r7; agg path keeps a5 + curate),
+    #   dedup_cross_source_overlap (G r5-r7; dedup family keeps
+    #     keep_best / incremental / substring / cluster_components),
+    #   text_bigram_familiarity (G r5-r7; text battery keeps fuzzy /
+    #     boilerplate / lm_perplexity),
+    #   media_pgm_histogram_features + media_video_frame_sampling
+    #     (G r6-r7; the image-codec path is carried by the ahash
+    #     newcomer, the video loop by scene_change),
+    #   stream_dedup_incremental (G r6-r7; streaming keeps
+    #     late_window_upsert + enrich_join + the stream-stream
+    #     newcomer).
+    "tpch_q7_nation_volume",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_customers",
+    "media_ahash_near_dup",
+    "ann_matryoshka_rerank",
+    "ann_ivfpq_adc",
+    "zorder_range_scan",
+    "stream_stream_join_attribution",
+    "media_scene_change_detection",
+    "mv_incremental_refresh",
 )
 
 # Round-8 rotation queue — additions built after the round-7 window

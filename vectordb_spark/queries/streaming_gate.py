@@ -658,11 +658,6 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     # constraint (mixing the raw-ns residual into the join condition
     # defeats the extractor — it logs per-batch errors and the state
     # never evicts). The exact ns residual runs as a post-join filter.
-    # JOIN condition = equi key + the watermarked time range ONLY:
-    # StreamingJoinHelper can then extract the state-eviction
-    # constraint (mixing the raw-ns residual into the join condition
-    # defeats the extractor — it logs per-batch errors and the state
-    # never evicts). The exact ns residual runs as a post-join filter.
     pairs = clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
