@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_ivfpq_adc",
     "zorder_range_scan",
     "media_scene_change_detection",
+    "table_ivf_trained_search",
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
     # the correctness gate carries them every round. cdc_changefeed_diff
@@ -228,6 +229,51 @@ def _cdc_changefeed_diff(spark, sf_dir):
     )
 
 
+def _table_ivf_trained_search(spark, sf_dir):
+    """Bench variant of the trained-IVF gate: the lifecycle (bulk
+    insert -> 2-round Lloyd rebuild -> manifest persist) is memoized;
+    the recorded time is the manifest-served probe search itself."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.queries.core import load_table
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    if "trained_ivf" not in _LIFECYCLE:
+        from vectordb_spark.queries.vector import _query_vector
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = _query_vector(spark, sf_dir)
+        schema = TableSchema(
+            name="trained_ivf_emb",
+            fields=[
+                FieldSchema(
+                    name="vec_id", field_type=FieldType.INT8, primary_key=True
+                ),
+                FieldSchema(name="label", field_type=FieldType.STRING),
+                FieldSchema(
+                    name="embedding",
+                    field_type=FieldType.VECTOR_FLOAT,
+                    dimension=len(qv),
+                    metric="EUCLIDEAN",
+                ),
+            ],
+        )
+        work = _mkworkdir("vdb_bench_trained_ivf_")
+        t = Table(spark, schema, _os.path.join(work, "trained_ivf_emb"))
+        t._init_storage()
+        t.insert_df(emb.orderBy("vec_id").coalesce(1))
+        t.rebuild("embedding", index_type="IVF", k=8, train="lloyd", rounds=2)
+        t2 = Table(spark, schema, _os.path.join(work, "trained_ivf_emb"))
+        _LIFECYCLE["trained_ivf"] = (t2, qv)
+    t2, qv = _LIFECYCLE["trained_ivf"]
+    return t2.search_indexed_df(qv, limit=10, nprobe=3).select(
+        "vec_id", "label", F.col("_distance").alias("distance")
+    )
+
+
 def _run_once(qs, name: str, spark, sf_dir: str) -> float:
     # collect() for every query: count() lets Spark prune the whole
     # projection (a map-only text query "ran" in 0.01s while computing
@@ -256,6 +302,7 @@ def main() -> None:
     # lifecycle gates: memoize the build, time the operation
     qs["sparse_index_knn_search"] = _sparse_index_knn_search
     qs["cdc_changefeed_diff"] = _cdc_changefeed_diff
+    qs["table_ivf_trained_search"] = _table_ivf_trained_search
     names = [n for n in HEADLINE if n in qs]
 
     # Warm up the JVM + parquet footers once; not counted.

@@ -266,3 +266,89 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark, emb, qv):
     n1 = sigs.where(F.col("sig") == qsig).count()
     n9 = sigs.where(F.col("sig").isin(probes)).count()
     assert n1 < n9 < emb.count() / 4
+
+
+def test_build_lloyd_deterministic_and_persistable(spark):
+    """Seeded-Lloyd trainer: deterministic across runs, ties to the
+    lowest cluster, centroids move after training, and the assignment
+    column is the argmin of the trained centroids (the invariant the
+    table_ivf_trained_search oracle replays in SQL)."""
+    import numpy as np
+
+    from vectordb_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a = IVFIndex(k=4, seed=1)
+    out_a = a.build_lloyd(df, "embedding", rounds=2, id_col="vec_id")
+    b = IVFIndex(k=4, seed=1)
+    b.build_lloyd(df, "embedding", rounds=2, id_col="vec_id")
+    assert a.centroids == b.centroids  # bit-identical, not just close
+
+    seeds = [r[1] for r in rows[:4]]
+    moved = [c for c, s in zip(a.centroids, seeds) if c != s]
+    assert moved, "two Lloyd rounds must move the seed centroids"
+
+    # assignment == argmin over the trained centroids
+    got = {r["vec_id"]: r["_cluster"] for r in out_a.collect()}
+    cents = np.asarray(a.centroids)
+    for vid, vec in rows[:50]:
+        d = ((cents - np.asarray(vec, dtype=np.float64)) ** 2).sum(axis=1)
+        assert got[vid] == int(np.argmin(d))
+
+
+def test_rebuild_lloyd_manifest_roundtrip(spark, tmp_path):
+    """rebuild(train='lloyd') persists trained centroids; a FRESH
+    Table serves a probe search from the manifest alone and the result
+    is the exact KNN restricted to the probed cells."""
+    import numpy as np
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    rng = np.random.default_rng(11)
+    schema = TableSchema(
+        name="tl",
+        fields=[
+            FieldSchema(name="vec_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=4, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "tl"))
+    t._init_storage()
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=4)]) for i in range(120)
+    ]
+    t.insert_df(
+        spark.createDataFrame(rows, "vec_id long, emb array<float>")
+        .orderBy("vec_id").coalesce(1)
+    )
+    t.rebuild("emb", index_type="IVF", k=4, train="lloyd", rounds=2)
+
+    t2 = Table(spark, schema, str(tmp_path / "tl"))
+    info = t2._load_meta()["indexes"]["emb"]
+    assert info["train"] == "lloyd" and info["rounds"] == 2
+    cents = np.asarray(info["centroids"])
+    q = [0.5, -0.5, 0.25, 0.0]
+    got = [
+        r["vec_id"]
+        for r in t2.search_indexed_df(q, limit=5, nprobe=2).collect()
+    ]
+
+    dq = ((cents - np.asarray(q)) ** 2).sum(axis=1)
+    probed = set(np.argsort(dq, kind="stable")[:2].tolist())
+    cand = []
+    for vid, vec in rows:
+        dv = ((cents - np.asarray(vec, dtype=np.float64)) ** 2).sum(axis=1)
+        if int(np.argmin(dv)) in probed:
+            d = float(((np.asarray(vec, dtype=np.float64) - np.asarray(q)) ** 2).sum())
+            cand.append((d, vid))
+    want = [vid for _, vid in sorted(cand)[:5]]
+    assert got == want

@@ -307,3 +307,24 @@ def test_residual_ivfpq_discriminates_inside_tight_blobs(spark):
     finally:
         indexed.unpersist()
         df.unpersist()
+
+
+def test_residual_search_empty_probe_returns_empty(spark):
+    """nprobe=0 / degenerate probe list → empty result with the search
+    schema, not a reduce() TypeError (ADVICE r7)."""
+    from vectordb_spark.operators.ann import IVFIndex
+    from vectordb_spark.operators.pq import ResidualPQIndex
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i)] * 2) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf = IVFIndex(k=2, seed=3)
+    assigned = ivf.build(df, "embedding")
+    rpq = ResidualPQIndex(m=2, seed=3).fit_residual(
+        ivf, assigned, "embedding", id_col="vec_id"
+    )
+    coded = rpq.codes_residual(assigned, "embedding")
+    out = rpq.search(ivf, coded, "embedding", [0.0] * 4, 5, nprobe=0)
+    assert out.count() == 0
+    assert "_distance" in out.columns

@@ -115,3 +115,20 @@ def test_rewrite_zorder_prunes_rectangle(spark, tmp_path):
     assert got == want and len(want) > 0
     # the rewrite is row-preserving and time-travel keeps the old layout
     assert t.df().count() == 2000
+
+
+def test_z_value_column_matches_sql_expr(spark):
+    """The Column-composed z_value (no private JVM handles) must agree
+    with the SQL-string twin the oracle runs."""
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.operators.zorder import z_value, z_value_sql
+
+    df = spark.range(500).select(
+        (F.col("id") % 37).alias("a"), ((F.col("id") * 13) % 53).alias("b")
+    )
+    out = df.select(
+        z_value("a", "b", bits=8).alias("zc"),
+        F.expr(z_value_sql("a", "b", bits=8)).alias("zs"),
+    )
+    assert out.where(F.col("zc") != F.col("zs")).count() == 0

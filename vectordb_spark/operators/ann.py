@@ -27,7 +27,7 @@ reference's own pre/post-rebuild test discipline, db_server.cpp:1606-12).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_spark.functions.distance import (
@@ -175,6 +175,78 @@ class IVFIndex:
         model = km.fit(fit_input)
         self.centroids = [[float(x) for x in c] for c in model.clusterCenters()]
         out = model.transform(vecs).drop("_features")
+        self._compute_build_stats(out, vec_col)
+        return out
+
+    def build_lloyd(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        *,
+        rounds: int = 2,
+        id_col: str = "_row_id",
+    ) -> DataFrame:
+        """Deterministic Lloyd training — the oracle-replayable twin of
+        ``build``. Seeds are the vectors of the ``k`` smallest
+        ``id_col`` values; each round assigns every row to the argmin
+        of the sequential-fold squared L2 (ties to the lowest cluster
+        id via first-position-of-min) and recomputes per-cluster
+        per-dimension means on the 1e-12 half-up integer grid (decimal
+        accumulation — partition order and engine cannot change a bit;
+        the vec_kmeans_one_round discipline, iterated). Clusters that
+        lose all members keep their previous centroid. Same cost
+        profile per round as distributed Lloyd everywhere: one corpus
+        scan with k codegen distance folds (centroids are broadcast
+        literals), one k·dim-sized shuffle for the means; the k·dim
+        means table collected per round is tiny driver state, exactly
+        like ``build``'s MLlib centroids."""
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        k = self.k
+        seeds = [
+            [float(x) for x in r[0]]
+            for r in df.orderBy(id_col).select(vec_col).limit(k).collect()
+        ]
+        assert len(seeds) == k, f"need >= {k} rows to seed {k} clusters"
+        dim = len(seeds[0])
+        grid = "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
+
+        def _assign(cents) -> Column:
+            dists = F.array(
+                *[l2_squared(F.col(vec_col), vector_literal(c)) for c in cents]
+            )
+            return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+        cents = seeds
+        for _ in range(rounds):
+            px = df.select(
+                _assign(cents).alias("_cluster"),
+                F.posexplode(vec_col).alias("pos", "val"),
+            )
+            rows = (
+                px.groupBy("_cluster", "pos")
+                .agg(
+                    (
+                        (
+                            F.sum(F.expr(grid).cast("decimal(38,0)")).cast("double")
+                            / F.lit(1e12)
+                        )
+                        / F.count(F.lit(1))
+                    ).alias("avgv")
+                )
+                .collect()
+            )
+            means: dict[int, dict[int, float]] = {}
+            for r in rows:
+                means.setdefault(int(r["_cluster"]), {})[int(r["pos"])] = float(
+                    r["avgv"]
+                )
+            cents = [
+                [means[c][p] for p in range(dim)] if c in means else cents[c]
+                for c in range(k)
+            ]
+        self.centroids = [[float(x) for x in c] for c in cents]
+        out = df.withColumn("_cluster", _assign(cents))
         self._compute_build_stats(out, vec_col)
         return out
 

@@ -115,7 +115,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "dedup_incremental_newdocs",
     "sparse_knn_l2",
     "t9_knn_batch",
-    "vec_centroid_per_label",
     "text_fuzzy_match",
     # Round-6 rotation: the nine round-5 additions — selfcheck-green at
     # sf0.001 AND sf0.01 but never through the driver — take their
@@ -240,6 +239,14 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "stream_stream_join_attribution",
     "media_scene_change_detection",
     "mv_incremental_refresh",
+    # TRAINED-quantizer lifecycle (VERDICT r7 #2): seeded-Lloyd
+    # training → manifest persistence → fresh-reader probe search,
+    # all replayed by the oracle from raw parquet. Retires the
+    # permanently-no_oracle ann_ivf_kmeans registry slot and evicts
+    # vec_centroid_per_label (G r5-r7; the grid-mean compile path
+    # stays in-window via vec_kmeans_one_round, which this gate
+    # iterates twice inside the table trainer).
+    "table_ivf_trained_search",
 )
 
 # Round-8 rotation queue — additions built after the round-7 window

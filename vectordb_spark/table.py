@@ -1415,7 +1415,14 @@ class Table:
 
     @_writer_locked
     def rebuild(
-        self, field: str, *, index_type: str = "IVF", k: int = 16, seed: int = 42
+        self,
+        field: str,
+        *,
+        index_type: str = "IVF",
+        k: int = 16,
+        seed: int = 42,
+        train: str = "kmeans",
+        rounds: int = 2,
     ) -> dict:
         """Batch ANN index (re)build — the reference's background
         rebuild (X3, table_mvp.cpp:94-203) as an explicit job. Writes a
@@ -1444,10 +1451,23 @@ class Table:
             )
         from vectordb_spark.operators.ann import IVFIndex
 
+        if train not in ("kmeans", "lloyd"):
+            raise VectorDBError(
+                "INVALID_PAYLOAD", f"Unknown trainer {train!r}; use kmeans|lloyd."
+            )
         meta = self._load_meta()
         df = self.df()
         idx = IVFIndex(k=k, seed=seed, metric=f.metric or "EUCLIDEAN")
-        assigned = idx.build(df.select("_row_id", field), field)
+        if train == "lloyd":
+            # deterministic seeded-Lloyd trainer: same Lloyd iterations
+            # as kmeans but bit-replayable (integer-grid means, fold
+            # distances) — the trained path a SQL oracle can audit,
+            # persisted in the manifest exactly like the MLlib path
+            assigned = idx.build_lloyd(
+                df.select("_row_id", field), field, rounds=rounds
+            )
+        else:
+            assigned = idx.build(df.select("_row_id", field), field)
         if itype == "IVF_SQ8":
             # store int8 codes + per-row scale + exact squared norm, NOT
             # the float vectors: the probe-scan reads 1 byte/dim instead
@@ -1505,6 +1525,8 @@ class Table:
             "type": itype,
             "k": k,
             "seed": seed,
+            "train": train,
+            "rounds": rounds if train == "lloyd" else None,
             "version": version,
             "dir": name,
             "deltas": [],
