@@ -101,3 +101,95 @@ def test_refresh_chain_across_compact(t, tmp_path):
     mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
     mv2.full_build()
     assert _rows(mv) == _rows(mv2)
+
+
+def test_refresh_chain_across_compact_and_vacuum(t, tmp_path):
+    """compact() + vacuum() between refreshes: the changefeed retention
+    contract composes with view maintenance — deltas read only from
+    still-live manifest versions (VERDICT r7 #6)."""
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    t.insert([{"id": 300, "grp": "b", "val": 3, "v": [0.0, 0.0]}])
+    mv.refresh()
+    t.compact()
+    t.vacuum(keep_history=1)  # drop pre-compact segment files
+    t.insert([{"id": 301, "grp": "a", "val": 5, "v": [0.0, 0.0]}])
+    t.delete(primary_keys=[2])
+    mv.refresh()
+    mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
+    mv2.full_build()
+    assert _rows(mv) == _rows(mv2)
+
+
+def test_old_view_dirs_vacuumed(t, tmp_path):
+    """Superseded v{N} view dirs are GC'd at commit, keeping
+    KEEP_HISTORY=1 (ADVICE r7: dirs accumulated forever)."""
+    import os
+
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    for i in range(4):
+        t.insert([{"id": 400 + i, "grp": "a", "val": i, "v": [0.0, 0.0]}])
+        mv.refresh()
+    dirs = [
+        d for d in os.listdir(str(tmp_path / "mv"))
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    assert len(dirs) <= 1 + IncrementalAggView.KEEP_HISTORY
+    # current view still readable and correct
+    mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
+    mv2.full_build()
+    assert _rows(mv) == _rows(mv2)
+
+
+def test_null_group_key_merges_not_duplicates(spark, tmp_path):
+    """NULL group keys must merge/retract through refresh (the
+    name-list full_outer join used null-unsafe equality and duplicated
+    the NULL group — ADVICE r7 medium)."""
+    schema = TableSchema(
+        name="mv_null",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "mv_null"))
+    t._init_storage()
+    # NULL group keys enter via the distributed ingest path (the JSON
+    # insert validator rejects nulls by reference parity)
+    t.insert_df(
+        spark.createDataFrame(
+            [
+                (0, None, 10, [0.0, 0.0]),
+                (1, "a", 1, [0.0, 0.0]),
+                (2, None, 20, [0.0, 0.0]),
+            ],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    t.insert_df(
+        spark.createDataFrame(
+            [(3, None, 5, [0.0, 0.0])],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    t.delete(primary_keys=[0])
+    mv.refresh()
+    rows = mv.df().collect()
+    null_rows = [r for r in rows if r["grp"] is None]
+    assert len(null_rows) == 1, rows  # merged, not duplicated
+    assert (null_rows[0]["n_rows"], float(null_rows[0]["_sum_dec"])) == (2, 25.0)
+    mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
+    mv2.full_build()
+    assert {
+        r["grp"]: (r["n_rows"], float(r["_sum_dec"])) for r in rows
+    } == {
+        r["grp"]: (r["n_rows"], float(r["_sum_dec"])) for r in mv2.df().collect()
+    }

@@ -114,3 +114,11 @@ def test_windowed_queries_have_oracles():
     oracles = all_oracles()
     rows_only = {n for n in ORACLE_WINDOW if n not in oracles}
     assert rows_only == set(), rows_only
+
+
+def test_window_is_vetted():
+    # rotating an un-selfchecked query into the window must fail in our
+    # own runs, not at driver time (VERDICT r7 #5)
+    from vectordb_spark.queries import WINDOW_VETTED
+
+    assert set(ORACLE_WINDOW) <= WINDOW_VETTED

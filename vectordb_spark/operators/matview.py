@@ -69,13 +69,29 @@ class IncrementalAggView:
         with open(self._state_file) as fh:
             return int(json.load(fh)["source_version"])
 
+    # superseded v{N} dirs kept after a commit: 1 (the previous view)
+    # so an in-flight reader holding the old state never loses its
+    # files mid-scan; older dirs are GC'd at the next commit
+    KEEP_HISTORY = 1
+
     def _commit(self, df: DataFrame, version: int) -> None:
+        import shutil
+
         data_dir = os.path.join(self.path, f"v{version}")
         df.write.mode("overwrite").parquet(data_dir)
         tmp = self._state_file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"source_version": version, "dir": f"v{version}"}, fh)
         os.replace(tmp, self._state_file)
+        # vacuum superseded view dirs (ADVICE r7: v{N} accumulated
+        # forever), keeping KEEP_HISTORY below the committed version
+        old = sorted(
+            int(d[1:])
+            for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < version
+        )
+        for v in old[: max(0, len(old) - self.KEEP_HISTORY)]:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
 
     def df(self) -> DataFrame:
         with open(self._state_file) as fh:
