@@ -122,6 +122,11 @@ HEADLINE = [
     "zorder_range_scan",
     "media_scene_change_detection",
     "table_ivf_trained_search",
+    # round-8 additions (round-9 rotation queue)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q20_excess_share_suppliers",
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
     # the correctness gate carries them every round. cdc_changefeed_diff

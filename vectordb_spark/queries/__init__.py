@@ -249,10 +249,23 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "table_ivf_trained_search",
 )
 
-# Round-8 rotation queue — additions built after the round-7 window
-# filled wait here for a slot; each must be dual-SF selfcheck-green
-# (scalar-only output columns — selfcheck enforces this) before it is
-# queued:
+# Round-9 rotation queue — additions built in round 8 after the window
+# filled; each dual-SF selfcheck-green (sf0.001 + sf0.01, 2026-08-15)
+# when queued:
+#   tpch_q2_min_cost_supplier — correlated scalar-MIN subquery
+#     decorrelated to a window MIN (oracle runs the literal form).
+#   tpch_q8_market_share — CASE-conditional national share over the
+#     two-sided dimension tree (customer region x supplier nation).
+#   tpch_q9_product_type_profit — profit rollup by nation x year with
+#     a part-attribute cost surrogate.
+#   tpch_q20_excess_share_suppliers — two-level correlated-aggregate
+#     semi-join collapsed to one conditional-sum pass (oracle runs the
+#     literal twice-correlated EXISTS).
+# Eviction candidates (oldest multi-round greens with in-window
+# siblings): w8/w9 after another green round, cohort_retention,
+# dedup_keep_best, text_fuzzy_match, media_wav_rms_features.
+#
+# Historical note — round-8 queue (all rotated into the window above):
 #   tpch_q7_nation_volume — two-role dimension join (nation under
 #     supplier AND customer roles) + cross-side disjunction residual.
 #   tpch_q13_customer_order_distribution — outer-join COUNT with

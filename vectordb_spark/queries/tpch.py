@@ -873,3 +873,328 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        -- partsupp surrogate: the testdata ships no partsupp table, so
+        -- the supply relation is derived from observed lineitems; cost
+        -- = best unit price this supplier ever quoted for the part
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_cost
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           ps.ps_cost
+    FROM part p
+    JOIN supply ps  ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'SMALL' AND p.p_size >= 25
+      AND r.r_name = 'EUROPE'
+      AND ps.ps_cost = (
+          SELECT MIN(ps2.ps_cost)
+          FROM supply ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog: minimum-cost supplier per part — the correlated
+    scalar-MIN subquery shape. The supply relation is derived from
+    lineitem (no partsupp in the testdata): per (part, supplier) the
+    best observed unit price; MIN is order-independent so the derived
+    cost is deterministic. The Spark plan replaces the correlated
+    subquery with a window MIN over the region-filtered supply rows —
+    one shuffle keyed by part, no re-scan per outer row — and keeps
+    rows whose cost equals their partition minimum (exact double
+    equality: both sides are the same stored value, not re-derived
+    arithmetic). The oracle runs the literal correlated form, proving
+    the decorrelation. At 100 TB the region/nation/supplier dims
+    broadcast; the supply aggregation and the window share one
+    partkey-hash shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window as W
+
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_cost")
+    )
+    euro_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = supply.join(
+        F.broadcast(euro_supp),
+        supply["ps_suppkey"] == euro_supp["s_suppkey"],
+    ).join(
+        F.broadcast(
+            p.where((F.col("p_type") == "SMALL") & (F.col("p_size") >= 25))
+        ),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    )
+    w = W.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("ps_cost").over(w))
+        .where(F.col("ps_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+        JOIN region rc   ON rc.r_regionkey = nc.n_regionkey
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+        JOIN part p      ON p.p_partkey = l.l_partkey
+        WHERE rc.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {O.dec_sum("CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0.0 END", 6)}
+               / {O.dec_sum("volume", 6)} AS mkt_share
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog: national market share — the CASE-conditional share
+    aggregation over a two-sided dimension tree (customer side fixes
+    the MARKET region, supplier side provides the nation whose share
+    is measured). Both decimal sums accumulate in one grouped
+    aggregate (numerator is the CASE-masked twin of the denominator),
+    then one deterministic double division per year row. Scale shape:
+    every dimension (customer, nation x2, region, supplier, part)
+    broadcasts; the only fact shuffle is lineitem->orders on orderkey,
+    then a 2-row aggregate. The oracle is the literal 8-table join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    asia_cust = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            F.broadcast(p.where(F.col("p_type") == "ECONOMY")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    masked = F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        vol.groupBy("o_year")
+        .agg((dec_sum(masked, 6) / dec_sum(F.col("volume"), 6)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT ns.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           {O.dec_sum(
+               "l.l_extendedprice * (1.0 - l.l_discount)"
+               " - 0.5 * p.p_retailprice * l.l_quantity", 6)} AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY ns.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog: product-type profit by nation and year. Profit uses
+    0.5 * p_retailprice as the supply-cost surrogate (no partsupp
+    table): amount = extprice * (1 - disc) - 0.5 * retail * qty, a
+    per-row deterministic expression decimal-summed per (nation,
+    year). Scale shape: part (name-filtered at the broadcast build),
+    supplier->nation, all broadcast; lineitem->orders is the one fact
+    shuffle, then a k*years-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    supp_nation = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(p.where(F.col("p_name").like("%widget%"))),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dec_sum(F.col("amount"), 6).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q20_excess_share_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND EXISTS (
+          SELECT 1
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          JOIN part p ON p.p_partkey = ps.l_partkey
+          WHERE ps.l_suppkey = s.s_suppkey
+            AND p.p_name LIKE 'small%'
+            AND (SELECT CAST(COALESCE(SUM(CAST(l1.l_quantity
+                            AS DECIMAL(28,4))), 0) AS DOUBLE)
+                 FROM lineitem l1
+                 WHERE l1.l_partkey = ps.l_partkey
+                   AND l1.l_suppkey = ps.l_suppkey
+                   AND l1.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND l1.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00')
+                > 0.3 * (SELECT CAST(SUM(CAST(l2.l_quantity
+                              AS DECIMAL(28,4))) AS DOUBLE)
+                         FROM lineitem l2
+                         WHERE l2.l_partkey = ps.l_partkey
+                           AND l2.l_suppkey = ps.l_suppkey)
+      )
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog: the two-level correlated-aggregate semi-join — the
+    part/supplier availability pattern. A supplier qualifies when, for
+    some 'small%' part it supplies, its 1995 shipped quantity exceeds
+    30% of its all-time shipped quantity of that part (the testdata
+    has no partsupp.availqty; the windowed-share condition preserves
+    the correlated inner-aggregate-vs-outer-aggregate comparison).
+    The Spark plan collapses BOTH correlated aggregates into one
+    grouped pass over lineitem — a conditional decimal sum (1995 mask)
+    next to the total decimal sum, keyed by (part, supplier) — then a
+    broadcast part-name filter, then a semi-join into the
+    region-filtered supplier dim. The oracle runs the literal
+    twice-correlated EXISTS, proving the rewrite. At 100 TB: one fact
+    shuffle on (partkey, suppkey), dims broadcast — versus the
+    oracle's per-row re-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    in95 = (
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.coalesce(
+            F.sum(
+                F.when(in95, F.col("l_quantity"))
+                .otherwise(F.lit(None))
+                .cast("decimal(28,4)")
+            ),
+            F.lit(0).cast("decimal(28,4)"),
+        )
+        .cast("double")
+        .alias("qty_95"),
+        F.sum(F.col("l_quantity").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("qty_all"),
+    )
+    qualifying = (
+        per_ps.where(F.col("qty_95") > F.lit(0.3) * F.col("qty_all"))
+        .join(
+            F.broadcast(p.where(F.col("p_name").like("small%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(qualifying, s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
