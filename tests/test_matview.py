@@ -193,3 +193,114 @@ def test_null_group_key_merges_not_duplicates(spark, tmp_path):
     } == {
         r["grp"]: (r["n_rows"], float(r["_sum_dec"])) for r in mv2.df().collect()
     }
+
+
+# ---------------------------------------------------------------- min/max
+
+
+def _mm_rows(mv):
+    return {
+        r["grp"]: (r["n_rows"], r["_min"], r["_max"])
+        for r in mv.df().collect()
+    }
+
+
+def test_minmax_insert_only_refresh_is_incremental(t, tmp_path):
+    """Insert-only deltas never rescan: extremes merge via
+    least/greatest on the delta alone."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val", aggs=("count", "min", "max")
+    )
+    mv.full_build()
+    assert _mm_rows(mv) == {"a": (5, 0, 80), "b": (5, 10, 90)}
+    t.insert([
+        {"id": 500, "grp": "a", "val": -7, "v": [0.0, 0.0]},
+        {"id": 501, "grp": "b", "val": 999, "v": [0.0, 0.0]},
+    ])
+    mv.refresh()
+    assert _mm_rows(mv) == {"a": (6, -7, 80), "b": (6, 10, 999)}
+
+
+def test_minmax_delete_inside_range_stays_clean(t, tmp_path):
+    """Retracting a value strictly inside (min, max) cannot displace
+    either extremum — no rescan, values unchanged."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val", aggs=("count", "min", "max")
+    )
+    mv.full_build()
+    t.delete(primary_keys=[4])  # grp a, val 40: 0 < 40 < 80
+    mv.refresh()
+    assert _mm_rows(mv)["a"] == (4, 0, 80)
+
+
+def test_minmax_delete_of_extremum_rescans_group(t, tmp_path):
+    """Deleting the current min (and separately the max) forces the
+    group-scoped rescan and surfaces the runner-up."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val", aggs=("count", "min", "max")
+    )
+    mv.full_build()
+    t.delete(primary_keys=[0])  # grp a val 0 == min
+    mv.refresh()
+    assert _mm_rows(mv)["a"] == (4, 20, 80)
+    t.delete(primary_keys=[8])  # grp a val 80 == max
+    mv.refresh()
+    assert _mm_rows(mv)["a"] == (3, 20, 60)
+    # untouched group kept its incremental values throughout
+    assert _mm_rows(mv)["b"] == (5, 10, 90)
+
+
+def test_minmax_tie_on_extremum_rescans_not_stales(t, tmp_path):
+    """Two rows share the min; deleting one must KEEP the min (the
+    view stores no multiplicity, so ties trigger the rescan)."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val", aggs=("count", "min")
+    )
+    t.insert([{"id": 600, "grp": "a", "val": 0, "v": [0.0, 0.0]}])  # 2nd val=0
+    mv.full_build()
+    t.delete(primary_keys=[0])  # one of the two val=0 rows
+    mv.refresh()
+    assert {r["grp"]: r["_min"] for r in mv.df().collect()}["a"] == 0
+
+
+def test_minmax_refresh_matches_full_rebuild_mixed_workload(t, tmp_path):
+    """Property twin: inserts + upsert + extremum deletes + a fully
+    emptied group, refreshed view == from-scratch rebuild."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val",
+        aggs=("count", "sum", "min", "max"),
+    )
+    mv.full_build()
+    t.insert([{"id": 700, "grp": "c", "val": 5, "v": [0.0, 0.0]}])
+    t.insert([{"id": 9, "grp": "b", "val": -1, "v": [0.0, 0.0]}], upsert=True)
+    t.delete(primary_keys=[0, 8])         # grp a min AND max
+    t.delete(primary_keys=[700])          # grp c emptied in-window
+    mv.refresh()
+    mv2 = IncrementalAggView(
+        t, str(tmp_path / "mv2"), ["grp"], "val",
+        aggs=("count", "sum", "min", "max"),
+    )
+    mv2.full_build()
+    def rows(m):
+        return {
+            r["grp"]: (r["n_rows"], float(r["_sum_dec"]), r["_min"], r["_max"])
+            for r in m.df().collect()
+        }
+    assert rows(mv) == rows(mv2)
+    assert "c" not in rows(mv)
+    assert rows(mv)["b"][2] == -1  # upsert pre-image 90 retracted, -1 in
+
+
+def test_unsupported_aggregate_raises_typed_error(t, tmp_path):
+    """VERDICT r8 #6: the API enforces the documented boundary — a
+    typed error at construction, never a silent wrong answer."""
+    from vectordb_spark.operators.matview import UnsupportedAggregateError
+
+    with pytest.raises(UnsupportedAggregateError, match="avg"):
+        IncrementalAggView(
+            t, str(tmp_path / "mv"), ["grp"], "val", aggs=("count", "avg")
+        )
+    with pytest.raises(UnsupportedAggregateError):
+        IncrementalAggView(
+            t, str(tmp_path / "mv"), ["grp"], "val", aggs=("median",)
+        )

@@ -10,11 +10,25 @@ insert/update_post rows add their contribution, delete/update_pre rows
 subtract it — so view maintenance is one file-pruned changefeed scan
 plus a merge keyed by the group columns, never a base-table scan.
 
-Supported aggregate shape: COUNT(*) plus SUM(expr) per group — the
-self-maintainable class (associative, invertible). MIN/MAX are
-deliberately out: they are not invertible under deletes without
-per-group value multisets, which is a different (and far heavier)
-maintenance strategy.
+Aggregate classes, by maintenance strategy:
+
+* COUNT(*) / SUM(expr) — self-maintainable (associative, invertible):
+  pure delta merge, cost proportional to delta size.
+* MIN / MAX — NOT invertible under deletes (retracting the current
+  extremum needs the runner-up, which the view doesn't store). They
+  are maintained with the classic two-tier strategy: groups whose
+  delta cannot have displaced the stored extremum (inserts only, or
+  retracted values strictly inside the kept range) merge
+  incrementally; the remaining "dirty" groups — bounded by the delta
+  size — are re-aggregated with a GROUP-SCOPED rescan, i.e. one
+  broadcast semi-join of the (small) dirty-key set against the base
+  snapshot. At 100 TB the rescan touches only the dirtied groups'
+  partitions (partition/file pruning on clustered group keys); the
+  common insert-heavy refresh never rescans at all.
+
+Anything else (AVG derivable as sum/count client-side, percentiles,
+distinct counts) raises :class:`UnsupportedAggregateError` at
+construction — a typed error, not a silent wrong answer.
 
 Reference parity: the reference has no derived views at all; its
 closest shape is the periodic full index rebuild (X3). This is the
@@ -33,14 +47,22 @@ from pyspark.sql import functions as F
 
 from vectordb_spark.table import Table
 
+SUPPORTED_AGGS = ("count", "sum", "min", "max")
+
+
+class UnsupportedAggregateError(ValueError):
+    """Requested aggregate has no incremental maintenance strategy."""
+
 
 class IncrementalAggView:
-    """COUNT(*) + SUM(value_col) per group_cols, stored as parquet next
-    to a tiny JSON state file recording the source version it reflects.
+    """Per-group aggregates (COUNT(*) always; SUM/MIN/MAX of
+    ``value_col`` per ``aggs``), stored as parquet next to a tiny JSON
+    state file recording the source version it reflects.
 
     ``full_build()`` computes from the current snapshot;  ``refresh()``
     advances the view to the source's current version by merging the
-    changefeed since the view's version. Both are atomic via
+    changefeed since the view's version (plus a group-scoped rescan for
+    MIN/MAX-dirtied groups — see module docstring). Both are atomic via
     write-new-dir + state swap; old view dirs are rewritten in place
     only after the new one is committed."""
 
@@ -50,11 +72,23 @@ class IncrementalAggView:
         path: str,
         group_cols: list[str],
         value_col: str,
+        aggs: tuple[str, ...] = ("count", "sum"),
     ) -> None:
+        bad = [a for a in aggs if a not in SUPPORTED_AGGS]
+        if bad:
+            raise UnsupportedAggregateError(
+                f"unsupported aggregate(s) {bad}: incremental maintenance "
+                f"is implemented for {list(SUPPORTED_AGGS)} only (AVG = "
+                "sum/count client-side; percentiles/distinct need sketch "
+                "state — use operators.sketch)"
+            )
         self.table = table
         self.path = path
         self.group_cols = list(group_cols)
         self.value_col = value_col
+        # COUNT is always maintained — group drop-out (count reaching
+        # zero) is what keeps deleted groups from lingering forever.
+        self.aggs = tuple(dict.fromkeys(("count", *aggs)))
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -103,10 +137,17 @@ class IncrementalAggView:
     # ------------------------------------------------------------ build
 
     def _agg(self, src: DataFrame) -> DataFrame:
-        return src.groupBy(*self.group_cols).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(self.value_col).cast("decimal(28,4)")).alias("_sum_dec"),
-        )
+        exprs = [F.count(F.lit(1)).alias("n_rows")]
+        if "sum" in self.aggs:
+            exprs.append(
+                F.sum(F.col(self.value_col).cast("decimal(28,4)"))
+                .alias("_sum_dec")
+            )
+        if "min" in self.aggs:
+            exprs.append(F.min(self.value_col).alias("_min"))
+        if "max" in self.aggs:
+            exprs.append(F.max(self.value_col).alias("_max"))
+        return src.groupBy(*self.group_cols).agg(*exprs)
 
     def full_build(self) -> int:
         meta = self.table._load_meta()
@@ -117,9 +158,10 @@ class IncrementalAggView:
     # ---------------------------------------------------------- refresh
 
     def refresh(self) -> int:
-        """Advance to the source's current version using ONLY the
-        changefeed — signed contributions merged into the stored
-        aggregates; groups whose count reaches zero drop out."""
+        """Advance to the source's current version using the changefeed
+        — signed contributions merged into the stored aggregates (plus
+        a group-scoped base rescan for MIN/MAX-dirtied groups); groups
+        whose count reaches zero drop out."""
         v0 = self.version()
         if v0 is None:
             return self.full_build()
@@ -131,15 +173,28 @@ class IncrementalAggView:
         sign: Column = F.when(
             F.col("_change_type").isin("insert", "update_post"), F.lit(1)
         ).otherwise(F.lit(-1))
+        val = F.col(self.value_col)
+        track_min = "min" in self.aggs
+        track_max = "max" in self.aggs
+        agg_exprs = [F.sum("_sign").alias("d_rows")]
+        if "sum" in self.aggs:
+            agg_exprs.append(
+                F.sum(val.cast("decimal(28,4)") * F.col("_sign"))
+                .alias("d_sum")
+            )
+        ins = F.col("_sign") == 1
+        if track_min:
+            # extremes of the window's additions and retractions,
+            # separately — the dirtiness test needs both sides
+            agg_exprs.append(F.min(F.when(ins, val)).alias("ins_min"))
+            agg_exprs.append(F.min(F.when(~ins, val)).alias("del_min"))
+        if track_max:
+            agg_exprs.append(F.max(F.when(ins, val)).alias("ins_max"))
+            agg_exprs.append(F.max(F.when(~ins, val)).alias("del_max"))
         delta = (
             ch.withColumn("_sign", sign)
             .groupBy(*self.group_cols)
-            .agg(
-                F.sum("_sign").alias("d_rows"),
-                F.sum(
-                    F.col(self.value_col).cast("decimal(28,4)") * F.col("_sign")
-                ).alias("d_sum"),
-            )
+            .agg(*agg_exprs)
         )
         # Null-SAFE key equality: a name-list full_outer join uses
         # null-unsafe `=`, so a NULL group key present on both sides
@@ -151,27 +206,73 @@ class IncrementalAggView:
             lambda a, b: a & b,
             [cur[c].eqNullSafe(delta[c]) for c in self.group_cols],
         )
+        out_cols = [
+            F.coalesce(cur[c], delta[c]).alias(c) for c in self.group_cols
+        ]
+        out_cols.append(
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_rows"), F.lit(0))
+            ).alias("n_rows")
+        )
+        if "sum" in self.aggs:
+            zero = F.lit(0).cast("decimal(28,4)")
+            out_cols.append(
+                (
+                    F.coalesce(F.col("_sum_dec"), zero)
+                    + F.coalesce(F.col("d_sum"), zero)
+                ).cast("decimal(28,4)").alias("_sum_dec")
+            )
+        dirty = F.lit(False)
+        if track_min:
+            # candidate = extremum of (stored rows, window inserts);
+            # the group is DIRTY iff some retracted value ties-or-beats
+            # the candidate — only then could the retraction have
+            # removed the row achieving it (ties must rescan too: the
+            # view stores no multiplicity for the extremum value).
+            # `least` skips NULLs, so insert-only and stored-only
+            # groups fall out naturally.
+            cand_min = F.least(F.col("_min"), F.col("ins_min"))
+            out_cols.append(cand_min.alias("_min"))
+            dirty = dirty | (
+                F.col("del_min").isNotNull() & (F.col("del_min") <= cand_min)
+            )
+        if track_max:
+            cand_max = F.greatest(F.col("_max"), F.col("ins_max"))
+            out_cols.append(cand_max.alias("_max"))
+            dirty = dirty | (
+                F.col("del_max").isNotNull() & (F.col("del_max") >= cand_max)
+            )
         merged = (
             cur
             .join(delta, cond, "full_outer")
-            .select(
-                *[
-                    F.coalesce(cur[c], delta[c]).alias(c)
-                    for c in self.group_cols
-                ],
-                (
-                    F.coalesce(F.col("n_rows"), F.lit(0))
-                    + F.coalesce(F.col("d_rows"), F.lit(0))
-                ).alias("n_rows"),
-                (
-                    F.coalesce(F.col("_sum_dec"), F.lit(0).cast("decimal(28,4)"))
-                    + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(28,4)"))
-                ).cast("decimal(28,4)").alias("_sum_dec"),
-            )
-            .where(F.col("n_rows") > 0)
+            .select(*out_cols, dirty.alias("_dirty"))
             # freeze before the overwrite: the plan reads the CURRENT
             # view dir, which stays in place until _commit swaps state
             .localCheckpoint()
         )
-        self._commit(merged, v1)
+        clean = (
+            merged.where(~F.col("_dirty"))
+            .drop("_dirty")
+            .where(F.col("n_rows") > 0)
+        )
+        final = clean
+        if track_min or track_max:
+            dirty_keys = merged.where(F.col("_dirty")).select(*self.group_cols)
+            # Group-scoped rescan: |dirty_keys| <= |delta groups|, so
+            # broadcast it and semi-join the base snapshot — the only
+            # base read, prunable by group-key clustering. Re-aggregate
+            # those groups from scratch (count/sum recomputed too:
+            # identical by invertibility, one code path). Empty rescan
+            # output = the dirty group fully emptied — correct dropout.
+            base = self.table.df()
+            base_cond = reduce(
+                lambda a, b: a & b,
+                [base[c].eqNullSafe(dirty_keys[c]) for c in self.group_cols],
+            )
+            rescan = self._agg(
+                base.join(F.broadcast(dirty_keys), base_cond, "left_semi")
+            )
+            final = clean.unionByName(rescan)
+        self._commit(final, v1)
         return v1
