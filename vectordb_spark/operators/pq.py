@@ -411,14 +411,21 @@ def residual_expr(vec_col: str, centroids: list[list[float]]) -> str:
     tied at the minimum ADC distance, recall@10 = 0 at refine=64).
     Encoding (vec - centroid) re-centers every cluster at the origin,
     so the grid + codebook spend their entire resolution on the
-    within-cluster geometry that ranking actually needs."""
+    within-cluster geometry that ranking actually needs.
+
+    Arithmetic is DOUBLE (float32 input promoted exactly, one IEEE
+    subtraction): the residual is a transient expression feeding the
+    integer grid, so a float32 round-trip would buy nothing and cost
+    bit-replayability — the DuckDB twin in queries/ann.py computes the
+    same promote-subtract, which is what lets the trained-IVFPQ gate
+    hash-match stored codes across engines."""
     cents = "array(" + ", ".join(
-        "array(" + ", ".join(f"CAST({float(v)!r} AS FLOAT)" for v in c) + ")"
+        "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c) + ")"
         for c in centroids
     ) + ")"
     return (
         f"zip_with({vec_col}, element_at({cents}, CAST(_cluster AS INT) + 1), "
-        "(x, c) -> CAST(x - c AS FLOAT))"
+        "(x, c) -> CAST(x AS DOUBLE) - c)"
     )
 
 
@@ -450,6 +457,106 @@ class ResidualPQIndex(PQIndex):
             "_res", F.expr(residual_expr(vec_col, ivf.centroids))
         )
         super().fit(res, "_res", id_col=id_col)
+        return self
+
+    def fit_residual_lloyd(
+        self, ivf, indexed, vec_col: str, *, rounds: int = 2,
+        id_col: str = "_row_id",
+    ) -> "ResidualPQIndex":
+        """Oracle-replayable trained fine quantizer — the PQ twin of
+        ``IVFIndex.build_lloyd``. Seeds are the residual-grid
+        subvectors of the ``k`` smallest ``id_col`` rows; each round
+        assigns every subvector to the argmin of the exact integer L2
+        (first-occurrence tie-break, the same rule :func:`encode_expr`
+        serves with) and recomputes per-codeword per-dimension means
+        rounded half-up back onto the integer grid; codewords that
+        lose all members keep their previous centroid. Everything
+        after the one double-precision residual subtraction is 64-bit
+        integer arithmetic, so DuckDB replays the whole trainer
+        bit-exactly (queries/ann.py table_ivfpq_trained_search).
+
+        Cost profile per round: one corpus scan fanning each row into
+        M subvectors (a Column-level explode, no Python), M·K literal
+        distance folds inside codegen, and one (M·K·sub)-sized shuffle
+        for the means — the same shape as the coarse trainer, scaled
+        by M. The collected codebook is M·K·sub ints of driver state.
+        The numpy sample trainer (``fit_residual``) remains the
+        quality-first default; this trainer exists so the TRAINED
+        IVF_PQ lifecycle is driver-checkable end-to-end."""
+        from pyspark.sql import functions as F
+
+        assert ivf.centroids is not None, "IVFIndex.build() first"
+        self.coarse_centroids = ivf.centroids
+        dim = len(ivf.centroids[0])
+        assert dim % self.m == 0, f"m={self.m} must divide dim={dim}"
+        sub = dim // self.m
+        grid_s, _ = grid_exprs("_res")
+        g = (
+            indexed.withColumn(
+                "_res", F.expr(residual_expr(vec_col, ivf.centroids))
+            )
+            .select(id_col, F.expr(grid_s).alias("_g"))
+        )
+        seed_rows = g.orderBy(id_col).limit(self.k).collect()
+        assert len(seed_rows) == self.k, (
+            f"need >= {self.k} rows to seed {self.k} codewords"
+        )
+        cb: list[list[list[int]]] = [
+            [
+                [int(v) for v in r["_g"][mi * sub : (mi + 1) * sub]]
+                for r in seed_rows
+            ]
+            for mi in range(self.m)
+        ]
+        subs = F.array(
+            *[F.slice("_g", mi * sub + 1, sub) for mi in range(self.m)]
+        )
+        ex_base = g.select(F.posexplode(subs).alias("_mi", "_sv"))
+        for _ in range(rounds):
+            # one CASE per subspace: k literal int-L2 folds + argmin
+            assign_sql = "CASE _mi " + " ".join(
+                "WHEN {} THEN CAST({} AS INT)".format(
+                    mi,
+                    (lambda s_cb: (
+                        f"array_position(transform({s_cb}, "
+                        f"c -> {_spark_int_l2('c', '_sv')}), "
+                        f"array_min(transform({s_cb}, "
+                        f"c -> {_spark_int_l2('c', '_sv')})))"
+                    ))(
+                        "array("
+                        + ", ".join(_spark_arr(c) for c in cb[mi])
+                        + ")"
+                    ),
+                )
+                for mi in range(self.m)
+            ) + " END"
+            rows = (
+                ex_base.withColumn("_code", F.expr(assign_sql))
+                .select("_mi", "_code", F.posexplode("_sv").alias("_pos", "_val"))
+                .groupBy("_mi", "_code", "_pos")
+                .agg(
+                    F.floor(
+                        F.sum("_val").cast("double") / F.count(F.lit(1))
+                        + F.lit(0.5)
+                    ).cast("bigint").alias("_c")
+                )
+                .collect()
+            )
+            means: dict[tuple[int, int], dict[int, int]] = {}
+            for r in rows:
+                means.setdefault(
+                    (int(r["_mi"]), int(r["_code"]) - 1), {}
+                )[int(r["_pos"])] = int(r["_c"])
+            cb = [
+                [
+                    [means[(mi, ki)][p] for p in range(sub)]
+                    if (mi, ki) in means
+                    else cb[mi][ki]
+                    for ki in range(self.k)
+                ]
+                for mi in range(self.m)
+            ]
+        self.codebook = cb
         return self
 
     def codes_residual(self, indexed, vec_col: str, *, out_col: str = "_pq_codes"):

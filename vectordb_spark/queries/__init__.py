@@ -394,6 +394,8 @@ WINDOW_VETTED: frozenset[str] = frozenset(
             "tpch_q9_product_type_profit",
             "tpch_q20_excess_share_suppliers",
         ),
+        # r9 additions (round-10 queue), dual-SF selfcheck-green
+        "table_ivfpq_trained_search",
     }
 )
 

@@ -767,3 +767,245 @@ def table_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------- trained residual IVFPQ lifecycle
+#
+# VERDICT r8 #4: the same lifecycle certification as
+# table_ivf_trained_search, at the reference's real serving shape —
+# BOTH quantizer tiers trained (seeded-Lloyd coarse cells AND
+# seeded-Lloyd per-subspace residual codebooks), both persisted in the
+# manifest, served by ADC over the STORED codes through a fresh Table.
+# The oracle replays from raw parquet: coarse Lloyd rounds, the final
+# assignment, the double-precision residual, the integer grid, the
+# per-subspace Lloyd rounds, the stored-code assignment, the probe-set
+# choice, the per-cell residual-query ADC, the global refine cut, and
+# the exact re-rank — one hash match certifies trainer + manifest
+# round-trip + serving for the full IVF_PQ composite.
+
+_PQT_M = 8          # subspaces chosen by rebuild's dim%m rule at dim=64
+_PQT_KC = 16        # ResidualPQIndex default k (codewords per subspace)
+_PQT_REFINE = 64    # search_indexed_df: max(4*limit, 64) at limit=10
+
+
+def _pq_lloyd_round_sql(prev: str, out: str, n: int) -> str:
+    """One per-subspace Lloyd round as CTE text, integer domain:
+    assign each residual-grid subvector to the argmin of the exact
+    int L2 (ties to the lowest codeword id) + half-up integer means +
+    empty-codeword carry-forward — the DuckDB twin of
+    ResidualPQIndex.fit_residual_lloyd's round."""
+    from vectordb_spark.operators import pq as PQ
+
+    d = PQ._duck_int_l2("v.sv", "s.cent")
+    return f"""
+pa{n} AS (
+    SELECT mi, code, sv FROM (
+        SELECT v.mi, s.code, v.sv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.mi ORDER BY {d}, s.code
+               ) AS rn
+        FROM sv v JOIN {prev} s ON s.mi = v.mi
+    ) WHERE rn = 1
+),
+pm{n} AS (
+    SELECT mi, code, t.pos - 1 AS pos,
+           (floor(CAST(SUM(sv[t.pos]) AS DOUBLE) / COUNT(*) + 0.5))::BIGINT
+               AS cval
+    FROM pa{n}, unnest(generate_series(1, len(sv))) AS t(pos)
+    GROUP BY mi, code, pos
+),
+{out} AS (
+    SELECT s.mi, s.code, COALESCE(g.cent, s.cent) AS cent
+    FROM {prev} s LEFT JOIN (
+        SELECT mi, code, list(cval ORDER BY pos) AS cent
+        FROM pm{n} GROUP BY mi, code
+    ) g ON g.mi = s.mi AND g.code = s.code
+)"""
+
+
+def _trained_ivfpq_oracle() -> str:
+    from vectordb_spark.operators import pq as PQ
+
+    coarse = "".join(
+        "," + _lloyd_round_sql(f"c{i}", f"c{i + 1}", i + 1)
+        for i in range(_TRN_ROUNDS)
+    )
+    cf = f"c{_TRN_ROUNDS}"
+    pq_rounds = "".join(
+        "," + _pq_lloyd_round_sql(f"p{i}", f"p{i + 1}", i + 1)
+        for i in range(_TRN_ROUNDS)
+    )
+    pf = f"p{_TRN_ROUNDS}"
+    sub = 64 // _PQT_M
+    d_assign = O.duck_l2_sq("e.embedding", "s.cent")
+    d_probe = O.duck_l2_sq("q.qv", "s.cent")
+    d_code = PQ._duck_int_l2("v.sv", "s.cent")
+    # residual grid: one exact double promote-subtract, then the
+    # fixed integer grid (floor half-up at QMUL=200)
+    res_grid = (
+        "list_transform(list_zip({v}, s.cent), "
+        "p -> (floor((CAST(p[1] AS DOUBLE) - p[2]) * 200.0 + 0.5))::BIGINT)"
+    )
+    adc_term = PQ._duck_int_l2(
+        f"list_slice(qr.qg, f.mi * {sub} + 1, f.mi * {sub} + {sub})",
+        "cw.cent",
+    )
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, label, embedding FROM embeddings
+),
+c0 AS (
+    SELECT vec_id AS cluster, list_transform(embedding,
+               x -> CAST(x AS DOUBLE)) AS cent
+    FROM corpus WHERE vec_id < {_TRN_K}
+){coarse},
+q AS (SELECT embedding AS qv FROM corpus WHERE vec_id = 0),
+probes AS (
+    SELECT cluster FROM (
+        SELECT s.cluster, {d_probe} AS d FROM {cf} s CROSS JOIN q
+    ) ORDER BY d, cluster LIMIT {_TRN_NPROBE}
+),
+asg AS (
+    SELECT vec_id, label, embedding, cluster FROM (
+        SELECT e.vec_id, e.label, e.embedding, s.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id ORDER BY {d_assign}, s.cluster
+               ) AS rn
+        FROM corpus e CROSS JOIN {cf} s
+    ) WHERE rn = 1
+),
+res AS (
+    SELECT a.vec_id, a.label, a.embedding, a.cluster,
+           {res_grid.format(v="a.embedding")} AS g
+    FROM asg a JOIN {cf} s ON s.cluster = a.cluster
+),
+sv AS (
+    SELECT vec_id, t.mi,
+           list_slice(g, t.mi * {sub} + 1, t.mi * {sub} + {sub}) AS sv
+    FROM res, (SELECT UNNEST(range(0, {_PQT_M})) AS mi) t
+),
+p0 AS (
+    SELECT mi, vec_id AS code, sv AS cent FROM sv WHERE vec_id < {_PQT_KC}
+){pq_rounds},
+fcode AS (
+    SELECT vec_id, mi, code FROM (
+        SELECT v.vec_id, v.mi, s.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.mi ORDER BY {d_code}, s.code
+               ) AS rn
+        FROM sv v JOIN {pf} s ON s.mi = v.mi
+    ) WHERE rn = 1
+),
+qres AS (
+    SELECT s.cluster AS cell, {res_grid.format(v="q.qv")} AS qg
+    FROM {cf} s CROSS JOIN q
+    WHERE s.cluster IN (SELECT cluster FROM probes)
+),
+adc AS (
+    SELECT r.vec_id, SUM({adc_term}) AS adc_d
+    FROM res r
+    JOIN qres qr ON qr.cell = r.cluster
+    JOIN fcode f ON f.vec_id = r.vec_id
+    JOIN {pf} cw ON cw.mi = f.mi AND cw.code = f.code
+    GROUP BY r.vec_id
+),
+refined AS (
+    SELECT r.vec_id, r.label, r.embedding, r.cluster
+    FROM adc a JOIN res r ON r.vec_id = a.vec_id
+    ORDER BY a.adc_d, a.vec_id
+    LIMIT {_PQT_REFINE}
+)
+SELECT vec_id, label, cluster,
+       {O.duck_l2_sq("refined.embedding", "q.qv")} AS distance
+FROM refined CROSS JOIN q
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("table_ivfpq_trained_search", oracle=_trained_ivfpq_oracle())
+def table_ivfpq_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED residual-IVFPQ lifecycle through the engine table: bulk
+    insert → `rebuild(index_type="IVF_PQ", train="lloyd")` (seeded-
+    Lloyd coarse cells, then seeded-Lloyd per-subspace codebooks over
+    the DOUBLE-precision residuals on the integer grid) → centroids AND
+    codebooks persisted in the manifest → a FRESH Table re-reads them →
+    probe-pruned ADC over the STORED 4-byte codes → exact re-rank.
+    The oracle never sees the table format: it replays both trainers,
+    the stored-code assignment, the probe-set choice, the per-cell
+    residual-query ADC, the global refine cut (max(4k, 64)), and the
+    exact search from raw parquet — one hash match certifies trainer +
+    manifest round-trip + serving for the full composite, extending
+    table_ivf_trained_search to the reference's real billion-scale
+    serving shape (X1-X3, table_mvp.cpp:94-203; the reference's own
+    pre/post-rebuild agreement test db_server.cpp:1596-1612).
+
+    100 TB shape: training per round = one corpus scan with k (coarse)
+    or M·K (fine) broadcast-literal integer folds + one small shuffle;
+    serving = partition pruning on `_cluster`, ADC reads 4 B/row codes,
+    floats touched only for the 64 re-rank candidates."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vectordb_spark.queries.vector import _query_vector
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    schema = TableSchema(
+        name="trained_ivfpq_emb",
+        fields=[
+            FieldSchema(name="vec_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="label", field_type=FieldType.STRING),
+            FieldSchema(
+                name="embedding",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=len(qv),
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = _tempfile.mkdtemp(prefix="vdb_trained_ivfpq_")
+    try:
+        import os as _os
+
+        t = Table(spark, schema, _os.path.join(work, "trained_ivfpq_emb"))
+        t._init_storage()
+        # single ordered partition → _row_id == vec_id: trainer seeds
+        # (k smallest _row_id) are exactly the oracle's vec_id < k rows
+        t.insert_df(emb.orderBy("vec_id").coalesce(1))
+        t.rebuild(
+            "embedding", index_type="IVF_PQ", k=_TRN_K, train="lloyd",
+            rounds=_TRN_ROUNDS,
+        )
+        t2 = Table(spark, schema, _os.path.join(work, "trained_ivfpq_emb"))
+        info = t2._load_meta()["indexes"]["embedding"]
+        assert info["train"] == "lloyd" and info["type"] == "IVF_PQ"
+        assert info["pq_residual"] and len(info["pq_codebook"]) == _PQT_M
+        assert all(len(cb) == _PQT_KC for cb in info["pq_codebook"])
+        res = t2.search_indexed_df(qv, limit=10, nprobe=_TRN_NPROBE)
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        dists = F.array(
+            *[
+                l2_squared(F.col("embedding"), vector_literal(c))
+                for c in info["centroids"]
+            ]
+        )
+        out = (
+            res.withColumn(
+                "cluster",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"),
+            )
+            .select(
+                "vec_id",
+                "label",
+                "cluster",
+                F.col("_distance").alias("distance"),
+            )
+            .localCheckpoint()  # materialize before the warehouse dies
+        )
+        return out
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -1506,9 +1506,18 @@ class Table:
             # M must divide the dimension (each subspace = dim/M
             # contiguous components); largest of 8/4/2/1 that does
             m_sub = next(m for m in (8, 4, 2, 1) if (f.dimension or 0) % m == 0)
-            pqi = ResidualPQIndex(m=m_sub, seed=seed).fit_residual(
-                idx, assigned, field, id_col="_row_id"
-            )
+            pqi = ResidualPQIndex(m=m_sub, seed=seed)
+            if train == "lloyd":
+                # the bit-replayable trainer for BOTH tiers: coarse
+                # cells came from build_lloyd above, the fine codebook
+                # now trains on the same seeded-Lloyd discipline — a
+                # SQL oracle can audit the full trained IVF_PQ
+                # lifecycle (queries/ann.py table_ivfpq_trained_search)
+                pqi.fit_residual_lloyd(
+                    idx, assigned, field, rounds=rounds, id_col="_row_id"
+                )
+            else:
+                pqi.fit_residual(idx, assigned, field, id_col="_row_id")
             pq_codebook = pqi.codebook
             assigned = pqi.codes_residual(assigned, field).select(
                 "_row_id", "_pq_codes", "_cluster"
