@@ -396,6 +396,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         ),
         # r9 additions (round-10 queue), dual-SF selfcheck-green
         "table_ivfpq_trained_search",
+        "knn_metric_ordering_parity",
     }
 )
 
