@@ -127,6 +127,11 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "tpch_q20_excess_share_suppliers",
+    # round-9 additions: SERVING cost of the two new lifecycle gates
+    # (their builds are memoized and reported under "lifecycle" — see
+    # the compact line's lifecycle_value)
+    "table_ivfpq_trained_search",
+    "knn_metric_ordering_parity",
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
     # the correctness gate carries them every round. cdc_changefeed_diff
@@ -177,6 +182,21 @@ def _ann_gist_shape(spark, sf_dir):
 
 _LIFECYCLE: dict = {}
 
+# Build-phase wall clock per memoized lifecycle gate (VERDICT r8 #8):
+# builds are one-time batch jobs, so mixing them into the headline
+# total made round-over-round totals incomparable whenever a gate
+# landed. They are timed ONCE at memoization and reported separately
+# ("lifecycle_value" on the compact line, "lifecycle" map in detail);
+# the headline entries time the SERVING operation only.
+_BUILD_TIMES: dict[str, float] = {}
+
+
+def _timed_build(key: str, fn):
+    t0 = time.time()
+    out = fn()
+    _BUILD_TIMES[key] = round(time.time() - t0, 4)
+    return out
+
 
 def _mkworkdir(prefix: str) -> str:
     """mkdtemp that cleans up at process exit — memoized lifecycle
@@ -205,7 +225,10 @@ def _sparse_index_knn_search(spark, sf_dir):
 
     if "sparse" not in _LIFECYCLE:
         work = _mkworkdir("vdb_bench_sparse_")
-        _LIFECYCLE["sparse"] = build_sparse_gate_table(spark, sf_dir, work)
+        _LIFECYCLE["sparse"] = _timed_build(
+            "sparse_index_build",
+            lambda: build_sparse_gate_table(spark, sf_dir, work),
+        )
     t, qv = _LIFECYCLE["sparse"]
     return t.search_sparse_indexed_df(qv, limit=10).select(
         "doc_id", F.col("_distance").alias("distance")
@@ -224,7 +247,10 @@ def _cdc_changefeed_diff(spark, sf_dir):
 
     if "cdc" not in _LIFECYCLE:
         work = _mkworkdir("vdb_bench_cdc_")
-        _LIFECYCLE["cdc"] = build_cdc_gate_table(spark, sf_dir, work)
+        _LIFECYCLE["cdc"] = _timed_build(
+            "cdc_mutation_lifecycle",
+            lambda: build_cdc_gate_table(spark, sf_dir, work),
+        )
     t, v1 = _LIFECYCLE["cdc"]
     return t.changes(v1).select(
         "doc_id",
@@ -267,16 +293,148 @@ def _table_ivf_trained_search(spark, sf_dir):
             ],
         )
         work = _mkworkdir("vdb_bench_trained_ivf_")
-        t = Table(spark, schema, _os.path.join(work, "trained_ivf_emb"))
-        t._init_storage()
-        t.insert_df(emb.orderBy("vec_id").coalesce(1))
-        t.rebuild("embedding", index_type="IVF", k=8, train="lloyd", rounds=2)
-        t2 = Table(spark, schema, _os.path.join(work, "trained_ivf_emb"))
-        _LIFECYCLE["trained_ivf"] = (t2, qv)
+
+        def _build():
+            t = Table(spark, schema, _os.path.join(work, "trained_ivf_emb"))
+            t._init_storage()
+            t.insert_df(emb.orderBy("vec_id").coalesce(1))
+            t.rebuild(
+                "embedding", index_type="IVF", k=8, train="lloyd", rounds=2
+            )
+            return Table(spark, schema, _os.path.join(work, "trained_ivf_emb"))
+
+        _LIFECYCLE["trained_ivf"] = (
+            _timed_build("trained_ivf_rebuild", _build), qv,
+        )
     t2, qv = _LIFECYCLE["trained_ivf"]
     return t2.search_indexed_df(qv, limit=10, nprobe=3).select(
         "vec_id", "label", F.col("_distance").alias("distance")
     )
+
+
+def _table_ivfpq_trained_search(spark, sf_dir):
+    """Bench variant of the trained-IVFPQ gate: the lifecycle (bulk
+    insert -> dual-tier Lloyd rebuild -> manifest persist) is memoized;
+    the recorded time is the stored-code ADC probe search itself."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.queries.core import load_table
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    if "trained_ivfpq" not in _LIFECYCLE:
+        from vectordb_spark.queries.vector import _query_vector
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = _query_vector(spark, sf_dir)
+        schema = TableSchema(
+            name="trained_ivfpq_emb",
+            fields=[
+                FieldSchema(
+                    name="vec_id", field_type=FieldType.INT8, primary_key=True
+                ),
+                FieldSchema(name="label", field_type=FieldType.STRING),
+                FieldSchema(
+                    name="embedding",
+                    field_type=FieldType.VECTOR_FLOAT,
+                    dimension=len(qv),
+                    metric="EUCLIDEAN",
+                ),
+            ],
+        )
+        work = _mkworkdir("vdb_bench_trained_ivfpq_")
+
+        def _build():
+            t = Table(spark, schema, _os.path.join(work, "trained_ivfpq_emb"))
+            t._init_storage()
+            t.insert_df(emb.orderBy("vec_id").coalesce(1))
+            t.rebuild(
+                "embedding", index_type="IVF_PQ", k=8, train="lloyd",
+                rounds=2,
+            )
+            return Table(
+                spark, schema, _os.path.join(work, "trained_ivfpq_emb")
+            )
+
+        _LIFECYCLE["trained_ivfpq"] = (
+            _timed_build("trained_ivfpq_rebuild", _build), qv,
+        )
+    t2, qv = _LIFECYCLE["trained_ivfpq"]
+    return t2.search_indexed_df(qv, limit=10, nprobe=3).select(
+        "vec_id", "label", F.col("_distance").alias("distance")
+    )
+
+
+def _knn_metric_ordering_parity(spark, sf_dir):
+    """Bench variant of the city-fixture parity gate: the table build +
+    three per-metric rebuilds are memoized; the recorded time is the
+    three INDEX-path searches (the serving cost the gate certifies)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.queries.vector import (
+        _CITY_METRICS,
+        _CITY_Q,
+        _CITY_ROWS,
+    )
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    vec_field = {
+        "EUCLIDEAN": "emb_euclidean",
+        "COSINE": "emb_cosine",
+        "DOT_PRODUCT": "emb_dot",
+    }
+    if "city_parity" not in _LIFECYCLE:
+        fields = [
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="doc", field_type=FieldType.STRING),
+            *[
+                FieldSchema(
+                    name=f, field_type=FieldType.VECTOR_FLOAT,
+                    dimension=4, metric=m,
+                )
+                for m, f in vec_field.items()
+            ],
+        ]
+        work = _mkworkdir("vdb_bench_city_parity_")
+
+        def _build():
+            t = Table(
+                spark, TableSchema(name="cities_dense", fields=fields),
+                _os.path.join(work, "cities_dense"),
+            )
+            t._init_storage()
+            t.insert(
+                [
+                    {"id": i, "doc": d, **{f: list(v) for f in vec_field.values()}}
+                    for i, d, v in _CITY_ROWS
+                ]
+            )
+            for f in vec_field.values():
+                t.rebuild(f, index_type="IVF", k=2, train="lloyd", rounds=1)
+            return Table(
+                spark, TableSchema(name="cities_dense", fields=fields),
+                _os.path.join(work, "cities_dense"),
+            )
+
+        _LIFECYCLE["city_parity"] = _timed_build(
+            "city_parity_rebuilds", _build
+        )
+    t2 = _LIFECYCLE["city_parity"]
+    from functools import reduce
+
+    outs = [
+        t2.search_indexed_df(
+            _CITY_Q, query_field=vec_field[m], limit=6, nprobe=2
+        )
+        .select(F.lit(m).alias("metric"), "id", "doc")
+        for m in _CITY_METRICS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), outs)
 
 
 def _run_once(qs, name: str, spark, sf_dir: str) -> float:
@@ -308,6 +466,8 @@ def main() -> None:
     qs["sparse_index_knn_search"] = _sparse_index_knn_search
     qs["cdc_changefeed_diff"] = _cdc_changefeed_diff
     qs["table_ivf_trained_search"] = _table_ivf_trained_search
+    qs["table_ivfpq_trained_search"] = _table_ivfpq_trained_search
+    qs["knn_metric_ordering_parity"] = _knn_metric_ordering_parity
     names = [n for n in HEADLINE if n in qs]
 
     # Warm up the JVM + parquet footers once; not counted.
@@ -352,6 +512,7 @@ def main() -> None:
             _sample(name)
     timings = {n: round(t, 4) for n, t in timings.items()}
     total = round(sum(timings.values()), 4)
+    lifecycle_total = round(sum(_BUILD_TIMES.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
@@ -360,6 +521,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "n_queries": len(timings),
+        # one-time build jobs behind the memoized gates, timed once at
+        # memoization — kept OUT of the headline total so plan-cost
+        # totals stay comparable round-over-round (VERDICT r8 #8)
+        "lifecycle": dict(sorted(_BUILD_TIMES.items())),
+        "lifecycle_value": lifecycle_total,
         "sf": float(sf) if sf else sf_dir,
     }
     if errors:
@@ -386,6 +552,8 @@ def main() -> None:
         "sf": float(sf) if sf else sf_dir,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "lifecycle_value": lifecycle_total,
+        "n_lifecycle": len(_BUILD_TIMES),
         "queries": slowest,
         "detail": "BENCH_DETAIL.json",
     }
