@@ -274,6 +274,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     through the INDEX path vs the exact-path oracle on one fixture
 #     table — the reference's own pre/post-rebuild agreement test
 #     (db_server.cpp:1596-1612) as a driver row (VERDICT r8 #5).
+#   mv_minmax_refresh — MIN/MAX view maintenance (the non-invertible
+#     aggregate class, VERDICT r8 #6): changefeed lifecycle with
+#     group-scoped rescan for dirtied extrema vs a from-scratch
+#     recompute oracle.
 # Eviction candidates (oldest multi-round greens with in-window
 # siblings): dedup_keep_best, media_wav_rms_features,
 # dedup_incremental_newdocs, sparse_knn_l2 after another green round.
@@ -397,6 +401,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         # r9 additions (round-10 queue), dual-SF selfcheck-green
         "table_ivfpq_trained_search",
         "knn_metric_ordering_parity",
+        "mv_minmax_refresh",
     }
 )
 

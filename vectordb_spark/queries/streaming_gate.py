@@ -775,3 +775,70 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_MV_MINMAX_ORACLE = """
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3),
+final AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM upds)
+                THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dels)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       MIN(n_chars)::BIGINT AS min_chars,
+       MAX(n_chars)::BIGINT AS max_chars
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
+@query("mv_minmax_refresh", oracle=_MV_MINMAX_ORACLE)
+def mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance — the NON-invertible
+    aggregate class (round 9): the same changefeed lifecycle as
+    mv_incremental_refresh (bulk append, 3 deletes, 3 upserts with
+    pre-image retractions), but the view tracks per-language MIN and
+    MAX of n_chars, which cannot be maintained by delta subtraction.
+    IncrementalAggView routes groups whose retractions tie-or-beat the
+    stored extremum through a GROUP-SCOPED rescan (one broadcast
+    semi-join against the base snapshot, bounded by the delta's group
+    count) and merges everything else incrementally via least/greatest.
+    The oracle recomputes from raw parquet + the same mutation plan, so
+    equality proves the dirtiness test and the rescan reproduce the
+    from-scratch extrema; both maintenance paths (clean merge, dirty
+    rescan incl. ties) are pinned individually in tests/test_matview.py.
+    100 TB shape: insert-only refreshes stay delta-proportional; a
+    delete hitting an extremum adds one semi-join prunable to the
+    dirtied groups' partitions — never an unconditional base rescan."""
+    from vectordb_spark.operators.matview import IncrementalAggView
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_mm_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    mv = IncrementalAggView(
+        t, os.path.join(work, "mv"), ["lang"], "n_chars",
+        aggs=("count", "min", "max"),
+    )
+    mv._commit(mv._agg(t.df(version=v1)), v1)
+    mv.refresh()
+    out = (
+        mv.df()
+        .select(
+            "lang",
+            F.col("n_rows").alias("n_docs"),
+            F.col("_min").cast("long").alias("min_chars"),
+            F.col("_max").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
