@@ -132,6 +132,10 @@ HEADLINE = [
     # the compact line's lifecycle_value)
     "table_ivfpq_trained_search",
     "knn_metric_ordering_parity",
+    # round-9: the last three TPC-H shapes (22/22 analogs complete)
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_part_supplier_counts",
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
     # the correctness gate carries them every round. cdc_changefeed_diff

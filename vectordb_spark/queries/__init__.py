@@ -278,6 +278,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     aggregate class, VERDICT r8 #6): changefeed lifecycle with
 #     group-scoped rescan for dirtied extrema vs a from-scratch
 #     recompute oracle.
+#   tpch_q11_important_stock / q12_shipmode_priority /
+#   q16_part_supplier_counts — the last three classic TPC-H shapes
+#     (global-total HAVING, conditional pivot over a join residual,
+#     NOT-IN-excluded distinct counts), completing the full 22-query
+#     battery of analogs.
 # Eviction candidates (oldest multi-round greens with in-window
 # siblings): dedup_keep_best, media_wav_rms_features,
 # dedup_incremental_newdocs, sparse_knn_l2 after another green round.
@@ -402,6 +407,9 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "table_ivfpq_trained_search",
         "knn_metric_ordering_parity",
         "mv_minmax_refresh",
+        "tpch_q11_important_stock",
+        "tpch_q12_shipmode_priority",
+        "tpch_q16_part_supplier_counts",
     }
 )
 

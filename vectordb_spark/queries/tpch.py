@@ -1198,3 +1198,165 @@ def tpch_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH good_supp AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal > 3000
+    ),
+    v AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                   AS value_micro
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM good_supp)
+        GROUP BY l_partkey
+    )
+    SELECT p_partkey, value_micro
+    FROM v
+    WHERE value_micro > (SELECT SUM(value_micro) FROM v) * 0.0008
+    ORDER BY value_micro DESC, p_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog: important-stock identification — a grouped value
+    rollup HAVING-filtered against an uncorrelated scalar subquery
+    (value > fraction of the GLOBAL total). The testdata has no
+    partsupp, so the supply-value relation derives from lineitem
+    restricted to well-capitalized suppliers (the nation filter's
+    stand-in — supplier is 10 rows/SF-unit, broadcast either way).
+    Scale shape: ONE partkey-hash shuffle builds the per-part values;
+    the global total is an aggregate OF THE GROUP RESULT (|parts|
+    rows, not the fact table) collapsed to a 1-row broadcast joined
+    into the filter — the literal SQL's scalar subquery without a
+    second fact scan, and the value is carried as exact integer
+    micro-units so the threshold compare (long * double literal) is
+    bit-identical in both engines. The oracle runs the literal
+    subquery form, proving the decorrelation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    good = s.where(F.col("s_acctbal") > 3000).select("s_suppkey")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    v = (
+        li.join(F.broadcast(good), li["l_suppkey"] == good["s_suppkey"], "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            (F.sum(rev.cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("value_micro")
+        )
+    )
+    total = v.agg(F.sum("value_micro").alias("_total"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("value_micro") > F.col("_total") * F.lit(0.0008))
+        .select("p_partkey", "value_micro")
+        .orderBy(F.col("value_micro").desc(), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog: late-shipment priority classes — the conditional
+    two-way count pivot over an order join. The testdata has no
+    shipmode/commit/receipt columns, so the class is l_linestatus and
+    "late" = shipped >60 days after order date (the suite's standing
+    lateness idiom, q4/q21). Scale shape: the single-side year filter
+    (l_shipdate) pushes to the lineitem parquet scan; the join is one
+    orderkey-hash shuffle with the cross-side lateness inequality as a
+    join residual (never a post-join filter over a wider result); both
+    priority counts fold into ONE aggregate pass via CASE — the
+    classic conditional-pivot discipline, no second scan, no pivot
+    operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_win = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    j = li_win.join(
+        o,
+        (li_win["l_orderkey"] == o["o_orderkey"])
+        & (li_win["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "tpch_q16_part_supplier_counts",
+    oracle="""
+    WITH supply AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT sp.l_suppkey) AS supplier_cnt
+    FROM supply sp
+    JOIN part p ON sp.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND sp.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analog: supplier diversity per part attribute — DISTINCT
+    supplier counts over a NOT-IN-excluded supply relation. The
+    testdata has no partsupp, so the supply relation is the DISTINCT
+    (partkey, suppkey) projection of lineitem; the "complaint
+    suppliers" NOT IN becomes a LEFT ANTI broadcast join against the
+    (tiny) low-balance supplier list. Scale shape: the part attribute
+    filter broadcasts into the supply build so non-qualifying parts
+    never reach the distinct; the one real shuffle is the
+    partkey-hash DISTINCT of the fact projection, which then carries
+    straight into the countDistinct aggregation on the same keys —
+    Catalyst plans the dedup + count as one exchange, not two. The
+    oracle runs the literal NOT IN form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    p_sel = p.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = s.where(F.col("s_acctbal") < 1000).select("s_suppkey")
+    supply = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p_sel), li["l_partkey"] == p_sel["p_partkey"])
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad["s_suppkey"], "left_anti")
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        supply.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
