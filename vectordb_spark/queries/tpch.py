@@ -1228,14 +1228,17 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp, so the supply-value relation derives from lineitem
     restricted to well-capitalized suppliers (the nation filter's
     stand-in — supplier is 10 rows/SF-unit, broadcast either way).
-    Scale shape: ONE partkey-hash shuffle builds the per-part values;
-    the global total is an aggregate OF THE GROUP RESULT (|parts|
-    rows, not the fact table) collapsed to a 1-row broadcast joined
-    into the filter — the literal SQL's scalar subquery without a
-    second fact scan, and the value is carried as exact integer
-    micro-units so the threshold compare (long * double literal) is
-    bit-identical in both engines. The oracle runs the literal
-    subquery form, proving the decorrelation."""
+    Scale shape: ONE partkey-hash shuffle builds the per-part values,
+    which are then localCheckpoint-ed — both consumers (the rows and
+    their global total) read the materialized |parts|-row result, so
+    the fact table is scanned ONCE (without the checkpoint Catalyst
+    inlines `v` twice and the plan re-scans lineitem for the scalar
+    total — verified via explain during the round-9 plan audit). The
+    total collapses to a 1-row broadcast joined into the filter, and
+    the value is carried as exact integer micro-units so the threshold
+    compare (long * double literal) is bit-identical in both engines.
+    The oracle runs the literal subquery form, proving the
+    decorrelation."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     good = s.where(F.col("s_acctbal") > 3000).select("s_suppkey")
@@ -1248,6 +1251,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_micro")
         )
+        .localCheckpoint()  # one fact scan for both consumers below
     )
     total = v.agg(F.sum("value_micro").alias("_total"))
     return (
@@ -1336,10 +1340,12 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     (tiny) low-balance supplier list. Scale shape: the part attribute
     filter broadcasts into the supply build so non-qualifying parts
     never reach the distinct; the one real shuffle is the
-    partkey-hash DISTINCT of the fact projection, which then carries
-    straight into the countDistinct aggregation on the same keys —
-    Catalyst plans the dedup + count as one exchange, not two. The
-    oracle runs the literal NOT IN form."""
+    (brand, size, suppkey)-hash DISTINCT of the fact projection with
+    map-side partial dedup; the follow-on countDistinct re-shuffles
+    only the ALREADY-DEDUPED relation (≤ |parts|·|suppliers| rows) on
+    the group key — two exchanges by key necessity, but only the first
+    ever sees fact-table volume. The oracle runs the literal NOT IN
+    form."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
