@@ -304,3 +304,62 @@ def test_unsupported_aggregate_raises_typed_error(t, tmp_path):
         IncrementalAggView(
             t, str(tmp_path / "mv"), ["grp"], "val", aggs=("median",)
         )
+
+
+def test_minmax_null_values_and_null_group_key(spark, tmp_path):
+    """MIN/MAX maintenance with NULL VALUES in the tracked column and a
+    NULL group key: min/max skip NULLs (so an all-NULL group stores
+    NULL extrema), deleting a NULL-valued row is never 'dirty', and
+    the NULL group merges null-safely — refreshed view == rebuild."""
+    schema = TableSchema(
+        name="mv_nv",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "mv_nv"))
+    t._init_storage()
+    t.insert_df(
+        spark.createDataFrame(
+            [
+                (0, None, None, [0.0, 0.0]),   # NULL key, NULL value
+                (1, "a", 5, [0.0, 0.0]),
+                (2, "a", None, [0.0, 0.0]),    # NULL value inside 'a'
+                (3, None, 9, [0.0, 0.0]),
+            ],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val",
+        aggs=("count", "min", "max"),
+    )
+    mv.full_build()
+    got0 = {r["grp"]: (r["n_rows"], r["_min"], r["_max"]) for r in mv.df().collect()}
+    assert got0 == {None: (2, 9, 9), "a": (2, 5, 5)}
+    t.delete(primary_keys=[2])   # NULL-valued row: clean path, extrema keep
+    t.delete(primary_keys=[3])   # the NULL group's only real value: rescan
+    t.insert_df(
+        spark.createDataFrame(
+            [(4, None, 1, [0.0, 0.0])],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    mv.refresh()
+    mv2 = IncrementalAggView(
+        t, str(tmp_path / "mv2"), ["grp"], "val",
+        aggs=("count", "min", "max"),
+    )
+    mv2.full_build()
+    def rows(m):
+        return {
+            r["grp"]: (r["n_rows"], r["_min"], r["_max"])
+            for r in m.df().collect()
+        }
+    assert rows(mv) == rows(mv2) == {None: (2, 1, 1), "a": (1, 5, 5)}
