@@ -325,3 +325,26 @@ def test_refresh_index_sq8_and_sizes(table):
     q = tail_vec(10)
     got = table.search_indexed_df(q, limit=3, nprobe=4).collect()
     assert got[0]["ID"] == 910
+
+
+def test_refresh_index_ivf_pq_lloyd_delta_codes(table):
+    """refresh_index after a LLOYD-trained IVF_PQ rebuild: tail rows
+    residual-encode against the manifest's INTEGER codebook (the
+    round-9 replayable trainer) into a delta dir, and post-refresh
+    probe search serves them from stored codes."""
+    table.rebuild("Embedding", index_type="IVF_PQ", k=8, train="lloyd",
+                  rounds=1)
+    info = table._load_meta()["indexes"]["Embedding"]
+    assert info["train"] == "lloyd" and info["pq_residual"]
+    tail_vec = lambda i: [7.0 + i * 0.1, 7.0 - i * 0.1, 6.0, 5.0]  # noqa: E731
+    table.insert([{"ID": 900 + i, "Embedding": tail_vec(i)} for i in range(20)])
+    assert table.refresh_index("Embedding")["appendedRecords"] == 20
+    q = tail_vec(4)
+    got = table.search_indexed_df(q, limit=3, nprobe=8).collect()
+    assert got[0]["ID"] == 904
+    exact = [r["_row_id"] for r in table.search_df(q, limit=5).collect()]
+    approx = [
+        r["_row_id"]
+        for r in table.search_indexed_df(q, limit=5, nprobe=8).collect()
+    ]
+    assert approx == exact
