@@ -209,7 +209,6 @@ class IVFIndex:
         ]
         assert len(seeds) == k, f"need >= {k} rows to seed {k} clusters"
         dim = len(seeds[0])
-        grid = "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
 
         def _assign(cents) -> Column:
             dists = F.array(
@@ -218,33 +217,53 @@ class IVFIndex:
             return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
         cents = seeds
+        # Round cost model (rewritten round 9 after profiling at
+        # 1M×64-d): the original posexplode form invited Catalyst to
+        # collapse the assignment Project into the Generate, so the
+        # k-fold argmin re-evaluated once per EXPLODED row — dim× the
+        # work (measured: assign-only 3 s, assign+explode 55 s at 100k
+        # rows) — and the n·dim-row DECIMAL(38,0) shuffle stacked more
+        # on top. Now: NO explode — per-dimension sums run as 2·dim
+        # wide LONG aggregates over element_at projections, with the
+        # assignment evaluated exactly once per row as the grouping
+        # key; the shuffle is k rows × (2·dim+1) longs. Exactness is
+        # kept without decimal by splitting each 1e12-grid value into
+        # (hi = g >> 20, lo = g − hi·2^20 ∈ [0, 2^20)) — arithmetic
+        # shift = floor division, so the identity holds for negatives
+        # — summing both as longs (|Σhi| ≤ n·|g|/2^20, Σlo < n·2^20:
+        # no overflow for any realistic n·|x|), and rebuilding the
+        # exact sum driver-side in Python ints before ONE double
+        # rounding — the same correctly-rounded value the old
+        # CAST(decimal AS DOUBLE) produced, so trained centroids (and
+        # every oracle replay) are bit-unchanged.
         for _ in range(rounds):
-            px = df.select(
-                _assign(cents).alias("_cluster"),
-                F.posexplode(vec_col).alias("pos", "val"),
-            )
-            rows = (
-                px.groupBy("_cluster", "pos")
-                .agg(
-                    (
-                        (
-                            F.sum(F.expr(grid).cast("decimal(38,0)")).cast("double")
-                            / F.lit(1e12)
-                        )
-                        / F.count(F.lit(1))
-                    ).alias("avgv")
+            aggs = []
+            for p in range(dim):
+                e = F.element_at(F.col(vec_col), p + 1)
+                g = F.floor(e.cast("double") * F.lit(1e12) + F.lit(0.5)).cast(
+                    "bigint"
                 )
+                hi = F.shiftright(g, 20)
+                aggs.append(F.sum(hi).alias(f"h{p}"))
+                aggs.append(F.sum(g - hi * F.lit(1 << 20)).alias(f"l{p}"))
+            aggs.append(F.count(F.lit(1)).alias("n"))
+            rows = (
+                df.groupBy(_assign(cents).alias("_cluster"))
+                .agg(*aggs)
                 .collect()
             )
-            means: dict[int, dict[int, float]] = {}
+            means: dict[int, list[float]] = {}
             for r in rows:
-                means.setdefault(int(r["_cluster"]), {})[int(r["pos"])] = float(
-                    r["avgv"]
-                )
-            cents = [
-                [means[c][p] for p in range(dim)] if c in means else cents[c]
-                for c in range(k)
-            ]
+                n = int(r["n"])
+                means[int(r["_cluster"])] = [
+                    (
+                        float(int(r[f"h{p}"]) * (1 << 20) + int(r[f"l{p}"]))
+                        / 1e12
+                    )
+                    / n
+                    for p in range(dim)
+                ]
+            cents = [means.get(c, cents[c]) for c in range(k)]
         self.centroids = [[float(x) for x in c] for c in cents]
         out = df.withColumn("_cluster", _assign(cents))
         self._compute_build_stats(out, vec_col)

@@ -512,8 +512,19 @@ class ResidualPQIndex(PQIndex):
             *[F.slice("_g", mi * sub + 1, sub) for mi in range(self.m)]
         )
         ex_base = g.select(F.posexplode(subs).alias("_mi", "_sv"))
+        import math as _math
+
         for _ in range(rounds):
-            # one CASE per subspace: k literal int-L2 folds + argmin
+            # one CASE per subspace: k literal int-L2 folds + argmin.
+            # Means run as `sub` wide LONG aggregates over element_at
+            # projections — NOT a second posexplode, which invited
+            # Catalyst to re-evaluate the CASE per exploded value (the
+            # same inlining the coarse trainer hit, operators/ann.py
+            # build_lloyd round-9 note). Grid values are |g| ≲ 1e3 at
+            # QMUL=200, so plain long sums are overflow-safe; the
+            # half-up integer mean is computed driver-side with the
+            # identical double arithmetic the old JVM expression used
+            # (one correctly-rounded float(sum)/n + 0.5, floor).
             assign_sql = "CASE _mi " + " ".join(
                 "WHEN {} THEN CAST({} AS INT)".format(
                     mi,
@@ -530,28 +541,27 @@ class ResidualPQIndex(PQIndex):
                 )
                 for mi in range(self.m)
             ) + " END"
+            aggs = [
+                F.sum(F.element_at(F.col("_sv"), p + 1)).alias(f"s{p}")
+                for p in range(sub)
+            ]
+            aggs.append(F.count(F.lit(1)).alias("n"))
             rows = (
                 ex_base.withColumn("_code", F.expr(assign_sql))
-                .select("_mi", "_code", F.posexplode("_sv").alias("_pos", "_val"))
-                .groupBy("_mi", "_code", "_pos")
-                .agg(
-                    F.floor(
-                        F.sum("_val").cast("double") / F.count(F.lit(1))
-                        + F.lit(0.5)
-                    ).cast("bigint").alias("_c")
-                )
+                .groupBy("_mi", "_code")
+                .agg(*aggs)
                 .collect()
             )
-            means: dict[tuple[int, int], dict[int, int]] = {}
+            means: dict[tuple[int, int], list[int]] = {}
             for r in rows:
-                means.setdefault(
-                    (int(r["_mi"]), int(r["_code"]) - 1), {}
-                )[int(r["_pos"])] = int(r["_c"])
+                n = int(r["n"])
+                means[(int(r["_mi"]), int(r["_code"]) - 1)] = [
+                    int(_math.floor(float(int(r[f"s{p}"])) / n + 0.5))
+                    for p in range(sub)
+                ]
             cb = [
                 [
-                    [means[(mi, ki)][p] for p in range(sub)]
-                    if (mi, ki) in means
-                    else cb[mi][ki]
+                    means.get((mi, ki), cb[mi][ki])
                     for ki in range(self.k)
                 ]
                 for mi in range(self.m)
