@@ -226,24 +226,38 @@ def t9_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _centroid_tall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tall (label, pos, avgv, n_vectors) centroid layout shared by the
-    registered gate query and the array-assembly pytest variant."""
+    registered gate query and the array-assembly pytest variant.
+    Exact grid accumulation uses the hi/lo long-split (see
+    operators/ann.py build_lloyd round-9 note) instead of per-row
+    DECIMAL partials: longs codegen, the exact sum is rebuilt in
+    decimal only on the |labels|·dim aggregated rows, and the single
+    CAST-to-double rounding is unchanged — bit-identical avgv."""
     emb = load_table(spark, sf_dir, "embeddings")
     px = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("pos", F.col("pos").cast("bigint"))
-    return px.groupBy("label", "pos").agg(
-        (
+    g = F.expr("CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)")
+    hi = F.shiftright(g, 20)
+    return (
+        px.groupBy("label", "pos")
+        .agg(
+            F.sum(hi).alias("_hs"),
+            F.sum(g - hi * F.lit(1 << 20)).alias("_ls"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "pos",
             (
-                F.sum(
-                    F.expr(
-                        "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
-                    ).cast("decimal(38,0)")
+                (
+                    F.col("_hs").cast("decimal(38,0)") * F.lit(1 << 20)
+                    + F.col("_ls")
                 ).cast("double")
                 / F.lit(1e12)
-            )
-            / F.count(F.lit(1))
-        ).alias("avgv"),
-        F.count(F.lit(1)).alias("n_vectors"),
+                / F.col("n_vectors")
+            ).alias("avgv"),
+            "n_vectors",
+        )
     )
 
 
@@ -333,12 +347,20 @@ def vec_kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same discipline as vec_centroid_per_label — partition order and
     engine cannot change a bit).
 
-    Scale shape: k distance folds are codegen'd Columns over one corpus
-    scan (no shuffle for assignment — the seeds are literals, exactly
-    how build_ivf broadcasts its centroid array); the recompute is one
-    hash aggregate over (cluster, pos) tall rows. At 100 TB this is the
-    per-iteration cost profile of distributed Lloyd: scan + map-side
-    partial means + one k×dim-sized shuffle. Output k·dim = 256 rows."""
+    Scale shape (rewritten round 9 with the build_lloyd explode fix,
+    operators/ann.py): the per-dimension sums run as 2·dim wide LONG
+    aggregates over element_at projections — a posexplode here invited
+    Catalyst to collapse the assignment CASE into the Generate and
+    re-evaluate the k distance folds once per exploded value (dim× the
+    scan cost), and shuffled n·dim DECIMAL rows besides. Now the
+    assignment evaluates once per row as the grouping key, the
+    shuffle is k rows × (2·dim+1) longs, and the (cluster, pos, avgv)
+    output rows are exploded from the k-ROW aggregate result, where
+    the exact sums are rebuilt decimal-side before the same single
+    double rounding. At 100 TB this is the true per-iteration profile
+    of distributed Lloyd: one scan + map-side partial longs + a k-row
+    shuffle. Output k·dim = 256 rows, bit-identical to the explode
+    form (the oracle still runs the literal unnest+SUM SQL)."""
     from vectordb_spark.functions.distance import l2_squared, vector_literal
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -357,22 +379,43 @@ def vec_kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(3))
     )
     asg = emb.select(cluster.alias("cluster"), "embedding")
-    px = asg.select(
-        "cluster", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("pos", F.col("pos").cast("bigint"))
-    return px.groupBy("cluster", "pos").agg(
-        (
-            (
-                F.sum(
-                    F.expr(
-                        "CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)"
-                    ).cast("decimal(38,0)")
-                ).cast("double")
-                / F.lit(1e12)
+    dim = len(seeds[0])
+    aggs = []
+    for p in range(dim):
+        e = F.element_at(F.col("embedding"), p + 1)
+        g = F.floor(e.cast("double") * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+        hi = F.shiftright(g, 20)
+        aggs.append(F.sum(hi).alias(f"h{p}"))
+        aggs.append(F.sum(g - hi * F.lit(1 << 20)).alias(f"l{p}"))
+    aggs.append(F.count(F.lit(1)).alias("n_members"))
+    wide = asg.groupBy("cluster").agg(*aggs)
+    # exact sum rebuilt in DECIMAL on the k-row result (hi·2^20 + lo —
+    # arithmetic-shift split, identity holds for negatives), then the
+    # same CAST-to-double / 1e12 / n the tall form applied
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("bigint").alias("pos"),
+                (
+                    (
+                        F.col(f"h{p}").cast("decimal(38,0)")
+                        * F.lit(1 << 20)
+                        + F.col(f"l{p}")
+                    ).cast("double")
+                    / F.lit(1e12)
+                    / F.col("n_members")
+                ).alias("avgv"),
             )
-            / F.count(F.lit(1))
-        ).alias("avgv"),
-        F.count(F.lit(1)).alias("n_members"),
+            for p in range(dim)
+        ]
+    )
+    return wide.select(
+        "cluster", F.explode(pairs).alias("s"), "n_members"
+    ).select(
+        "cluster",
+        F.col("s.pos").alias("pos"),
+        F.col("s.avgv").alias("avgv"),
+        "n_members",
     )
 
 
