@@ -347,20 +347,19 @@ def vec_kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same discipline as vec_centroid_per_label — partition order and
     engine cannot change a bit).
 
-    Scale shape (rewritten round 9 with the build_lloyd explode fix,
-    operators/ann.py): the per-dimension sums run as 2·dim wide LONG
-    aggregates over element_at projections — a posexplode here invited
-    Catalyst to collapse the assignment CASE into the Generate and
-    re-evaluate the k distance folds once per exploded value (dim× the
-    scan cost), and shuffled n·dim DECIMAL rows besides. Now the
-    assignment evaluates once per row as the grouping key, the
-    shuffle is k rows × (2·dim+1) longs, and the (cluster, pos, avgv)
-    output rows are exploded from the k-ROW aggregate result, where
-    the exact sums are rebuilt decimal-side before the same single
-    double rounding. At 100 TB this is the true per-iteration profile
-    of distributed Lloyd: one scan + map-side partial longs + a k-row
-    shuffle. Output k·dim = 256 rows, bit-identical to the explode
-    form (the oracle still runs the literal unnest+SUM SQL)."""
+    Scale shape: this GATE keeps the tall posexplode plan — at its
+    fixture scale (2k embeddings) the wide-aggregate form pays ~4 s of
+    129-expression codegen compile per call for zero data win
+    (measured round 9). The at-scale plan is the OPERATOR's:
+    IVFIndex.build_lloyd runs the same algebra as 2·dim wide LONG
+    aggregates with the assignment evaluated once per row as the
+    grouping key (a posexplode there let Catalyst collapse the argmin
+    into the Generate and re-evaluate it per exploded value — dim× the
+    scan; see the round-9 note in operators/ann.py, 904→50 s at
+    1M×64-d). The hi/lo long-split replaces the per-row DECIMAL
+    partials here too — exact sums rebuilt in decimal only on the
+    aggregated k·dim rows, same single double rounding, bit-identical
+    avgv."""
     from vectordb_spark.functions.distance import l2_squared, vector_literal
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -379,43 +378,31 @@ def vec_kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(3))
     )
     asg = emb.select(cluster.alias("cluster"), "embedding")
-    dim = len(seeds[0])
-    aggs = []
-    for p in range(dim):
-        e = F.element_at(F.col("embedding"), p + 1)
-        g = F.floor(e.cast("double") * F.lit(1e12) + F.lit(0.5)).cast("bigint")
-        hi = F.shiftright(g, 20)
-        aggs.append(F.sum(hi).alias(f"h{p}"))
-        aggs.append(F.sum(g - hi * F.lit(1 << 20)).alias(f"l{p}"))
-    aggs.append(F.count(F.lit(1)).alias("n_members"))
-    wide = asg.groupBy("cluster").agg(*aggs)
-    # exact sum rebuilt in DECIMAL on the k-row result (hi·2^20 + lo —
-    # arithmetic-shift split, identity holds for negatives), then the
-    # same CAST-to-double / 1e12 / n the tall form applied
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(p).cast("bigint").alias("pos"),
+    px = asg.select(
+        "cluster", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    g = F.expr("CAST(floor(CAST(val AS DOUBLE) * 1e12 + 0.5) AS BIGINT)")
+    hi = F.shiftright(g, 20)
+    return (
+        px.groupBy("cluster", "pos")
+        .agg(
+            F.sum(hi).alias("_hs"),
+            F.sum(g - hi * F.lit(1 << 20)).alias("_ls"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster",
+            "pos",
+            (
                 (
-                    (
-                        F.col(f"h{p}").cast("decimal(38,0)")
-                        * F.lit(1 << 20)
-                        + F.col(f"l{p}")
-                    ).cast("double")
-                    / F.lit(1e12)
-                    / F.col("n_members")
-                ).alias("avgv"),
-            )
-            for p in range(dim)
-        ]
-    )
-    return wide.select(
-        "cluster", F.explode(pairs).alias("s"), "n_members"
-    ).select(
-        "cluster",
-        F.col("s.pos").alias("pos"),
-        F.col("s.avgv").alias("avgv"),
-        "n_members",
+                    F.col("_hs").cast("decimal(38,0)") * F.lit(1 << 20)
+                    + F.col("_ls")
+                ).cast("double")
+                / F.lit(1e12)
+                / F.col("n_members")
+            ).alias("avgv"),
+            "n_members",
+        )
     )
 
 
