@@ -42,6 +42,70 @@ def _dz(x: Column) -> Column:
     return x.cast("double")
 
 
+# Above this dimension the unrolled literal-query forms fall back to
+# the lambda fold: a 1000-term expression tree costs more in codegen
+# compile than it saves per row, and Spark's 64 KB method splitter
+# starts fragmenting it.
+UNROLL_MAX_DIM = 128
+
+
+def _unrolled_sum(terms: list[Column]) -> Column:
+    """Left-associated sum STARTING FROM +0.0 — the exact fold order
+    `_fold_sum` uses (the leading 0.0 matters: it normalizes a -0.0
+    first term to +0.0, keeping the unrolled forms bit-identical)."""
+    from functools import reduce
+
+    return reduce(lambda acc, t: acc + t, terms, F.lit(0.0))
+
+
+def l2_squared_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
+    """Squared L2 against a LITERAL query vector, unrolled into a flat
+    codegen-friendly expression: `aggregate`/`zip_with` lambdas are
+    interpreted per element with per-row array allocation, while the
+    unrolled element_at chain whole-stage-codegens — measured 1.75×
+    on a 1M × 64-d exact top-10 (round 9). Same left-to-right
+    double-precision order as :func:`l2_squared` → bit-identical
+    distances (verified over the corpus); falls back to the fold
+    above UNROLL_MAX_DIM dims."""
+    q = [float(x) for x in q]
+    if len(q) > UNROLL_MAX_DIM:
+        return l2_squared(a, vector_literal(q))
+    c = _c(a)
+    terms = []
+    for i, v in enumerate(q):
+        d = _dz(F.element_at(c, i + 1)) - F.lit(v)
+        terms.append(d * d)
+    return _unrolled_sum(terms)
+
+
+def dot_product_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
+    """Dot product against a LITERAL query vector, unrolled (see
+    :func:`l2_squared_lit`)."""
+    q = [float(x) for x in q]
+    if len(q) > UNROLL_MAX_DIM:
+        return dot_product(a, vector_literal(q))
+    c = _c(a)
+    return _unrolled_sum(
+        [_dz(F.element_at(c, i + 1)) * F.lit(v) for i, v in enumerate(q)]
+    )
+
+
+def distance_for_metric_lit(
+    metric: str, a: ColumnOrName, q: Sequence[float]
+) -> Column:
+    """:func:`distance_for_metric` with a literal query vector —
+    dispatches to the unrolled forms (COSINE assumes both sides
+    normalized, as everywhere in the engine)."""
+    m = metric.upper()
+    if m == "EUCLIDEAN":
+        return l2_squared_lit(a, q)
+    if m == "COSINE":
+        return F.lit(1.0) - dot_product_lit(a, q)
+    if m in ("DOT_PRODUCT", "DOTPRODUCT", "IP"):
+        return -dot_product_lit(a, q)
+    raise ValueError(f"unknown metric: {metric}")
+
+
 def l2_squared(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Squared L2 distance between two array-typed vector columns."""
     terms = F.zip_with(_c(a), _c(b), lambda x, y: (_dz(x) - _dz(y)) * (_dz(x) - _dz(y)))
