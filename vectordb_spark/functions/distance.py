@@ -65,8 +65,18 @@ def l2_squared_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
     unrolled element_at chain whole-stage-codegens — measured 1.75×
     on a 1M × 64-d exact top-10 (round 9). Same left-to-right
     double-precision order as :func:`l2_squared` → bit-identical
-    distances (verified over the corpus); falls back to the fold
-    above UNROLL_MAX_DIM dims."""
+    distances (verified over the corpus and pinned in
+    tests/test_distance_unroll.py); falls back to the fold above
+    UNROLL_MAX_DIM dims.
+
+    ADOPTION NOTE (round 9): NOT wired into the serving paths —
+    measured end-to-end, the ~384-node expression tree costs ~0.6 s of
+    Catalyst analysis PER QUERY, which at the driver's scale factors
+    (≤ 5k-row vector tables) outweighs the execution win by 4×; the
+    break-even is ≈ 500k rows. On a real cluster corpus the _lit forms
+    are the right default — flip the call sites in operators/knn.py /
+    table.py when the deployment's row counts justify it (the fold and
+    the unrolled form are bit-interchangeable by construction)."""
     q = [float(x) for x in q]
     if len(q) > UNROLL_MAX_DIM:
         return l2_squared(a, vector_literal(q))

@@ -200,11 +200,7 @@ class IVFIndex:
         literals), one k·dim-sized shuffle for the means; the k·dim
         means table collected per round is tiny driver state, exactly
         like ``build``'s MLlib centroids."""
-        from vectordb_spark.functions.distance import (
-            l2_squared,
-            l2_squared_lit,
-            vector_literal,
-        )
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
 
         k = self.k
         seeds = [
@@ -216,7 +212,7 @@ class IVFIndex:
 
         def _assign(cents) -> Column:
             dists = F.array(
-                *[l2_squared_lit(F.col(vec_col), c) for c in cents]
+                *[l2_squared(F.col(vec_col), vector_literal(c)) for c in cents]
             )
             return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from vectordb_spark.functions.distance import (
     distance_for_metric,
-    distance_for_metric_lit,
     sparse_distance_for_metric,
     vector_literal,
 )
@@ -50,22 +49,15 @@ def knn(
     Both orders give identical results for exact search; Catalyst pushes
     the pre-filter into the scan.
     """
+    if isinstance(query_vector, Column):
+        q = query_vector
+    else:
+        q = vector_literal(query_vector)
+    dist_fn = sparse_distance_for_metric if sparse else distance_for_metric
     out = df
     if filter is not None:
         out = out.where(F.expr(filter) if isinstance(filter, str) else filter)
-    if not sparse and not isinstance(query_vector, Column):
-        # literal query: unrolled codegen form (bit-identical to the
-        # fold, 1.75x at 1M x 64-d — functions/distance.py round 9)
-        dist = distance_for_metric_lit(metric, F.col(vector_col), query_vector)
-    else:
-        q = (
-            query_vector
-            if isinstance(query_vector, Column)
-            else vector_literal(query_vector)
-        )
-        dist_fn = sparse_distance_for_metric if sparse else distance_for_metric
-        dist = dist_fn(metric, F.col(vector_col), q)
-    out = out.withColumn(distance_col, dist)
+    out = out.withColumn(distance_col, dist_fn(metric, F.col(vector_col), q))
     if post_filter is not None:
         out = out.where(
             F.expr(post_filter) if isinstance(post_filter, str) else post_filter

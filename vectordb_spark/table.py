@@ -52,7 +52,6 @@ from vectordb_spark.expr.compile import (
 from vectordb_spark.expr.parser import parse_filter
 from vectordb_spark.functions.distance import (
     distance_for_metric,
-    distance_for_metric_lit,
     l2_normalize,
     sparse_distance_for_metric,
     sparse_l2_normalize,
@@ -1076,7 +1075,7 @@ class Table:
         """Nearest stored centroid as a codegen Column — k inline
         distance expressions + array argmin, no shuffle, no UDF. Keeps
         appended segments in the clustered layout."""
-        from vectordb_spark.functions.distance import l2_squared_lit
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
 
         info = self._load_meta().get("cluster_layout")
         if not info:
@@ -1088,7 +1087,7 @@ class Table:
         field = info["field"]
         dists = F.array(
             *[
-                l2_squared_lit(F.col(field), c)
+                l2_squared(F.col(field), vector_literal(c))
                 for c in info["centroids"]
             ]
         )
@@ -1248,7 +1247,8 @@ class Table:
             dist = sparse_distance_for_metric(f.metric, F.col(f.name), qcol)
         else:
             q = _normalize_dense_query(query_vector, f)
-            dist = distance_for_metric_lit(f.metric, F.col(f.name), q)
+            qcol = F.array(*[F.lit(float(x)) for x in q])
+            dist = distance_for_metric(f.metric, F.col(f.name), qcol)
 
         post = ast is not None and references_distance(ast)
         if ast is not None and not post:
@@ -1575,7 +1575,7 @@ class Table:
         build-time until a full ``rebuild`` (the text index's delta
         discipline, applied to vectors; the reference rebuilds from
         scratch each cycle, table_mvp.cpp:94-203)."""
-        from vectordb_spark.functions.distance import l2_squared_lit
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
 
         meta = self._load_meta()
         info = meta.get("indexes", {}).get(field)
@@ -1590,7 +1590,7 @@ class Table:
         tail = self.df().where(F.col("_row_id") >= up_to).select("_row_id", field)
         dists = F.array(
             *[
-                l2_squared_lit(F.col(field), c)
+                l2_squared(F.col(field), vector_literal(c))
                 for c in info["centroids"]
             ]
         )
@@ -1825,7 +1825,8 @@ class Table:
                 base.where(F.col("_row_id") >= info["indexed_up_to"])  # tail
             ).dropDuplicates(["_row_id"])
         ast = parse_filter(filter, self.field_map())
-        dist = distance_for_metric_lit(info["metric"], F.col(f.name), q)
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        dist = distance_for_metric(info["metric"], F.col(f.name), qcol)
         out = candidates
         post = ast is not None and references_distance(ast)
         if ast is not None and not post:
@@ -1875,7 +1876,8 @@ class Table:
             F.col("_cluster").isin([int(c) for c in clusters])
         )
         ast = parse_filter(filter, self.field_map())
-        dist = distance_for_metric_lit(idx.metric, F.col(f.name), q)
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        dist = distance_for_metric(idx.metric, F.col(f.name), qcol)
         post = ast is not None and references_distance(ast)
         if ast is not None and not post:
             out = out.where(to_spark_column(ast))
