@@ -227,3 +227,48 @@ def test_time_travel_across_clustered_compact(spark, tmp_path):
     t.insert([{"id": 200, "vec": [1.0, 1.0, 1.0, 1.0]}])
     assert t.df().count() == 52
     assert t.df(version=v_flat).count() == 50
+
+
+def test_clustered_compact_lloyd_trainer(spark, tmp_path):
+    """compact(cluster_by=..., train='lloyd'): the replayable trainer
+    drives the BASE layout — manifest records the trainer, probe search
+    still prunes partitions and agrees with exact, and an appended row
+    self-assigns against the Lloyd centroids."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((4, 8)) * 10.0
+    schema = TableSchema(
+        name="cl_lloyd",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="vec", field_type=FieldType.VECTOR_FLOAT,
+                dimension=8, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "cl_lloyd"))
+    t._init_storage()
+    recs = []
+    rid = 0
+    for c in range(4):
+        for p in centers[c] + rng.standard_normal((30, 8)) * 0.3:
+            recs.append({"id": rid, "vec": [float(x) for x in p]})
+            rid += 1
+    t.insert(recs)
+    t.compact(cluster_by="vec", k=4, train="lloyd", rounds=2)
+    layout = t._load_meta()["cluster_layout"]
+    assert layout["train"] == "lloyd" and layout["rounds"] == 2
+    qv = [float(x) for x in centers[2]]
+    probed = t.search_clustered_df(qv, limit=5, nprobe=2)
+    exact = t.search_df(qv, limit=5)
+    assert [r.id for r in probed.collect()] == [r.id for r in exact.collect()]
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # bad trainer name is a typed error
+    import pytest as _pytest
+
+    from vectordb_spark.schema import VectorDBError
+    with _pytest.raises(VectorDBError, match="trainer"):
+        t.compact(cluster_by="vec", train="adam")

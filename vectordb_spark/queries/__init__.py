@@ -283,6 +283,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     (global-total HAVING, conditional pivot over a join residual,
 #     NOT-IN-excluded distinct counts), completing the full 22-query
 #     battery of analogs.
+#   table_clustered_compact_search — the clustered-compaction serving
+#     path (compact(cluster_by, train="lloyd") → base-scan partition
+#     pruning via search_clustered_df), deliberately sharing the
+#     trained-IVF oracle so one hash certifies both physical layouts
+#     serve identical rows.
 # Eviction candidates (oldest multi-round greens with in-window
 # siblings): dedup_keep_best, media_wav_rms_features,
 # dedup_incremental_newdocs, sparse_knn_l2 after another green round.
@@ -410,6 +415,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "tpch_q11_important_stock",
         "tpch_q12_shipmode_priority",
         "tpch_q16_part_supplier_counts",
+        "table_clustered_compact_search",
     }
 )
 

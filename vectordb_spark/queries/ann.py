@@ -1009,3 +1009,83 @@ def table_ivfpq_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@query("table_clustered_compact_search", oracle=_trained_ivf_oracle())
+def table_clustered_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered-compaction serving path, oracle-replayed: bulk
+    insert → `compact(cluster_by=..., train="lloyd")` (the OPTIMIZE-
+    style BASE rewrite — trained assignment becomes the hive partition
+    key of the base itself, centroids persist in the manifest, NO
+    separate index dir) → fresh Table → `search_clustered_df` probes
+    by PRUNING THE BASE SCAN (PartitionFilters on `_cluster`, whole
+    directories skipped at file listing, no candidate join-back).
+    Semantically identical to table_ivf_trained_search — deliberately
+    the SAME oracle — but through the other physical layout: one hash
+    match certifies that the clustered-base path (pruning measured in
+    tests/test_pruning.py via inputFiles) serves the exact same rows
+    the index-dir path serves. At 100 TB this is the layout that wins
+    reads: probe cost is file listing, and the float column is read
+    only inside the probed directories (reference X1-X3 re-imagined as
+    Delta-style OPTIMIZE clustering; SCALING.md "Clustered compaction")."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vectordb_spark.queries.vector import _query_vector
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    schema = TableSchema(
+        name="clustered_emb",
+        fields=[
+            FieldSchema(name="vec_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="label", field_type=FieldType.STRING),
+            FieldSchema(
+                name="embedding",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=len(qv),
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = _tempfile.mkdtemp(prefix="vdb_clustered_")
+    try:
+        import os as _os
+
+        t = Table(spark, schema, _os.path.join(work, "clustered_emb"))
+        t._init_storage()
+        # single ordered partition → _row_id == vec_id: the trainer's
+        # k-smallest-_row_id seeds are the oracle's vec_id < k rows
+        t.insert_df(emb.orderBy("vec_id").coalesce(1))
+        t.compact(cluster_by="embedding", k=_TRN_K, train="lloyd",
+                  rounds=_TRN_ROUNDS)
+        t2 = Table(spark, schema, _os.path.join(work, "clustered_emb"))
+        layout = t2._load_meta()["cluster_layout"]
+        assert layout["train"] == "lloyd" and len(layout["centroids"]) == _TRN_K
+        res = t2.search_clustered_df(qv, limit=10, nprobe=_TRN_NPROBE)
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        dists = F.array(
+            *[
+                l2_squared(F.col("embedding"), vector_literal(c))
+                for c in layout["centroids"]
+            ]
+        )
+        out = (
+            res.withColumn(
+                "cluster",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"),
+            )
+            .select(
+                "vec_id",
+                "label",
+                "cluster",
+                F.col("_distance").alias("distance"),
+            )
+            .localCheckpoint()  # materialize before the warehouse dies
+        )
+        return out
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

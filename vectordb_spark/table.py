@@ -917,6 +917,8 @@ class Table:
         cluster_by: str | None = None,
         k: int = 16,
         seed: int = 42,
+        train: str = "kmeans",
+        rounds: int = 2,
     ) -> dict:
         """Rewrite the current segment list into ONE base segment (a
         new manifest version). Every ``_append`` (point insert,
@@ -950,12 +952,28 @@ class Table:
                 )
             from vectordb_spark.operators.ann import IVFIndex
 
+            if train not in ("kmeans", "lloyd"):
+                raise VectorDBError(
+                    "INVALID_PAYLOAD",
+                    f"Unknown trainer {train!r}; use kmeans|lloyd.",
+                )
             idx = IVFIndex(k=k, seed=seed, metric=f.metric or "EUCLIDEAN")
-            df = idx.build(df.drop("_cluster"), cluster_by)
+            if train == "lloyd":
+                # the bit-replayable trainer (rebuild's discipline,
+                # operators/ann.py build_lloyd) applied to the BASE
+                # layout: lets a SQL oracle audit the clustered-compact
+                # serving path end-to-end (table_clustered_compact_search)
+                df = idx.build_lloyd(
+                    df.drop("_cluster"), cluster_by, rounds=rounds
+                )
+            else:
+                df = idx.build(df.drop("_cluster"), cluster_by)
             meta["cluster_layout"] = {
                 "field": cluster_by,
                 "k": k,
                 "seed": seed,
+                "train": train,
+                "rounds": rounds if train == "lloyd" else None,
                 "metric": f.metric or "EUCLIDEAN",
                 "centroids": idx.centroids,
                 "cluster_sizes": {
