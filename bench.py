@@ -132,6 +132,7 @@ HEADLINE = [
     # the compact line's lifecycle_value)
     "table_ivfpq_trained_search",
     "knn_metric_ordering_parity",
+    "table_clustered_compact_search",
     # round-9: the last three TPC-H shapes (22/22 analogs complete)
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
@@ -371,6 +372,56 @@ def _table_ivfpq_trained_search(spark, sf_dir):
     )
 
 
+def _table_clustered_compact_search(spark, sf_dir):
+    """Bench variant of the clustered-base gate: the lifecycle (bulk
+    insert -> lloyd clustered compact) is memoized; the recorded time
+    is the partition-pruned base-scan probe search itself."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.queries.core import load_table
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    if "clustered" not in _LIFECYCLE:
+        from vectordb_spark.queries.vector import _query_vector
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = _query_vector(spark, sf_dir)
+        schema = TableSchema(
+            name="clustered_emb",
+            fields=[
+                FieldSchema(
+                    name="vec_id", field_type=FieldType.INT8, primary_key=True
+                ),
+                FieldSchema(name="label", field_type=FieldType.STRING),
+                FieldSchema(
+                    name="embedding",
+                    field_type=FieldType.VECTOR_FLOAT,
+                    dimension=len(qv),
+                    metric="EUCLIDEAN",
+                ),
+            ],
+        )
+        work = _mkworkdir("vdb_bench_clustered_")
+
+        def _build():
+            t = Table(spark, schema, _os.path.join(work, "clustered_emb"))
+            t._init_storage()
+            t.insert_df(emb.orderBy("vec_id").coalesce(1))
+            t.compact(cluster_by="embedding", k=8, train="lloyd", rounds=2)
+            return Table(spark, schema, _os.path.join(work, "clustered_emb"))
+
+        _LIFECYCLE["clustered"] = (
+            _timed_build("clustered_compact_rewrite", _build), qv,
+        )
+    t2, qv = _LIFECYCLE["clustered"]
+    return t2.search_clustered_df(qv, limit=10, nprobe=3).select(
+        "vec_id", "label", F.col("_distance").alias("distance")
+    )
+
+
 def _knn_metric_ordering_parity(spark, sf_dir):
     """Bench variant of the city-fixture parity gate: the table build +
     three per-metric rebuilds are memoized; the recorded time is the
@@ -472,6 +523,7 @@ def main() -> None:
     qs["table_ivf_trained_search"] = _table_ivf_trained_search
     qs["table_ivfpq_trained_search"] = _table_ivfpq_trained_search
     qs["knn_metric_ordering_parity"] = _knn_metric_ordering_parity
+    qs["table_clustered_compact_search"] = _table_clustered_compact_search
     names = [n for n in HEADLINE if n in qs]
 
     # Warm up the JVM + parquet footers once; not counted.
