@@ -105,7 +105,7 @@ def main() -> None:
         db = _delta_bytes(t, v0, v1)
 
         t0 = time.time()
-        mv.refresh()
+        mv.refresh(force_incremental=True)
         t_ref = round(time.time() - t0, 2)
 
         twin = IncrementalAggView(

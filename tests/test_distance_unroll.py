@@ -53,3 +53,40 @@ def test_unrolled_falls_back_above_dim_cap(spark):
     a = df.select(distance_for_metric("EUCLIDEAN", F.col("v"), vector_literal(q)).alias("d")).collect()[0]["d"]
     b = df.select(distance_for_metric_lit("EUCLIDEAN", F.col("v"), q).alias("d")).collect()[0]["d"]
     assert struct.pack("d", a) == struct.pack("d", b)
+
+
+@pytest.mark.parametrize("metric", ["EUCLIDEAN", "COSINE", "DOT_PRODUCT"])
+def test_unrolled_null_parity_on_short_and_null_arrays(spark, metric):
+    """ADVICE r9: bit-interchangeability must hold on MALFORMED rows
+    too — an array shorter than the query (or a NULL array) yields a
+    NULL distance from the zip_with fold, and the unrolled form must
+    do the same (try_element_at), not raise INVALID_ARRAY_INDEX under
+    ANSI mode."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),   # conformant
+        (1, [1.0, 2.0]),             # short
+        (2, []),                     # empty
+        (3, None),                   # null array
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    q = [0.5, -1.5, 2.5, 0.25]
+    fold = {
+        r["vec_id"]: r["d"]
+        for r in df.select(
+            "vec_id",
+            distance_for_metric(metric, F.col("v"), vector_literal(q)).alias("d"),
+        ).collect()
+    }
+    unrolled = {
+        r["vec_id"]: r["d"]
+        for r in df.select(
+            "vec_id",
+            distance_for_metric_lit(metric, F.col("v"), q).alias("d"),
+        ).collect()
+    }
+    assert fold[1] is None and fold[2] is None and fold[3] is None
+    for k in fold:
+        if fold[k] is None:
+            assert unrolled[k] is None, (k, unrolled[k])
+        else:
+            assert struct.pack("d", fold[k]) == struct.pack("d", unrolled[k])

@@ -68,7 +68,7 @@ def test_refresh_matches_full_rebuild(t, tmp_path):
     t.insert([{"id": 100, "grp": "a", "val": 7, "v": [0.0, 0.0]}])
     t.delete(primary_keys=[1, 3])  # grp b, vals 10 + 30
     t.insert([{"id": 5, "grp": "b", "val": 1000, "v": [0.0, 0.0]}], upsert=True)
-    v = mv.refresh()
+    v = mv.refresh(force_incremental=True)
     assert v == t._load_meta()["version"]
     got = _rows(mv)
     # full rebuild twin
@@ -83,9 +83,9 @@ def test_group_drops_at_zero_and_noop_refresh(t, tmp_path):
     mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
     mv.full_build()
     t.delete(primary_keys=[1, 3, 5, 7, 9])  # all of grp b
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     assert set(_rows(mv)) == {"a"}
-    v = mv.refresh()  # no source change: version unchanged, no write
+    v = mv.refresh(force_incremental=True)  # no source change: version unchanged, no write
     assert v == t._load_meta()["version"]
     assert set(_rows(mv)) == {"a"}
 
@@ -94,10 +94,10 @@ def test_refresh_chain_across_compact(t, tmp_path):
     mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
     mv.full_build()
     t.insert([{"id": 200, "grp": "a", "val": 1, "v": [0.0, 0.0]}])
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     t.compact()  # row-preserving rewrite: empty changefeed
     t.delete(primary_keys=[0])
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
     mv2.full_build()
     assert _rows(mv) == _rows(mv2)
@@ -110,12 +110,12 @@ def test_refresh_chain_across_compact_and_vacuum(t, tmp_path):
     mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
     mv.full_build()
     t.insert([{"id": 300, "grp": "b", "val": 3, "v": [0.0, 0.0]}])
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     t.compact()
     t.vacuum(keep_history=1)  # drop pre-compact segment files
     t.insert([{"id": 301, "grp": "a", "val": 5, "v": [0.0, 0.0]}])
     t.delete(primary_keys=[2])
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
     mv2.full_build()
     assert _rows(mv) == _rows(mv2)
@@ -130,7 +130,7 @@ def test_old_view_dirs_vacuumed(t, tmp_path):
     mv.full_build()
     for i in range(4):
         t.insert([{"id": 400 + i, "grp": "a", "val": i, "v": [0.0, 0.0]}])
-        mv.refresh()
+        mv.refresh(force_incremental=True)
     dirs = [
         d for d in os.listdir(str(tmp_path / "mv"))
         if d.startswith("v") and d[1:].isdigit()
@@ -181,7 +181,7 @@ def test_null_group_key_merges_not_duplicates(spark, tmp_path):
         )
     )
     t.delete(primary_keys=[0])
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     rows = mv.df().collect()
     null_rows = [r for r in rows if r["grp"] is None]
     assert len(null_rows) == 1, rows  # merged, not duplicated
@@ -217,7 +217,7 @@ def test_minmax_insert_only_refresh_is_incremental(t, tmp_path):
         {"id": 500, "grp": "a", "val": -7, "v": [0.0, 0.0]},
         {"id": 501, "grp": "b", "val": 999, "v": [0.0, 0.0]},
     ])
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     assert _mm_rows(mv) == {"a": (6, -7, 80), "b": (6, 10, 999)}
 
 
@@ -229,7 +229,7 @@ def test_minmax_delete_inside_range_stays_clean(t, tmp_path):
     )
     mv.full_build()
     t.delete(primary_keys=[4])  # grp a, val 40: 0 < 40 < 80
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     assert _mm_rows(mv)["a"] == (4, 0, 80)
 
 
@@ -241,10 +241,10 @@ def test_minmax_delete_of_extremum_rescans_group(t, tmp_path):
     )
     mv.full_build()
     t.delete(primary_keys=[0])  # grp a val 0 == min
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     assert _mm_rows(mv)["a"] == (4, 20, 80)
     t.delete(primary_keys=[8])  # grp a val 80 == max
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     assert _mm_rows(mv)["a"] == (3, 20, 60)
     # untouched group kept its incremental values throughout
     assert _mm_rows(mv)["b"] == (5, 10, 90)
@@ -259,7 +259,7 @@ def test_minmax_tie_on_extremum_rescans_not_stales(t, tmp_path):
     t.insert([{"id": 600, "grp": "a", "val": 0, "v": [0.0, 0.0]}])  # 2nd val=0
     mv.full_build()
     t.delete(primary_keys=[0])  # one of the two val=0 rows
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     assert {r["grp"]: r["_min"] for r in mv.df().collect()}["a"] == 0
 
 
@@ -275,7 +275,7 @@ def test_minmax_refresh_matches_full_rebuild_mixed_workload(t, tmp_path):
     t.insert([{"id": 9, "grp": "b", "val": -1, "v": [0.0, 0.0]}], upsert=True)
     t.delete(primary_keys=[0, 8])         # grp a min AND max
     t.delete(primary_keys=[700])          # grp c emptied in-window
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     mv2 = IncrementalAggView(
         t, str(tmp_path / "mv2"), ["grp"], "val",
         aggs=("count", "sum", "min", "max"),
@@ -289,6 +289,67 @@ def test_minmax_refresh_matches_full_rebuild_mixed_workload(t, tmp_path):
     assert rows(mv) == rows(mv2)
     assert "c" not in rows(mv)
     assert rows(mv)["b"][2] == -1  # upsert pre-image 90 retracted, -1 in
+
+
+def test_refresh_delegates_to_full_build_past_crossover(spark, tmp_path):
+    """VERDICT r9 #2: the measured delta≈base/4 wall-clock crossover
+    (SCALING.md matview rehearsal) is ENFORCED — a refresh whose
+    changefeed bytes reach REBUILD_THRESHOLD of the base delegates to
+    full_build(); a small delta stays incremental; force_incremental
+    opts out. Pinned by spying on full_build, with a base large enough
+    (5k rows) that parquet per-file overhead doesn't distort the byte
+    ratio the policy reads."""
+    schema = TableSchema(
+        name="mv_xover",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "mv_xover"))
+    t._init_storage()
+    t.insert_df(
+        spark.range(5000).select(
+            F.col("id"),
+            (F.col("id") % 7).cast("string").alias("grp"),
+            (F.col("id") * 3).alias("val"),
+            F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("v"),
+        )
+    )
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    calls = []
+    orig = mv.full_build
+    mv.full_build = lambda: (calls.append(1), orig())[1]
+
+    # small delta (3 rows vs 5000): incremental path
+    t.insert([
+        {"id": 9000 + i, "grp": "0", "val": i, "v": [0.0, 0.0]}
+        for i in range(3)
+    ])
+    mv.refresh()
+    assert calls == []
+
+    # massive delta (delete ~half the table → old+new rewritten
+    # segments both count toward changefeed bytes): delegates
+    t.delete(filter="id < 2500")
+    mv.refresh()
+    assert calls == [1]
+
+    # same shape with force_incremental: stays on the delta path
+    t.delete(filter="id < 4000")
+    mv.refresh(force_incremental=True)
+    assert calls == [1]
+
+    # and either way the state matches a from-scratch twin
+    mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
+    mv2.full_build()
+    assert _rows(mv) == _rows(mv2)
 
 
 def test_unsupported_aggregate_raises_typed_error(t, tmp_path):
@@ -351,7 +412,7 @@ def test_minmax_null_values_and_null_group_key(spark, tmp_path):
             "id long, grp string, val long, v array<float>",
         )
     )
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     mv2 = IncrementalAggView(
         t, str(tmp_path / "mv2"), ["grp"], "val",
         aggs=("count", "min", "max"),

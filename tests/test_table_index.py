@@ -348,3 +348,23 @@ def test_refresh_index_ivf_pq_lloyd_delta_codes(table):
         for r in table.search_indexed_df(q, limit=5, nprobe=8).collect()
     ]
     assert approx == exact
+
+
+def test_refresh_index_refuses_residual_convention_mismatch(table):
+    """ADVICE r9: an IVF_PQ index persisted under a DIFFERENT residual
+    arithmetic convention (or a pre-tag manifest) must not get delta
+    codes appended under the current one — the mix is silent recall
+    skew. refresh_index raises a typed error demanding rebuild()."""
+    from vectordb_spark.schema import VectorDBError
+
+    table.rebuild("Embedding", index_type="IVF_PQ", k=4)
+    meta = table._load_meta()
+    meta["indexes"]["Embedding"]["pq_residual_convention"] = "float-v1"
+    table._save_meta(meta)
+    table.insert([{"ID": 900, "Embedding": [9.0, 9.0, 9.0, 9.0]}])
+    with pytest.raises(VectorDBError, match="convention"):
+        table.refresh_index("Embedding")
+    # rebuild() re-encodes and stamps the current tag: refresh works
+    table.rebuild("Embedding", index_type="IVF_PQ", k=4)
+    table.insert([{"ID": 901, "Embedding": [9.1, 9.1, 9.1, 9.1]}])
+    assert table.refresh_index("Embedding")["appendedRecords"] >= 1

@@ -76,14 +76,18 @@ def l2_squared_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
     break-even is ≈ 500k rows. On a real cluster corpus the _lit forms
     are the right default — flip the call sites in operators/knn.py /
     table.py when the deployment's row counts justify it (the fold and
-    the unrolled form are bit-interchangeable by construction)."""
+    the unrolled form are bit-interchangeable by construction —
+    including on MALFORMED rows: try_element_at yields NULL on arrays
+    shorter than the query, exactly like the zip_with fold, where
+    plain element_at would raise INVALID_ARRAY_INDEX under Spark 4
+    ANSI mode and kill the query; ADVICE r9)."""
     q = [float(x) for x in q]
     if len(q) > UNROLL_MAX_DIM:
         return l2_squared(a, vector_literal(q))
     c = _c(a)
     terms = []
     for i, v in enumerate(q):
-        d = _dz(F.element_at(c, i + 1)) - F.lit(v)
+        d = _dz(F.try_element_at(c, F.lit(i + 1))) - F.lit(v)
         terms.append(d * d)
     return _unrolled_sum(terms)
 
@@ -96,7 +100,10 @@ def dot_product_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
         return dot_product(a, vector_literal(q))
     c = _c(a)
     return _unrolled_sum(
-        [_dz(F.element_at(c, i + 1)) * F.lit(v) for i, v in enumerate(q)]
+        [
+            _dz(F.try_element_at(c, F.lit(i + 1))) * F.lit(v)
+            for i, v in enumerate(q)
+        ]
     )
 
 

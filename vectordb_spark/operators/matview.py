@@ -150,18 +150,56 @@ class IncrementalAggView:
         return src.groupBy(*self.group_cols).agg(*exprs)
 
     def full_build(self) -> int:
+        # Read the file list ONCE and build from exactly those files —
+        # a commit landing between _load_meta() and the scan must not
+        # leak post-v rows into a view stamped v (ADVICE r9).
         meta = self.table._load_meta()
         v = int(meta["version"])
-        self._commit(self._agg(self.table.df()), v)
+        self._commit(self._agg(self.table._df_for_files(meta["files"])), v)
         return v
 
     # ---------------------------------------------------------- refresh
 
-    def refresh(self) -> int:
+    # Measured crossover (SCALING.md "matview scale rehearsal", 20M
+    # rows): full rebuild WINS wall-clock once the changefeed delta
+    # reaches ~1/4 of the base — the delta path's extra work (preimage
+    # join + merge + rescan) stops paying for the smaller read.
+    REBUILD_THRESHOLD = 0.25
+
+    @staticmethod
+    def _files_bytes(root: str, files: list[str]) -> int:
+        """Metadata-only on-disk size of a manifest file list (each
+        entry is a segment dir or file under the table root) — the
+        same bytes measure the SCALING.md crossover was computed in;
+        no data is scanned."""
+        total = 0
+        for rel in files:
+            p = os.path.join(root, rel)
+            if os.path.isdir(p):
+                for dirpath, _dirs, names in os.walk(p):
+                    for n in names:
+                        try:
+                            total += os.path.getsize(os.path.join(dirpath, n))
+                        except OSError:
+                            pass
+            elif os.path.isfile(p):
+                total += os.path.getsize(p)
+        return total
+
+    def refresh(self, *, force_incremental: bool = False) -> int:
         """Advance to the source's current version using the changefeed
         — signed contributions merged into the stored aggregates (plus
         a group-scoped base rescan for MIN/MAX-dirtied groups); groups
-        whose count reaches zero drop out."""
+        whose count reaches zero drop out.
+
+        Self-applying crossover policy: when the changefeed's source
+        bytes (the segment dirs only one of the two manifests lists —
+        exactly what ``changes()`` will scan) reach
+        ``REBUILD_THRESHOLD`` of the target snapshot's bytes, the
+        measured wall-clock winner is a full rebuild, so refresh
+        delegates to :meth:`full_build`. ``force_incremental=True``
+        opts out (e.g. when the base lives on cold storage and bytes
+        -read, not wall-clock, is the objective)."""
         v0 = self.version()
         if v0 is None:
             return self.full_build()
@@ -169,6 +207,17 @@ class IncrementalAggView:
         v1 = int(meta["version"])
         if v1 == v0:
             return v0
+        if not force_incremental:
+            hist = {h["version"]: h["files"] for h in meta.get("history", [])}
+            hist[v1] = meta["files"]
+            old_set = set(hist.get(v0, ()))
+            new_set = set(hist.get(v1, ()))
+            delta_bytes = self._files_bytes(
+                self.table.path, sorted(old_set ^ new_set)
+            )
+            base_bytes = self._files_bytes(self.table.path, sorted(new_set))
+            if base_bytes and delta_bytes >= self.REBUILD_THRESHOLD * base_bytes:
+                return self.full_build()
         ch = self.table.changes(v0, v1, update_preimages=True)
         sign: Column = F.when(
             F.col("_change_type").isin("insert", "update_post"), F.lit(1)
@@ -246,7 +295,11 @@ class IncrementalAggView:
         merged = (
             cur
             .join(delta, cond, "full_outer")
-            .select(*out_cols, dirty.alias("_dirty"))
+            # NULL dirtiness (e.g. a retraction against a group whose
+            # candidate extremum is NULL) must fall into the RESCAN
+            # path, not vanish by failing both where() branches
+            # (ADVICE r9) — coalesce to True: ambiguous ⇒ recompute.
+            .select(*out_cols, F.coalesce(dirty, F.lit(True)).alias("_dirty"))
             # freeze before the overwrite: the plan reads the CURRENT
             # view dir, which stays in place until _commit swaps state
             .localCheckpoint()
@@ -265,7 +318,12 @@ class IncrementalAggView:
             # those groups from scratch (count/sum recomputed too:
             # identical by invertibility, one code path). Empty rescan
             # output = the dirty group fully emptied — correct dropout.
-            base = self.table.df()
+            # Rescan the PINNED snapshot v1 — the version this commit
+            # claims to reflect. Reading the latest snapshot instead
+            # would let a concurrent commit leak post-v1 rows into the
+            # dirty groups, which the next refresh's (v1,v2] changefeed
+            # then double-counts (ADVICE r9, medium).
+            base = self.table.df(version=v1)
             base_cond = reduce(
                 lambda a, b: a & b,
                 [base[c].eqNullSafe(dirty_keys[c]) for c in self.group_cols],

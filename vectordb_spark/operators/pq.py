@@ -401,6 +401,16 @@ def coarse_probe_cells(
 
 # ------------------------------------------------ residual (IVF-PQ) tier
 
+# Residual-arithmetic convention tag, persisted in the index manifest.
+# "double-v2" = float32 inputs promoted to DOUBLE, one IEEE subtraction
+# (the round-9 form below). The earlier unreleased form computed the
+# subtraction in FLOAT, which lands some residuals in different integer
+# grid cells — codes encoded under the two conventions are NOT
+# interchangeable, so refresh_index refuses to append delta codes to a
+# base built under a different tag (ADVICE r9: the mismatch is silent
+# recall skew, not an error any gate would catch).
+RESIDUAL_CONVENTION = "double-v2"
+
 
 def residual_expr(vec_col: str, centroids: list[list[float]]) -> str:
     """Spark expression for the RESIDUAL of a vector against its

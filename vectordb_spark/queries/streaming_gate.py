@@ -760,7 +760,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-travel the build through the table's own history): compute
     # from df(v1) then refresh the rest of the lifecycle incrementally
     mv._commit(mv._agg(t.df(version=v1)), v1)
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     out = (
         mv.df()
         .select(
@@ -826,7 +826,7 @@ def mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=("count", "min", "max"),
     )
     mv._commit(mv._agg(t.df(version=v1)), v1)
-    mv.refresh()
+    mv.refresh(force_incremental=True)
     out = (
         mv.df()
         .select(

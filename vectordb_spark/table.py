@@ -50,6 +50,9 @@ from vectordb_spark.expr.compile import (
     to_spark_column,
 )
 from vectordb_spark.expr.parser import parse_filter
+from vectordb_spark.operators.pq import (
+    RESIDUAL_CONVENTION as _PQ_RESIDUAL_CONVENTION,
+)
 from vectordb_spark.functions.distance import (
     distance_for_metric,
     l2_normalize,
@@ -1566,6 +1569,11 @@ class Table:
             # residual-encoded codes (build ≥ r7); absent/False in
             # older manifests → the raw-code search path still serves
             "pq_residual": itype == "IVF_PQ",
+            # arithmetic convention the residual grid was encoded
+            # under — refresh_index refuses to mix conventions
+            "pq_residual_convention": (
+                _PQ_RESIDUAL_CONVENTION if itype == "IVF_PQ" else None
+            ),
             # separation statistics → the exact-fallback planner rule
             # applies to persisted-index searches too (None = +inf)
             "mean_intra_radius": idx.mean_intra_radius,
@@ -1635,6 +1643,20 @@ class Table:
             from vectordb_spark.operators.pq import PQIndex, ResidualPQIndex
 
             if info.get("pq_residual"):
+                # Mixing residual-arithmetic conventions inside one
+                # index silently skews recall (delta codes land in
+                # different grid cells than the base codebook was
+                # trained on) — refuse and demand a full rebuild.
+                conv = info.get("pq_residual_convention")
+                if conv != _PQ_RESIDUAL_CONVENTION:
+                    raise VectorDBError(
+                        "INDEX_CONVENTION_MISMATCH",
+                        f"IVF_PQ index on {field!r} was built under "
+                        f"residual convention {conv!r} but this engine "
+                        f"encodes {_PQ_RESIDUAL_CONVENTION!r}; delta "
+                        "codes would not be comparable to the stored "
+                        "base codes. Run rebuild() to re-encode.",
+                    )
                 rpqi = ResidualPQIndex(m=len(info["pq_codebook"]))
                 rpqi.codebook = info["pq_codebook"]
                 rpqi.coarse_centroids = info["centroids"]
