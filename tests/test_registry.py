@@ -67,7 +67,6 @@ def test_round8_rotation():
         "stream_stream_join_attribution",
         "media_scene_change_detection",
         "mv_incremental_refresh",
-        "media_wav_rms_features",
         "sketch_hdr_quantiles",
     ]:
         assert name in ORACLE_WINDOW, name
@@ -85,6 +84,40 @@ def test_round8_rotation():
         "media_pgm_histogram_features",
         "media_video_frame_sampling",
         "stream_dedup_incremental",
+    ]:
+        assert gone not in ORACLE_WINDOW, gone
+
+
+def test_round10_rotation():
+    # round-10 window facts (VERDICT r9 "Next round" #1): the seven
+    # round-9-queue queries — all judge-verified selfcheck-green in
+    # VERDICT r9 — take their first driver slots, emptying the
+    # evidence-debt queue. Rotated out on driver-green history with
+    # in-window compile-path siblings: keep_best/incremental (dedup
+    # family keeps cluster_components + curate_end_to_end),
+    # sparse_knn_l2 (sparse_index_knn_search is the richer lifecycle
+    # variant), t9_knn_batch (batch shape via bm25_multiquery_batch),
+    # media_wav_rms_features (audio mapInPandas plumbing shared with
+    # ahash + scene_change), substring_fingerprint + boilerplate
+    # (fingerprint/text batteries keep richer in-window siblings).
+    for name in [
+        "table_ivfpq_trained_search",
+        "knn_metric_ordering_parity",
+        "mv_minmax_refresh",
+        "table_clustered_compact_search",
+        "tpch_q11_important_stock",
+        "tpch_q12_shipmode_priority",
+        "tpch_q16_part_supplier_counts",
+    ]:
+        assert name in ORACLE_WINDOW, name
+    for gone in [
+        "dedup_keep_best",
+        "dedup_incremental_newdocs",
+        "sparse_knn_l2",
+        "t9_knn_batch",
+        "media_wav_rms_features",
+        "dedup_substring_fingerprint",
+        "text_boilerplate_span_removal",
     ]:
         assert gone not in ORACLE_WINDOW, gone
 

@@ -108,10 +108,13 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # tpch_q1_pricing_summary (agg path = a5/a7/curate),
     # chunk_documents_overlap + split_hash_assign + pii_redact
     # (map-side pipeline path: rj/asof/curate stay).
-    "dedup_keep_best",
-    "dedup_incremental_newdocs",
-    "sparse_knn_l2",
-    "t9_knn_batch",
+    # Round-10 rotation evicted dedup_keep_best /
+    # dedup_incremental_newdocs / sparse_knn_l2 / t9_knn_batch here
+    # (each driver-green r5–r9, VERDICT r9's named eviction candidates;
+    # dedup family keeps cluster_components + the curation pipeline,
+    # sparse path keeps sparse_index_knn_search — the strictly richer
+    # lifecycle variant — and the batch-KNN shape stays in-window via
+    # bm25_multiquery_batch's rank-window cut).
     # Round-6 rotation: the nine round-5 additions — selfcheck-green at
     # sf0.001 AND sf0.01 but never through the driver — take their
     # first driver rows. Rotated out to make room (every eviction is a
@@ -129,11 +132,14 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # sparse_tfidf_weights + text_token_count + text_lang_id (G r1–r5;
     # sparse path keeps sparse_knn_l2, text battery keeps repetition /
     # gopher / fuzzy / bigram_familiarity / top_bigrams).
-    "media_wav_rms_features",
-    "dedup_substring_fingerprint",
+    # Round-10 rotation evicted media_wav_rms_features (G r6–r9; the
+    # audio-codec mapInPandas path shares its plumbing with in-window
+    # media_ahash_near_dup + scene_change), dedup_substring_fingerprint
+    # (G r6–r9; winnowed-fingerprint equi-join — banded-dedup family
+    # keeps cluster_components) and text_boilerplate_span_removal
+    # (G r6–r9; text battery keeps lm_perplexity, maxsim, bm25 ×4).
     "geo_join_radius_pairs",
     "ann_ivf_autoplan_fallback",
-    "text_boilerplate_span_removal",
     # Round-6 additions, rotated in the same round they were built —
     # every one selfcheck-green at sf0.001 AND sf0.01 with a real
     # oracle and scalar-only output columns. Rotated out to make room
@@ -261,11 +267,40 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "tpch_q20_excess_share_suppliers",
+    # Round-10 rotation: the seven round-9-queue queries — every one
+    # dual-SF selfcheck-green since r9 AND judge-re-verified in VERDICT
+    # r9 ("7/7 PASS") — take their first driver rows, emptying the
+    # evidence-debt queue entirely. Evictions documented inline above.
+    "table_ivfpq_trained_search",
+    "knn_metric_ordering_parity",
+    "mv_minmax_refresh",
+    "table_clustered_compact_search",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_part_supplier_counts",
 )
 
-# Round-10 rotation queue — additions built in round 9 after the
-# window filled; each dual-SF selfcheck-green (sf0.001 + sf0.01) when
-# queued:
+# Round-11 rotation pre-plan (VERDICT r9 #7: keep the window hygiene).
+# The registry holds ~116 bench queries vs 50 oracle slots; with the
+# evidence-debt queue now EMPTY (round 10 rotated in the last unqueued
+# additions), future rotations only happen when NEW queries are built.
+# Next eviction tier, oldest multi-round greens first, each with an
+# in-window compile-path sibling:
+#   1. sketch_hll_distinct_users (G r6–r10?; sketch family keeps
+#      bloom_prune + hdr_quantiles),
+#   2. bm25_topk (G r6–; lexical path keeps phrase_bm25_topk +
+#      text_index_bm25_search + bm25_multiquery_batch — all strictly
+#      richer supersets of the plain top-k),
+#   3. stream_enrich_join (G r6–; streaming keeps late_window_upsert +
+#      stream_stream_join_attribution),
+#   4. semantic_maxsim_search (G r6–; multi-vector scoring shares the
+#      fold machinery with in-window semantic_text_search + hybrid),
+#   5. geo_join_radius_pairs (G r6–; the binned-range equi-join shape
+#      also lives in zorder_range_scan's residual scan),
+#   6. tpch_q7_nation_volume / q13 / q15 (G r8–; the 22-query battery
+#      keeps q2/q8/q9/q11/q12/q16/q19/q20/q21/q22 in-window).
+#
+# Historical note — round-10 queue (all rotated into the window above):
 #   table_ivfpq_trained_search — trained residual-IVFPQ lifecycle
 #     (Lloyd coarse trainer + per-subspace codebook trainer → manifest
 #     round-trip → fresh-reader ADC serving), oracle-replayed from raw
@@ -288,9 +323,6 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     pruning via search_clustered_df), deliberately sharing the
 #     trained-IVF oracle so one hash certifies both physical layouts
 #     serve identical rows.
-# Eviction candidates (oldest multi-round greens with in-window
-# siblings): dedup_keep_best, media_wav_rms_features,
-# dedup_incremental_newdocs, sparse_knn_l2 after another green round.
 #
 # Historical note — round-9 queue (all rotated into the window above):
 #   tpch_q2_min_cost_supplier — correlated scalar-MIN subquery
