@@ -352,3 +352,106 @@ def test_rebuild_lloyd_manifest_roundtrip(spark, tmp_path):
             cand.append((d, vid))
     want = [vid for _, vid in sorted(cand)[:5]]
     assert got == want
+
+
+def test_build_lloyd_sampled_training_subset(spark):
+    """Sampled seeded-Lloyd (r10): train_mod/train_keep restrict seeds
+    and the per-round mean aggregates to the deterministic Knuth-hash
+    subset, the FINAL assignment still covers every row, and the whole
+    thing equals a hand-run Lloyd over exactly that subset — the
+    invariant the table_ivf_sampled_train_search oracle replays."""
+    import numpy as np
+
+    from vectordb_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=6)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mod, keep = 4, 1
+    train_ids = [
+        i for i, _ in rows if (i * IVFIndex.TRAIN_HASH_MULT) % mod < keep
+    ]
+    assert 0 < len(train_ids) < len(rows)
+
+    a = IVFIndex(k=4, seed=1)
+    out = a.build_lloyd(
+        df, "embedding", rounds=2, id_col="vec_id",
+        train_mod=mod, train_keep=keep,
+    )
+    # full-corpus assignment despite sampled training
+    assert out.count() == len(rows)
+
+    # replay: seeds = 4 smallest sampled ids; two rounds of grid-mean
+    # Lloyd over ONLY the sampled vectors
+    by_id = dict(rows)
+    cents = [np.asarray(by_id[i], dtype=np.float64) for i in sorted(train_ids)[:4]]
+    X = np.asarray([by_id[i] for i in sorted(train_ids)], dtype=np.float64)
+    for _ in range(2):
+        d2 = ((X[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        nxt = []
+        for c in range(4):
+            m = assign == c
+            if m.any():
+                g = np.floor(X[m] * 1e12 + 0.5)
+                nxt.append((g.sum(axis=0) / 1e12) / m.sum())
+            else:
+                nxt.append(np.asarray(cents[c]))
+        cents = nxt
+    got = np.asarray(a.centroids)
+    assert np.allclose(got, np.asarray(cents), atol=1e-9), (got, cents)
+
+    # differs from the full-corpus trainer (sampling is load-bearing)
+    b = IVFIndex(k=4, seed=1)
+    b.build_lloyd(df, "embedding", rounds=2, id_col="vec_id")
+    assert a.centroids != b.centroids
+
+    # half-set params rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        IVFIndex(k=4, seed=1).build_lloyd(
+            df, "embedding", id_col="vec_id", train_mod=4
+        )
+
+
+def test_rebuild_sampled_requires_lloyd(spark, tmp_path):
+    from vectordb_spark.schema import (
+        FieldSchema,
+        FieldType,
+        TableSchema,
+        VectorDBError,
+    )
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="ts",
+        fields=[
+            FieldSchema(name="vec_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "ts"))
+    t._init_storage()
+    t.insert_df(
+        spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(40)],
+            "vec_id long, emb array<float>",
+        ).coalesce(1)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(VectorDBError):
+        t.rebuild("emb", index_type="IVF", k=2, train="kmeans", train_mod=4, train_keep=1)
+    # and the valid sampled-lloyd path persists its hash filter
+    t.rebuild(
+        "emb", index_type="IVF", k=2, train="lloyd", rounds=1,
+        train_mod=2, train_keep=1,
+    )
+    info = t._load_meta()["indexes"]["emb"]
+    assert info["train_mod"] == 2 and info["train_keep"] == 1

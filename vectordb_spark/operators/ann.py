@@ -178,6 +178,12 @@ class IVFIndex:
         self._compute_build_stats(out, vec_col)
         return out
 
+    # Knuth multiplicative constant for the oracle-replayable sampled
+    # trainer: both Spark and DuckDB evaluate (id * H) % mod in exact
+    # int64 arithmetic, so the training subset is the same row set in
+    # both engines with no RNG involved.
+    TRAIN_HASH_MULT = 2654435761
+
     def build_lloyd(
         self,
         df: DataFrame,
@@ -185,6 +191,8 @@ class IVFIndex:
         *,
         rounds: int = 2,
         id_col: str = "_row_id",
+        train_mod: int | None = None,
+        train_keep: int | None = None,
     ) -> DataFrame:
         """Deterministic Lloyd training — the oracle-replayable twin of
         ``build``. Seeds are the vectors of the ``k`` smallest
@@ -199,13 +207,36 @@ class IVFIndex:
         scan with k codegen distance folds (centroids are broadcast
         literals), one k·dim-sized shuffle for the means; the k·dim
         means table collected per round is tiny driver state, exactly
-        like ``build``'s MLlib centroids."""
+        like ``build``'s MLlib centroids.
+
+        ``train_mod``/``train_keep`` (both set or both None) switch on
+        SAMPLED training — the answer to the measured 14× replayability
+        premium of the full-corpus trainer (SCALING.md "Replayable
+        seeded-Lloyd trainers"): seeds and the per-round mean
+        aggregates run only over rows whose deterministic
+        Knuth-multiplicative hash ``(id * 2654435761) % train_mod``
+        falls below ``train_keep`` (≈ keep/mod of the corpus, uniform
+        regardless of corpus ordering); the FINAL assignment still
+        covers every row. The filter is plain int64 arithmetic, so a
+        SQL oracle replays the training subset bit-exactly — sampling
+        costs nothing in auditability, unlike ``build``'s MLlib
+        ``.sample()``."""
         from vectordb_spark.functions.distance import l2_squared, vector_literal
 
         k = self.k
+        if (train_mod is None) != (train_keep is None):
+            raise ValueError("set both train_mod and train_keep, or neither")
+        if train_mod is not None:
+            train_df = df.where(
+                (F.col(id_col).cast("bigint") * F.lit(self.TRAIN_HASH_MULT))
+                % F.lit(train_mod)
+                < F.lit(train_keep)
+            )
+        else:
+            train_df = df
         seeds = [
             [float(x) for x in r[0]]
-            for r in df.orderBy(id_col).select(vec_col).limit(k).collect()
+            for r in train_df.orderBy(id_col).select(vec_col).limit(k).collect()
         ]
         assert len(seeds) == k, f"need >= {k} rows to seed {k} clusters"
         dim = len(seeds[0])
@@ -248,7 +279,7 @@ class IVFIndex:
                 aggs.append(F.sum(g - hi * F.lit(1 << 20)).alias(f"l{p}"))
             aggs.append(F.count(F.lit(1)).alias("n"))
             rows = (
-                df.groupBy(_assign(cents).alias("_cluster"))
+                train_df.groupBy(_assign(cents).alias("_cluster"))
                 .agg(*aggs)
                 .collect()
             )

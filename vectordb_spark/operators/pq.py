@@ -212,19 +212,48 @@ class PQIndex:
         seed: int = 42,
         train_size: int = 2048,
         iters: int = 10,
+        sample_mode: str = "hash",
     ) -> None:
         self.m, self.k, self.seed = m, k, seed
         self.train_size, self.iters = train_size, iters
+        self.sample_mode = sample_mode
         self.codebook: list[list[list[int]]] | None = None
 
     def fit(self, df, vec_col: str, *, id_col: str = "vec_id") -> "PQIndex":
-        import numpy as np
+        """Train per-subspace codebooks on a ``train_size``-row sample.
 
+        ``sample_mode="hash"`` (default) CHOOSES the ``train_size``-row
+        subset by smallest ``xxhash64(id, seed)`` — deterministic for a
+        fixed seed but free of corpus ordering, so a corpus sorted by
+        time/source/quality (every real 100 TB corpus) still trains on
+        a uniform slice rather than its oldest shard.
+        ``sample_mode="id_order"`` keeps the pre-r10 first-rows-by-id
+        convention. Either way the fetched sample is then
+        CANONICALIZED to id order before numpy seeding, so the two
+        modes are byte-identical whenever the corpus fits inside
+        ``train_size`` (every pytest fixture), and the persisted
+        codebook in the index manifest is what serving reads — already
+        -built indexes are unaffected by the default flip (re-fit
+        happens only inside full rebuilds, which version a fresh index
+        directory)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        if self.sample_mode == "hash":
+            order = [
+                F.xxhash64(F.col(id_col), F.lit(self.seed)).asc(),
+                F.col(id_col).asc(),
+            ]
+        elif self.sample_mode == "id_order":
+            order = [F.col(id_col).asc()]
+        else:
+            raise ValueError(f"unknown sample_mode {self.sample_mode!r}")
         sample = (
-            df.select(vec_col)
-            .orderBy(id_col)
+            df.select(vec_col, id_col)
+            .orderBy(*order)
             .limit(self.train_size)
-            .toPandas()[vec_col]
+            .toPandas()
+            .sort_values(id_col, kind="mergesort")[vec_col]
         )
         X = np.array([np.asarray(v, dtype=np.float64) for v in sample])
         if len(X) == 0:

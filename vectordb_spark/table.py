@@ -1444,6 +1444,8 @@ class Table:
         seed: int = 42,
         train: str = "kmeans",
         rounds: int = 2,
+        train_mod: int | None = None,
+        train_keep: int | None = None,
     ) -> dict:
         """Batch ANN index (re)build — the reference's background
         rebuild (X3, table_mvp.cpp:94-203) as an explicit job. Writes a
@@ -1476,6 +1478,12 @@ class Table:
             raise VectorDBError(
                 "INVALID_PAYLOAD", f"Unknown trainer {train!r}; use kmeans|lloyd."
             )
+        if (train_mod is not None or train_keep is not None) and train != "lloyd":
+            raise VectorDBError(
+                "INVALID_PAYLOAD",
+                "train_mod/train_keep apply to the lloyd trainer only "
+                "(the kmeans path already samples internally).",
+            )
         meta = self._load_meta()
         df = self.df()
         idx = IVFIndex(k=k, seed=seed, metric=f.metric or "EUCLIDEAN")
@@ -1485,7 +1493,8 @@ class Table:
             # distances) — the trained path a SQL oracle can audit,
             # persisted in the manifest exactly like the MLlib path
             assigned = idx.build_lloyd(
-                df.select("_row_id", field), field, rounds=rounds
+                df.select("_row_id", field), field, rounds=rounds,
+                train_mod=train_mod, train_keep=train_keep,
             )
         else:
             assigned = idx.build(df.select("_row_id", field), field)
@@ -1557,6 +1566,11 @@ class Table:
             "seed": seed,
             "train": train,
             "rounds": rounds if train == "lloyd" else None,
+            # sampled-trainer hash filter (None = full-corpus training);
+            # recorded so a rebuilt-from-manifest audit can replay the
+            # exact training subset
+            "train_mod": train_mod if train == "lloyd" else None,
+            "train_keep": train_keep if train == "lloyd" else None,
             "version": version,
             "dir": name,
             "deltas": [],
