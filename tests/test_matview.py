@@ -424,3 +424,145 @@ def test_minmax_null_values_and_null_group_key(spark, tmp_path):
             for r in m.df().collect()
         }
     assert rows(mv) == rows(mv2) == {None: (2, 1, 1), "a": (1, 5, 5)}
+
+
+# --------------------------------------------------- join views (r10)
+
+
+@pytest.fixture
+def fact_dim(spark, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalJoinAggView
+
+    fschema = TableSchema(
+        name="jv_fact",
+        fields=[
+            FieldSchema(name="oid", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="cid", field_type=FieldType.INT8),
+            FieldSchema(name="amount", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    dschema = TableSchema(
+        name="jv_dim",
+        fields=[
+            FieldSchema(name="ckey", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="region", field_type=FieldType.STRING),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    fact = Table(spark, fschema, str(tmp_path / "jv_fact"))
+    fact._init_storage()
+    dim = Table(spark, dschema, str(tmp_path / "jv_dim"))
+    dim._init_storage()
+    # 4 customers over 2 regions, 12 orders (customer 3 has none yet)
+    dim.insert(
+        [
+            {"ckey": c, "region": "ew"[c % 2], "v": [0.0, 0.0]}
+            for c in range(4)
+        ]
+    )
+    fact.insert(
+        [
+            {"oid": i, "cid": i % 3, "amount": 100 + i, "v": [0.0, 0.0]}
+            for i in range(12)
+        ]
+    )
+    mv = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "jv_mv"),
+        fact_key="cid", dim_key="ckey",
+        group_cols=["region"], value_col="amount",
+    )
+    return fact, dim, mv
+
+
+def _jrows(mv):
+    return {
+        r["region"]: (r["n_rows"], float(r["_sum_dec"]))
+        for r in mv.df().collect()
+    }
+
+
+def _join_truth(fact, dim):
+    f, d = fact.df(), dim.df()
+    j = f.join(d, f["cid"] == d["ckey"], "inner")
+    return {
+        r["region"]: (r["n"], float(r["s"]))
+        for r in j.groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+
+
+def test_join_view_full_build_and_noop_refresh(fact_dim):
+    fact, dim, mv = fact_dim
+    vf, vd = mv.full_build()
+    assert _jrows(mv) == _join_truth(fact, dim)
+    assert mv.refresh() == (vf, vd)  # nothing changed -> no-op
+
+
+def test_join_view_fact_delta_only(fact_dim):
+    fact, dim, mv = fact_dim
+    mv.full_build()
+    fact.insert([{"oid": 50, "cid": 3, "amount": 1000, "v": [0.0, 0.0]}])
+    fact.delete(primary_keys=[0, 4])
+    fact.insert([{"oid": 1, "cid": 1, "amount": 9, "v": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    assert _jrows(mv) == _join_truth(fact, dim)
+
+
+def test_join_view_dim_delta_group_migration_and_dropout(fact_dim):
+    fact, dim, mv = fact_dim
+    mv.full_build()
+    # customer 1 moves region e -> w: every one of its orders must
+    # migrate groups via the pre-image retraction
+    dim.insert([{"ckey": 1, "region": "w", "v": [0.0, 0.0]}], upsert=True)
+    # customer 0 disappears entirely: its orders leave the join
+    dim.delete(primary_keys=[0])
+    mv.refresh(force_incremental=True)
+    assert _jrows(mv) == _join_truth(fact, dim)
+
+
+def test_join_view_both_sides_change_cross_term(fact_dim):
+    fact, dim, mv = fact_dim
+    mv.full_build()
+    # new orders FOR a customer whose dim row also changes in the same
+    # window — the DeltaA x DeltaD cross term the algebra folds into
+    # DeltaA x D1
+    fact.insert(
+        [
+            {"oid": 60, "cid": 2, "amount": 500, "v": [0.0, 0.0]},
+            {"oid": 61, "cid": 0, "amount": 600, "v": [0.0, 0.0]},
+        ]
+    )
+    dim.insert([{"ckey": 2, "region": "e", "v": [0.0, 0.0]}], upsert=True)
+    dim.delete(primary_keys=[0])
+    fact.delete(primary_keys=[2])
+    mv.refresh(force_incremental=True)
+    assert _jrows(mv) == _join_truth(fact, dim)
+    # refresh chains: mutate again on top of the refreshed state
+    fact.insert([{"oid": 70, "cid": 3, "amount": 50, "v": [0.0, 0.0]}])
+    dim.insert([{"ckey": 3, "region": "w", "v": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    assert _jrows(mv) == _join_truth(fact, dim)
+
+
+def test_join_view_rejects_minmax(fact_dim):
+    from vectordb_spark.operators.matview import (
+        IncrementalJoinAggView,
+        UnsupportedAggregateError,
+    )
+
+    fact, dim, _ = fact_dim
+    with pytest.raises(UnsupportedAggregateError):
+        IncrementalJoinAggView(
+            fact, dim, "/tmp/nope",
+            fact_key="cid", dim_key="ckey",
+            group_cols=["region"], value_col="amount",
+            aggs=("count", "min"),
+        )

@@ -334,3 +334,249 @@ class IncrementalAggView:
             final = clean.unionByName(rescan)
         self._commit(final, v1)
         return v1
+
+
+class IncrementalJoinAggView:
+    """Per-group COUNT/SUM over an equi-JOIN of two engine tables,
+    maintained from BOTH tables' changefeeds — the delta-join rule
+    (classic incremental view maintenance; see also DBSP/differential
+    dataflow, which generalize the same algebra):
+
+        A1⋈D1 − A0⋈D0  =  ΔA ⋈ D1  +  A0 ⋈ ΔD
+
+    where ΔA/ΔD are the SIGNED changefeeds (insert/update_post = +1,
+    delete/update_pre = −1) and the sign of a joined contribution is
+    the sign of its delta row. Exact for multiset semantics, so COUNT
+    and SUM (linear aggregates) merge like the single-table view's.
+    MIN/MAX over a join would need a dirty-group rescan ACROSS the
+    join; not implemented — typed error, not a silent wrong answer.
+
+    100 TB shape of one refresh:
+    * ``ΔA ⋈ D1`` — delta-sized probe side; the dim side joins however
+      Catalyst picks (broadcast for real dims). Never a full fact scan.
+    * ``A0 ⋈ ΔD`` — the changed-dim term: ΔD's join keys are broadcast
+      and the old fact snapshot is scanned UNDER that broadcast hash
+      filter — with the fact clustered/bucketed on the join key this
+      prunes to the affected files, the same bounded-rescan story as
+      the MIN/MAX dirty groups. A dim update that moves a group key
+      (e.g. a customer changing nation) retracts the old group via the
+      pre-image row and credits the new one via the post-image, no
+      special casing.
+    * merge into the stored view keyed by the group columns.
+
+    Snapshot discipline (ADVICE r9): both target versions are pinned
+    from one ``_load_meta()`` read per table at refresh start; the old
+    fact side time-travels to the version the committed state claims.
+
+    Reference parity: none — the reference has no derived views; this
+    extends the beyond-reference matview family (module docstring) to
+    the join-shaped dashboards a warehouse actually serves."""
+
+    REBUILD_THRESHOLD = IncrementalAggView.REBUILD_THRESHOLD
+
+    def __init__(
+        self,
+        fact: Table,
+        dim: Table,
+        path: str,
+        *,
+        fact_key: str,
+        dim_key: str,
+        group_cols: list[str],
+        value_col: str,
+        aggs: tuple[str, ...] = ("count", "sum"),
+    ) -> None:
+        bad = [a for a in aggs if a not in ("count", "sum")]
+        if bad:
+            raise UnsupportedAggregateError(
+                f"unsupported join-view aggregate(s) {bad}: only the "
+                "invertible COUNT/SUM are join-maintainable; MIN/MAX "
+                "would need a cross-join dirty rescan (use a single-"
+                "table IncrementalAggView over a denormalized column, "
+                "or full_build on a schedule)"
+            )
+        self.fact, self.dim, self.path = fact, dim, path
+        self.fact_key, self.dim_key = fact_key, dim_key
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.aggs = tuple(dict.fromkeys(("count", *aggs)))
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    @property
+    def _state_file(self) -> str:
+        return os.path.join(self.path, "_mv_state.json")
+
+    def versions(self) -> tuple[int, int] | None:
+        if not os.path.exists(self._state_file):
+            return None
+        with open(self._state_file) as fh:
+            st = json.load(fh)
+        return int(st["fact_version"]), int(st["dim_version"])
+
+    KEEP_HISTORY = IncrementalAggView.KEEP_HISTORY
+
+    def _commit(self, df: DataFrame, vf: int, vd: int) -> None:
+        import shutil
+
+        tag = f"v{vf}_{vd}"
+        data_dir = os.path.join(self.path, tag)
+        df.write.mode("overwrite").parquet(data_dir)
+        tmp = self._state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"fact_version": vf, "dim_version": vd, "dir": tag}, fh
+            )
+        os.replace(tmp, self._state_file)
+        old = sorted(
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("v") and "_" in d and d != tag
+        )
+        for d in old[: max(0, len(old) - self.KEEP_HISTORY)]:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def df(self) -> DataFrame:
+        with open(self._state_file) as fh:
+            st = json.load(fh)
+        return self.fact.spark.read.parquet(
+            os.path.join(self.path, st["dir"])
+        )
+
+    # ------------------------------------------------------------ build
+
+    def _joined(self, fact_df: DataFrame, dim_df: DataFrame) -> DataFrame:
+        return fact_df.join(
+            dim_df, fact_df[self.fact_key] == dim_df[self.dim_key], "inner"
+        )
+
+    def _agg(self, joined: DataFrame) -> DataFrame:
+        exprs = [F.count(F.lit(1)).alias("n_rows")]
+        if "sum" in self.aggs:
+            exprs.append(
+                F.sum(F.col(self.value_col).cast("decimal(28,4)"))
+                .alias("_sum_dec")
+            )
+        return joined.groupBy(*self.group_cols).agg(*exprs)
+
+    def full_build(self) -> tuple[int, int]:
+        fmeta = self.fact._load_meta()
+        dmeta = self.dim._load_meta()
+        vf, vd = int(fmeta["version"]), int(dmeta["version"])
+        self._commit(
+            self._agg(
+                self._joined(
+                    self.fact._df_for_files(fmeta["files"]),
+                    self.dim._df_for_files(dmeta["files"]),
+                )
+            ),
+            vf,
+            vd,
+        )
+        return vf, vd
+
+    # ---------------------------------------------------------- refresh
+
+    _SIGNED = ("insert", "update_post")
+
+    def _signed(self, ch: DataFrame) -> DataFrame:
+        return ch.withColumn(
+            "_sign",
+            F.when(F.col("_change_type").isin(*self._SIGNED), F.lit(1))
+            .otherwise(F.lit(-1)),
+        )
+
+    def refresh(self, *, force_incremental: bool = False) -> tuple[int, int]:
+        st = self.versions()
+        if st is None:
+            return self.full_build()
+        vf0, vd0 = st
+        fmeta = self.fact._load_meta()
+        dmeta = self.dim._load_meta()
+        vf1, vd1 = int(fmeta["version"]), int(dmeta["version"])
+        if (vf1, vd1) == (vf0, vd0):
+            return st
+        if not force_incremental:
+            # same measured crossover policy as the single-table view:
+            # once the changefeeds' combined bytes reach 1/4 of the
+            # combined target snapshots, rebuild wins wall-clock
+            def _delta_and_base(table, meta, v_from):
+                hist = {h["version"]: h["files"] for h in meta.get("history", [])}
+                hist[int(meta["version"])] = meta["files"]
+                old = set(hist.get(v_from, ()))
+                new = set(hist.get(int(meta["version"]), ()))
+                fb = IncrementalAggView._files_bytes
+                return (
+                    fb(table.path, sorted(old ^ new)),
+                    fb(table.path, sorted(new)),
+                )
+
+            dfb, bfb = _delta_and_base(self.fact, fmeta, vf0)
+            ddb, bdb = _delta_and_base(self.dim, dmeta, vd0)
+            if (bfb + bdb) and (dfb + ddb) >= self.REBUILD_THRESHOLD * (
+                bfb + bdb
+            ):
+                return self.full_build()
+        contribs = []
+        if vf1 != vf0:
+            d_fact = self._signed(self.fact.changes(vf0, vf1, update_preimages=True))
+            contribs.append(
+                self._joined(d_fact, self.dim.df(version=vd1)).select(
+                    *self.group_cols, self.value_col, "_sign"
+                )
+            )
+        if vd1 != vd0:
+            d_dim = self._signed(self.dim.changes(vd0, vd1, update_preimages=True))
+            # broadcast the (delta-sized) dim changes under the old
+            # fact snapshot — the only fact read of the refresh, key-
+            # prunable when the fact is clustered on the join key
+            fact0 = self.fact.df(version=vf0)
+            contribs.append(
+                fact0.join(
+                    F.broadcast(d_dim),
+                    fact0[self.fact_key] == d_dim[self.dim_key],
+                    "inner",
+                ).select(*self.group_cols, self.value_col, "_sign")
+            )
+        delta = reduce(DataFrame.unionByName, contribs)
+        agg_exprs = [F.sum("_sign").alias("d_rows")]
+        if "sum" in self.aggs:
+            agg_exprs.append(
+                F.sum(
+                    F.col(self.value_col).cast("decimal(28,4)") * F.col("_sign")
+                ).alias("d_sum")
+            )
+        delta = delta.groupBy(*self.group_cols).agg(*agg_exprs)
+        cur = self.df()
+        cond = reduce(
+            lambda a, b: a & b,
+            [cur[c].eqNullSafe(delta[c]) for c in self.group_cols],
+        )
+        out_cols = [
+            F.coalesce(cur[c], delta[c]).alias(c) for c in self.group_cols
+        ]
+        out_cols.append(
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_rows"), F.lit(0))
+            ).alias("n_rows")
+        )
+        if "sum" in self.aggs:
+            zero = F.lit(0).cast("decimal(28,4)")
+            out_cols.append(
+                (
+                    F.coalesce(F.col("_sum_dec"), zero)
+                    + F.coalesce(F.col("d_sum"), zero)
+                ).cast("decimal(28,4)").alias("_sum_dec")
+            )
+        merged = (
+            cur.join(delta, cond, "full_outer")
+            .select(*out_cols)
+            .where(F.col("n_rows") > 0)
+            # freeze before the overwrite — the plan reads the current
+            # view dir, which _commit replaces
+            .localCheckpoint()
+        )
+        self._commit(merged, vf1, vd1)
+        return vf1, vd1
