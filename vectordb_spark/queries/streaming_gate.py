@@ -842,3 +842,186 @@ def mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------- incremental JOIN view (delta-join)
+
+_MV_JOIN_ORACLE = f"""
+WITH cust4 AS (
+    SELECT ck FROM (SELECT DISTINCT o_custkey AS ck FROM orders)
+    ORDER BY ck LIMIT 4
+),
+dels_c AS (SELECT ck FROM cust4 ORDER BY ck LIMIT 2),
+upds_c AS (SELECT ck FROM cust4 ORDER BY ck LIMIT 2 OFFSET 2),
+dels_o AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5),
+upds_o AS (
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 5
+),
+new_cust AS (
+    SELECT ck, ROW_NUMBER() OVER (ORDER BY ck) AS rn
+    FROM (SELECT ck FROM cust4 ORDER BY ck LIMIT 3)
+),
+maxk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+final_orders AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upds_o)
+                THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels_o)
+    UNION ALL
+    SELECT mk + rn, ck, CAST(11111 AS DOUBLE) FROM new_cust, maxk
+),
+final_cust AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey IN (SELECT ck FROM upds_c)
+                THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nation
+    FROM customer WHERE c_custkey NOT IN (SELECT ck FROM dels_c)
+)
+SELECT CAST(nation AS INT) AS nation,
+       COUNT(*) AS n_orders,
+       {O.dec_sum("price")} AS sum_price
+FROM final_orders o JOIN final_cust c ON o.o_custkey = c.c_custkey
+GROUP BY nation ORDER BY nation
+"""
+
+
+@query("mv_join_refresh", oracle=_MV_JOIN_ORACLE)
+def mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance from TWO engine changefeeds
+    (operators/matview.py IncrementalJoinAggView): a revenue-per-nation
+    view over orders JOIN customer is full-built, then BOTH tables
+    mutate — orders: 5 deletes, 5 price upserts, 3 new orders (one for
+    a customer deleted in the same window: the contribution must die
+    with the dim row); customer: 2 deletes and 2 nation-moving upserts
+    (group migration through pre-image retraction) — and ONE refresh
+    applies the delta-join rule dA JOIN D1 + A0 JOIN dD. The oracle
+    replays the whole mutation plan from raw parquet and computes the
+    join-aggregate from scratch, so a hash match proves the two-sided
+    algebra, the version-pinned snapshots, and the exact-decimal sum
+    merge in one row. 100 TB shape: refresh reads the two changefeeds
+    plus one key-pruned scan of the old fact snapshot under a broadcast
+    of the dim delta — never re-joins the full tables (see the operator
+    docstring's term-by-term cost)."""
+    from vectordb_spark.operators.matview import IncrementalJoinAggView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.table import Table
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_join_")
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders")
+
+    fschema = TableSchema(
+        name="jv_orders",
+        fields=[
+            FieldSchema(
+                name="o_orderkey", field_type=FieldType.INT8, primary_key=True
+            ),
+            FieldSchema(name="o_custkey", field_type=FieldType.INT8),
+            FieldSchema(name="o_totalprice", field_type=FieldType.DOUBLE),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    dschema = TableSchema(
+        name="jv_customer",
+        fields=[
+            FieldSchema(
+                name="c_custkey", field_type=FieldType.INT8, primary_key=True
+            ),
+            FieldSchema(name="c_nationkey", field_type=FieldType.INT4),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    zv = F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("v")
+    fact = Table(spark, fschema, os.path.join(work, "jv_orders"))
+    fact._init_storage()
+    fact.insert_df(ords.select("o_orderkey", "o_custkey", "o_totalprice", zv))
+    dim = Table(spark, dschema, os.path.join(work, "jv_customer"))
+    dim._init_storage()
+    dim.insert_df(cust.select("c_custkey", "c_nationkey", zv))
+
+    mv = IncrementalJoinAggView(
+        fact, dim, os.path.join(work, "mv"),
+        fact_key="o_custkey", dim_key="c_custkey",
+        group_cols=["c_nationkey"], value_col="o_totalprice",
+    )
+    mv.full_build()
+
+    # ---- the scripted mutation plan the oracle replays ----
+    okeys = [
+        r[0]
+        for r in ords.select("o_orderkey").orderBy("o_orderkey").limit(10).collect()
+    ]
+    upd_rows = (
+        ords.where(F.col("o_orderkey").isin(okeys[5:10]))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+    max_ok = ords.agg(F.max("o_orderkey")).first()[0]
+    cust4 = [
+        r[0]
+        for r in ords.select("o_custkey").distinct()
+        .orderBy("o_custkey").limit(4).collect()
+    ]
+    crows = (
+        cust.where(F.col("c_custkey").isin(cust4[2:4]))
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    )
+    fact.delete(primary_keys=okeys[:5])
+    fact.insert(
+        [
+            {
+                "o_orderkey": r["o_orderkey"],
+                "o_custkey": r["o_custkey"],
+                "o_totalprice": r["o_totalprice"] + 1000,
+                "v": [0.0, 0.0],
+            }
+            for r in upd_rows
+        ],
+        upsert=True,
+    )
+    fact.insert(
+        [
+            {
+                "o_orderkey": int(max_ok) + i + 1,
+                "o_custkey": int(ck),
+                "o_totalprice": float(11111),
+                "v": [0.0, 0.0],
+            }
+            for i, ck in enumerate(cust4[:3])
+        ]
+    )
+    dim.delete(primary_keys=[int(c) for c in cust4[:2]])
+    dim.insert(
+        [
+            {
+                "c_custkey": r["c_custkey"],
+                "c_nationkey": (int(r["c_nationkey"]) + 1) % 25,
+                "v": [0.0, 0.0],
+            }
+            for r in crows
+        ],
+        upsert=True,
+    )
+    mv.refresh(force_incremental=True)
+    out = (
+        mv.df()
+        .select(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("n_rows").alias("n_orders"),
+            F.col("_sum_dec").cast("double").alias("sum_price"),
+        )
+        .orderBy("nation")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
