@@ -479,6 +479,18 @@ def media_scene_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+    # The frame plan inherits the parquet scan's partitioning (ONE
+    # task for a small file), which would serialize the whole codec
+    # loop onto a single core. One cheap shuffle of (long, int) rows
+    # fans the Python stages out to every core; the partition count is
+    # pinned (repartition-by-column alone is a REPARTITION_BY_COL
+    # shuffle that AQE happily coalesces back to 1 for 62k tiny rows —
+    # the rows are tiny but the PER-ROW PYTHON COST is not, which
+    # byte-based coalescing cannot see). Hashing on media_id matches
+    # the lag-window's required distribution so no second shuffle
+    # appears before the window.
+    shp = int(plan.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    plan = plan.repartition(shp, F.col("media_id"))
 
     gen_schema = T.StructType(
         [
