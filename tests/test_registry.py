@@ -155,3 +155,16 @@ def test_window_is_vetted():
     from vectordb_spark.queries import WINDOW_VETTED
 
     assert set(ORACLE_WINDOW) <= WINDOW_VETTED
+
+
+def test_round11_queue_registered_with_oracles():
+    # round-10 additions awaiting driver rows: registered, oracled,
+    # and NOT yet in the window (rotation is a deliberate round-11
+    # act with documented evictions, not a side effect)
+    from vectordb_spark.queries import all_oracles
+
+    qs, os_ = all_queries(), all_oracles()
+    for name in ("table_ivf_sampled_train_search", "mv_join_refresh"):
+        assert name in qs, name
+        assert name in os_, f"{name} must be oracle-gated"
+        assert name not in ORACLE_WINDOW, f"{name} rotated in early"

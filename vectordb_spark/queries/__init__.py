@@ -281,9 +281,21 @@ ORACLE_WINDOW: tuple[str, ...] = (
 )
 
 # Round-11 rotation pre-plan (VERDICT r9 #7: keep the window hygiene).
-# The registry holds ~116 bench queries vs 50 oracle slots; with the
-# evidence-debt queue now EMPTY (round 10 rotated in the last unqueued
-# additions), future rotations only happen when NEW queries are built.
+# The registry holds ~118 bench queries vs 50 oracle slots.
+#
+# ROUND-11 QUEUE (built in round 10, dual-SF selfcheck-green, awaiting
+# driver rows — rotate into the window next round against the eviction
+# tier below):
+#   table_ivf_sampled_train_search — the SAMPLED trained-IVF lifecycle
+#     (VERDICT r9 missing #3): Knuth-hash train subset + full
+#     assignment + manifest round-trip + probe serving, all
+#     oracle-replayed; the production answer to the measured 14x
+#     full-corpus-trainer premium (SCALING.md "Sampled seeded-Lloyd").
+#   mv_join_refresh — two-sided incremental JOIN-view maintenance
+#     (delta-join rule dA JOIN D1 + A0 JOIN dD over both engine
+#     changefeeds, group migration via dim pre-image retraction);
+#     oracle replays the full two-table mutation plan from raw parquet.
+#
 # Next eviction tier, oldest multi-round greens first, each with an
 # in-window compile-path sibling:
 #   1. sketch_hll_distinct_users (G r6–r10?; sketch family keeps
