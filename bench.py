@@ -137,11 +137,19 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q16_part_supplier_counts",
+    # round-10 addition: serving cost of the SAMPLED trained-IVF
+    # lifecycle (build memoized under "lifecycle" like its full-corpus
+    # twin — the lifecycle map is where sampled-vs-full training cost
+    # shows up)
+    "table_ivf_sampled_train_search",
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
-    # the correctness gate carries them every round. cdc_changefeed_diff
-    # IS in (above): its lifecycle is memoized, so it times only the
-    # manifest diff — real plan cost.
+    # the correctness gate carries them every round. The mv_* gates
+    # (incremental/minmax/join refresh) stay out for the same reason:
+    # their wall time is scripted two-table mutation orchestration;
+    # refresh cost at scale is measured in SCALING.md's matview
+    # rehearsal. cdc_changefeed_diff IS in (above): its lifecycle is
+    # memoized, so it times only the manifest diff — real plan cost.
 ]
 
 _GIST: dict = {}
@@ -372,6 +380,62 @@ def _table_ivfpq_trained_search(spark, sf_dir):
     )
 
 
+def _table_ivf_sampled_train_search(spark, sf_dir):
+    """Bench variant of the sampled-trained gate: the lifecycle (bulk
+    insert -> 2-round Lloyd rebuild trained on the 1-in-4 hash subset)
+    is memoized; the recorded time is the manifest-served probe search
+    (identical serving path to the full-corpus twin — the trainer
+    saving shows up in the lifecycle map as sampled_ivf_rebuild vs
+    trained_ivf_rebuild)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.queries.core import load_table
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    if "sampled_ivf" not in _LIFECYCLE:
+        from vectordb_spark.queries.vector import _query_vector
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = _query_vector(spark, sf_dir)
+        schema = TableSchema(
+            name="sampled_ivf_emb",
+            fields=[
+                FieldSchema(
+                    name="vec_id", field_type=FieldType.INT8, primary_key=True
+                ),
+                FieldSchema(name="label", field_type=FieldType.STRING),
+                FieldSchema(
+                    name="embedding",
+                    field_type=FieldType.VECTOR_FLOAT,
+                    dimension=len(qv),
+                    metric="EUCLIDEAN",
+                ),
+            ],
+        )
+        work = _mkworkdir("vdb_bench_sampled_ivf_")
+
+        def _build():
+            t = Table(spark, schema, _os.path.join(work, "sampled_ivf_emb"))
+            t._init_storage()
+            t.insert_df(emb.orderBy("vec_id").coalesce(1))
+            t.rebuild(
+                "embedding", index_type="IVF", k=8, train="lloyd", rounds=2,
+                train_mod=4, train_keep=1,
+            )
+            return Table(spark, schema, _os.path.join(work, "sampled_ivf_emb"))
+
+        _LIFECYCLE["sampled_ivf"] = (
+            _timed_build("sampled_ivf_rebuild", _build), qv,
+        )
+    t2, qv = _LIFECYCLE["sampled_ivf"]
+    return t2.search_indexed_df(qv, limit=10, nprobe=3).select(
+        "vec_id", "label", F.col("_distance").alias("distance")
+    )
+
+
 def _table_clustered_compact_search(spark, sf_dir):
     """Bench variant of the clustered-base gate: the lifecycle (bulk
     insert -> lloyd clustered compact) is memoized; the recorded time
@@ -522,6 +586,7 @@ def main() -> None:
     qs["cdc_changefeed_diff"] = _cdc_changefeed_diff
     qs["table_ivf_trained_search"] = _table_ivf_trained_search
     qs["table_ivfpq_trained_search"] = _table_ivfpq_trained_search
+    qs["table_ivf_sampled_train_search"] = _table_ivf_sampled_train_search
     qs["knn_metric_ordering_parity"] = _knn_metric_ordering_parity
     qs["table_clustered_compact_search"] = _table_clustered_compact_search
     names = [n for n in HEADLINE if n in qs]
