@@ -164,7 +164,11 @@ def test_round11_queue_registered_with_oracles():
     from vectordb_spark.queries import all_oracles
 
     qs, os_ = all_queries(), all_oracles()
-    for name in ("table_ivf_sampled_train_search", "mv_join_refresh"):
+    for name in (
+        "table_ivf_sampled_train_search",
+        "mv_join_refresh",
+        "stream_matview_maintenance",
+    ):
         assert name in qs, name
         assert name in os_, f"{name} must be oracle-gated"
         assert name not in ORACLE_WINDOW, f"{name} rotated in early"

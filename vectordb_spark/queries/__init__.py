@@ -295,6 +295,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     (delta-join rule dA JOIN D1 + A0 JOIN dD over both engine
 #     changefeeds, group migration via dim pre-image retraction);
 #     oracle replays the full two-table mutation plan from raw parquet.
+#   stream_matview_maintenance — streaming view maintenance (the
+#     Materialize/ksqlDB class): three micro-batches foreachBatch-
+#     ingest into an engine table and the SAME sink advances a
+#     COUNT/SUM view by one incremental refresh per batch (version
+#     lineage asserted); oracle aggregates the raw source.
 #
 # Next eviction tier, oldest multi-round greens first, each with an
 # in-window compile-path sibling:

@@ -1025,3 +1025,136 @@ def mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------- streaming materialized-view maintenance
+
+_SMV_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {O.dec_sum("value")} AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("stream_matview_maintenance", oracle=_SMV_ORACLE)
+def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance — the Materialize/
+    ksqlDB capability class composed from two certified pieces: events
+    stream into an engine table in THREE micro-batches (foreachBatch →
+    manifest commit per batch, the S8 ingest path), and the SAME sink
+    advances a per-type COUNT/SUM IncrementalAggView by one
+    force-incremental refresh per batch — so the view is maintained
+    from each batch's changefeed as data lands, never rebuilt. The
+    gate asserts the view version advanced once per micro-batch (the
+    incrementality pin); the oracle aggregates the raw source, so the
+    hash match proves three chained delta merges reproduce the
+    from-scratch answer through the full stream→table→changefeed→view
+    path. 100 TB shape: per batch, refresh reads that batch's segment
+    (file-pruned manifest diff) + the |groups|-row stored view — view
+    freshness cost tracks batch size, not table size (the SCALING.md
+    matview-rehearsal bytes discipline, now driven by a live stream)."""
+    from vectordb_spark.operators.matview import IncrementalAggView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.table import Table
+
+    load_table(spark, sf_dir, "events")  # pins nanosAsLong
+
+    stream_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table_schema = TableSchema(
+        name="smv_events",
+        fields=[
+            FieldSchema(
+                name="event_id", field_type=FieldType.INT8, primary_key=True
+            ),
+            FieldSchema(name="event_type", field_type=FieldType.STRING),
+            FieldSchema(name="value", field_type=FieldType.DOUBLE),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = tempfile.mkdtemp(prefix="vdb_smv_")
+    ev = spark.read.schema(stream_schema).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+    # three stream files by event_id % 3, mtimes pinned so the file
+    # source delivers them as three ordered micro-batches
+    src = os.path.join(work, "stream_src")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = os.path.join(work, f"third{i}")
+        ev.where(f"event_id % 3 = {i}").coalesce(1).write.parquet(part_dir)
+        part = next(
+            n for n in os.listdir(part_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    t = Table(spark, table_schema, os.path.join(work, "smv_events"))
+    t._init_storage()
+    mv = IncrementalAggView(
+        t, os.path.join(work, "mv"), ["event_type"], "value"
+    )
+    mv.full_build()  # view exists BEFORE any data: v0, empty groups
+    versions: list[int] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t.insert_df(
+            batch_df.select(
+                "event_id",
+                "event_type",
+                "value",
+                F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("Emb"),
+            )
+        )
+        versions.append(mv.refresh(force_incremental=True))
+
+    q = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # incrementality pin: one view advance per micro-batch, strictly
+    # increasing — the view was never rebuilt from the full table
+    assert len(versions) == 3 and versions == sorted(set(versions)), versions
+    assert mv.version() == t._load_meta()["version"]
+
+    out = (
+        mv.df()
+        .select(
+            "event_type",
+            F.col("n_rows").alias("n_events"),
+            F.col("_sum_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
