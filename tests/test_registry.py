@@ -168,6 +168,7 @@ def test_round11_queue_registered_with_oracles():
         "table_ivf_sampled_train_search",
         "mv_join_refresh",
         "stream_matview_maintenance",
+        "vec_power_iteration_top_pc",
     ):
         assert name in qs, name
         assert name in os_, f"{name} must be oracle-gated"

@@ -300,6 +300,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     ingest into an engine table and the SAME sink advances a
 #     COUNT/SUM view by one incremental refresh per batch (version
 #     lineage asserted); oracle aggregates the raw source.
+#   vec_power_iteration_top_pc — top principal component by two power
+#     iterations, every cross-row accumulation on an integer grid so
+#     the data-dependent doubles feeding each iteration are
+#     order-free and engine-free; iterative distributed linear
+#     algebra as a hash-checked query.
 #
 # Next eviction tier, oldest multi-round greens first, each with an
 # in-window compile-path sibling:

@@ -563,3 +563,131 @@ def knn_metric_ordering_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("metric", "rank")
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------- top principal component (power iteration)
+
+_PC_ITERS = 2
+
+_PC_ORACLE = """
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+tall AS (
+    SELECT vec_id, t.pos - 1 AS pos,
+           CAST(embedding[t.pos] AS DOUBLE) AS val
+    FROM corpus, unnest(generate_series(1, len(embedding))) t(pos)
+),
+mu AS (
+    SELECT pos,
+           (CAST(SUM(CAST(floor(val * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1e12) / (SELECT COUNT(*) FROM corpus) AS m
+    FROM tall GROUP BY pos
+),
+s1 AS (
+    SELECT vec_id,
+           CAST(SUM(CAST(floor((val - m) * 1.0 * 1e9 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e9 AS s
+    FROM tall JOIN mu USING (pos) GROUP BY vec_id
+),
+w1 AS (
+    SELECT pos,
+           CAST(SUM(CAST(floor((val - m) * s * 1e8 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e8 AS w
+    FROM tall JOIN mu USING (pos) JOIN s1 USING (vec_id) GROUP BY pos
+),
+v1 AS (SELECT pos, w / (SELECT MAX(ABS(w)) FROM w1) AS v FROM w1),
+s2 AS (
+    SELECT vec_id,
+           CAST(SUM(CAST(floor((val - m) * v * 1e9 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e9 AS s
+    FROM tall JOIN mu USING (pos) JOIN v1 USING (pos) GROUP BY vec_id
+),
+w2 AS (
+    SELECT pos,
+           CAST(SUM(CAST(floor((val - m) * s * 1e8 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e8 AS w
+    FROM tall JOIN mu USING (pos) JOIN s2 USING (vec_id) GROUP BY pos
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       w / (SELECT MAX(ABS(w)) FROM w2) AS loading
+FROM w2 ORDER BY pos
+"""
+
+
+@query("vec_power_iteration_top_pc", oracle=_PC_ORACLE)
+def vec_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by TWO power
+    iterations — iterative distributed linear algebra as a checkable
+    query (the embedding-drift / whitening / ABA-decorrelation
+    primitive of a training-data pipeline, and the analytic twin of
+    the trainer loops: per iteration one corpus pass + a dim-sized
+    collect, exactly build_lloyd's cost shape with k=1).
+
+    Oracle-exact like vec_kmeans_one_round, one level harder because
+    every iteration feeds data-dependent DOUBLES into the next: each
+    accumulation is quantized to an integer grid first (means 1e-12,
+    row scores s_i = <x_i - mu, v> at 1e-9, loadings w_p at 1e-8), so
+    all sums are BIGINTs — order-free, partition-free, engine-free —
+    and the only float ops are per-value multiplies and ONE division
+    per derived quantity, identical IEEE in Spark, DuckDB, and the
+    driver. Normalization is by max-|component| (no sqrt), so v stays
+    exactly representable.
+
+    Scale shape: the gate keeps the tall posexplode plan (fixture
+    corpora; the kmeans-gate precedent — wide per-dim aggregates pay
+    seconds of codegen compile for zero win at this size); at 100 TB
+    the same algebra runs as 2·dim wide LONG aggregates with s_i
+    evaluated once per row (the build_lloyd rewrite, operators/ann.py
+    round-9 note). Driver state is dim doubles per iteration — the
+    same k·dim-collect pattern every trainer here uses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    tall = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+    mu_rows = tall.groupBy("pos").agg(
+        F.sum(F.floor(F.col("val") * 1e12 + F.lit(0.5)).cast("bigint")).alias("g")
+    ).collect()
+    dim = len(mu_rows)
+    mu = {int(r["pos"]): (int(r["g"]) / 1e12) / n for r in mu_rows}
+    mu_lit = F.array(*[F.lit(mu[p]) for p in range(dim)])
+    m_col = F.element_at(mu_lit, F.col("pos") + 1)
+
+    v = [1.0] * dim
+    for _ in range(_PC_ITERS):
+        v_lit = F.array(*[F.lit(x) for x in v])
+        s_df = (
+            tall.withColumn(
+                "_t",
+                F.floor(
+                    (F.col("val") - m_col)
+                    * F.element_at(v_lit, F.col("pos") + 1)
+                    * 1e9
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("_t").alias("sint"))
+        )
+        w_rows = (
+            tall.join(s_df, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("val") - m_col)
+                        * (F.col("sint").cast("double") / 1e9)
+                        * 1e8
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("wint")
+            )
+            .collect()
+        )
+        w = {int(r["pos"]): int(r["wint"]) / 1e8 for r in w_rows}
+        wmax = max(abs(x) for x in w.values())
+        v = [w[p] / wmax for p in range(dim)]
+
+    return spark.createDataFrame(
+        [(p, v[p]) for p in range(dim)], "pos long, loading double"
+    ).orderBy("pos")
