@@ -566,3 +566,29 @@ def test_join_view_rejects_minmax(fact_dim):
             group_cols=["region"], value_col="amount",
             aggs=("count", "min"),
         )
+
+
+def test_join_view_small_base_delegates_to_rebuild(fact_dim, monkeypatch):
+    # SCALING.md r10: on a small (page-cache-sized) base, rebuild wins
+    # wall-clock at EVERY delta size; refresh() self-applies that
+    # unless force_incremental opts out.
+    fact, dim, mv = fact_dim
+    mv.full_build()
+    fact.insert([{"oid": 99, "cid": 1, "amount": 5, "v": [0.0, 0.0]}])
+    calls = []
+    orig = type(mv).full_build
+
+    def _spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(type(mv), "full_build", _spy)
+    mv.refresh()  # tiny base -> delegation
+    assert calls, "small-base refresh must delegate to full_build"
+    assert _jrows(mv) == _join_truth(fact, dim)
+    # opt-out takes the incremental path
+    fact.insert([{"oid": 98, "cid": 2, "amount": 6, "v": [0.0, 0.0]}])
+    calls.clear()
+    mv.refresh(force_incremental=True)
+    assert not calls
+    assert _jrows(mv) == _join_truth(fact, dim)

@@ -374,6 +374,17 @@ class IncrementalJoinAggView:
 
     REBUILD_THRESHOLD = IncrementalAggView.REBUILD_THRESHOLD
 
+    # Measured (SCALING.md "Incremental JOIN-view refresh vs rebuild at
+    # 20M x 200k"): on a page-cached 65 MB base, full rebuild beat
+    # refresh at EVERY delta size — the join refresh's fixed floor (two
+    # changefeed plans + signed union + full_outer merge + commit,
+    # ~2 s) exceeds a cached broadcast-join+agg. Refresh's win is
+    # BYTES-READ on bases too big to cache; below this base size the
+    # bytes can't matter, so refresh() self-applies the measured
+    # winner. force_incremental=True opts out (tests, bytes-objective
+    # callers).
+    SMALL_BASE_BYTES = 256 << 20
+
     def __init__(
         self,
         fact: Table,
@@ -514,6 +525,10 @@ class IncrementalJoinAggView:
 
             dfb, bfb = _delta_and_base(self.fact, fmeta, vf0)
             ddb, bdb = _delta_and_base(self.dim, dmeta, vd0)
+            # small-base delegation (see SMALL_BASE_BYTES) and the
+            # shared delta-ratio crossover, both metadata-only checks
+            if (bfb + bdb) < self.SMALL_BASE_BYTES:
+                return self.full_build()
             if (bfb + bdb) and (dfb + ddb) >= self.REBUILD_THRESHOLD * (
                 bfb + bdb
             ):
