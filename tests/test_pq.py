@@ -459,3 +459,45 @@ def test_pq_fit_hash_sample_is_order_free(spark):
         m=2, k=4, seed=3, train_size=128, sample_mode="id_order"
     ).fit(df, "embedding", id_col="vec_id")
     assert old.codebook != fwd.codebook
+
+
+def test_fit_residual_lloyd_sampled_subset(spark):
+    """Sampled fine-tier training (r10): train_mod/train_keep restrict
+    seeds + round aggregates to the Knuth-hash subset; the codebook
+    equals fit_residual_lloyd run on exactly that subset, and serving
+    (codes_residual) still encodes every row."""
+    import numpy as np
+
+    from vectordb_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = IVFIndex(k=2, seed=1)
+    indexed = ivf.build_lloyd(df, "embedding", rounds=1, id_col="vec_id")
+    mod, keep = 4, 1
+
+    a = PQ.ResidualPQIndex(m=2, k=4, seed=3).fit_residual_lloyd(
+        ivf, indexed, "embedding", rounds=2, id_col="vec_id",
+        train_mod=mod, train_keep=keep,
+    )
+    # twin: hand-filter the corpus to the hash subset, train full
+    sub = indexed.where(
+        (F.col("vec_id") * IVFIndex.TRAIN_HASH_MULT) % mod < keep
+    )
+    b = PQ.ResidualPQIndex(m=2, k=4, seed=3).fit_residual_lloyd(
+        ivf, sub, "embedding", rounds=2, id_col="vec_id"
+    )
+    assert a.codebook == b.codebook
+    # differs from the full-corpus codebook; serving covers all rows
+    c = PQ.ResidualPQIndex(m=2, k=4, seed=3).fit_residual_lloyd(
+        ivf, indexed, "embedding", rounds=2, id_col="vec_id"
+    )
+    assert a.codebook != c.codebook
+    assert a.codes_residual(indexed, "embedding").count() == len(rows)
+    with pytest.raises(ValueError):
+        PQ.ResidualPQIndex(m=2, k=4).fit_residual_lloyd(
+            ivf, indexed, "embedding", id_col="vec_id", train_mod=4
+        )

@@ -501,6 +501,8 @@ class ResidualPQIndex(PQIndex):
     def fit_residual_lloyd(
         self, ivf, indexed, vec_col: str, *, rounds: int = 2,
         id_col: str = "_row_id",
+        train_mod: int | None = None,
+        train_keep: int | None = None,
     ) -> "ResidualPQIndex":
         """Oracle-replayable trained fine quantizer — the PQ twin of
         ``IVFIndex.build_lloyd``. Seeds are the residual-grid
@@ -521,10 +523,20 @@ class ResidualPQIndex(PQIndex):
         by M. The collected codebook is M·K·sub ints of driver state.
         The numpy sample trainer (``fit_residual``) remains the
         quality-first default; this trainer exists so the TRAINED
-        IVF_PQ lifecycle is driver-checkable end-to-end."""
+        IVF_PQ lifecycle is driver-checkable end-to-end.
+
+        ``train_mod``/``train_keep`` (both or neither) restrict seeds
+        and the per-round aggregates to the same deterministic
+        Knuth-hash subset as ``IVFIndex.build_lloyd`` — serving
+        (``codes_residual``/ADC) always covers every row, and the
+        filter is SQL-replayable int64 arithmetic."""
         from pyspark.sql import functions as F
 
+        from vectordb_spark.operators.ann import IVFIndex
+
         assert ivf.centroids is not None, "IVFIndex.build() first"
+        if (train_mod is None) != (train_keep is None):
+            raise ValueError("set both train_mod and train_keep, or neither")
         self.coarse_centroids = ivf.centroids
         dim = len(ivf.centroids[0])
         assert dim % self.m == 0, f"m={self.m} must divide dim={dim}"
@@ -536,6 +548,12 @@ class ResidualPQIndex(PQIndex):
             )
             .select(id_col, F.expr(grid_s).alias("_g"))
         )
+        if train_mod is not None:
+            g = g.where(
+                (F.col(id_col).cast("bigint") * F.lit(IVFIndex.TRAIN_HASH_MULT))
+                % F.lit(train_mod)
+                < F.lit(train_keep)
+            )
         seed_rows = g.orderBy(id_col).limit(self.k).collect()
         assert len(seed_rows) == self.k, (
             f"need >= {self.k} rows to seed {self.k} codewords"

@@ -1544,7 +1544,8 @@ class Table:
                 # SQL oracle can audit the full trained IVF_PQ
                 # lifecycle (queries/ann.py table_ivfpq_trained_search)
                 pqi.fit_residual_lloyd(
-                    idx, assigned, field, rounds=rounds, id_col="_row_id"
+                    idx, assigned, field, rounds=rounds, id_col="_row_id",
+                    train_mod=train_mod, train_keep=train_keep,
                 )
             else:
                 pqi.fit_residual(idx, assigned, field, id_col="_row_id")
