@@ -173,6 +173,19 @@ def media_wav_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import vectordb_spark.operators.multimodal as MM
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan the per-row Python WAV-container loop out of the single-file
+    # scan partition (pinned count - AQE coalesces a column-only
+    # repartition of tiny rows right back, blind to per-row Python
+    # cost). A/B at sf0.1 (warm, one session each): wav 1.41->0.96s.
+    # The pgm/ahash twins KEEP the single-partition scan: their codec
+    # loops are ~10x cheaper per row and the same shuffle measured as a
+    # net LOSS there (0.78->1.02s, 1.23->1.73s) - fan-out pays only
+    # when per-row Python cost x rows dominates the shuffle+schedule
+    # overhead, as in the scene-change gate (62k frames, 5.5->2.0s).
+    d = d.repartition(
+        int(d.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        F.col("doc_id"),
+    )
 
     gen_schema = T.StructType(
         [
