@@ -305,6 +305,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     the data-dependent doubles feeding each iteration are
 #     order-free and engine-free; iterative distributed linear
 #     algebra as a hash-checked query.
+#   table_ivfpq_sampled_train_search — the sampled-training story at
+#     the real serving shape: BOTH quantizer tiers train on the hash
+#     subset, every row assigned + residual-encoded, stored-code ADC
+#     serving; the whole composite oracle-replayed.
 #
 # Next eviction tier, oldest multi-round greens first, each with an
 # in-window compile-path sibling:

@@ -940,12 +940,14 @@ _PQT_KC = 16        # ResidualPQIndex default k (codewords per subspace)
 _PQT_REFINE = 64    # search_indexed_df: max(4*limit, 64) at limit=10
 
 
-def _pq_lloyd_round_sql(prev: str, out: str, n: int) -> str:
+def _pq_lloyd_round_sql(prev: str, out: str, n: int, sv: str = "sv") -> str:
     """One per-subspace Lloyd round as CTE text, integer domain:
     assign each residual-grid subvector to the argmin of the exact
     int L2 (ties to the lowest codeword id) + half-up integer means +
     empty-codeword carry-forward — the DuckDB twin of
-    ResidualPQIndex.fit_residual_lloyd's round."""
+    ResidualPQIndex.fit_residual_lloyd's round. ``sv`` names the
+    TRAINING subvector relation (the full corpus, or the hash-sampled
+    subset for the sampled trainer)."""
     from vectordb_spark.operators import pq as PQ
 
     d = PQ._duck_int_l2("v.sv", "s.cent")
@@ -956,7 +958,7 @@ pa{n} AS (
                ROW_NUMBER() OVER (
                    PARTITION BY v.vec_id, v.mi ORDER BY {d}, s.code
                ) AS rn
-        FROM sv v JOIN {prev} s ON s.mi = v.mi
+        FROM {sv} v JOIN {prev} s ON s.mi = v.mi
     ) WHERE rn = 1
 ),
 pm{n} AS (
@@ -1223,6 +1225,212 @@ def table_clustered_compact_search(spark: SparkSession, sf_dir: str) -> DataFram
             *[
                 l2_squared(F.col("embedding"), vector_literal(c))
                 for c in layout["centroids"]
+            ]
+        )
+        out = (
+            res.withColumn(
+                "cluster",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"),
+            )
+            .select(
+                "vec_id",
+                "label",
+                "cluster",
+                F.col("_distance").alias("distance"),
+            )
+            .localCheckpoint()  # materialize before the warehouse dies
+        )
+        return out
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------- SAMPLED-trained IVF_PQ via the table path
+#
+# The sampled-training story end-to-end at the reference's real serving
+# shape: BOTH quantizer tiers train on the Knuth-hash subset
+# (rebuild(train_mod, train_keep) plumbs the filter to build_lloyd AND
+# fit_residual_lloyd), every row still gets assigned + residual-encoded,
+# and serving is stored-code ADC through a fresh Table. The oracle
+# replays the sampled coarse rounds, the full assignment, the residual
+# grid, the sampled per-subspace rounds, the full stored-code
+# assignment, probe choice, ADC, refine cut, and exact re-rank.
+
+
+def _sampled_ivfpq_oracle() -> str:
+    from vectordb_spark.operators import pq as PQ
+
+    coarse = "".join(
+        "," + _lloyd_round_sql(f"c{i}", f"c{i + 1}", i + 1, corpus="corpus_train")
+        for i in range(_TRN_ROUNDS)
+    )
+    cf = f"c{_TRN_ROUNDS}"
+    pq_rounds = "".join(
+        "," + _pq_lloyd_round_sql(f"p{i}", f"p{i + 1}", i + 1, sv="sv_train")
+        for i in range(_TRN_ROUNDS)
+    )
+    pf = f"p{_TRN_ROUNDS}"
+    sub = 64 // _PQT_M
+    d_assign = O.duck_l2_sq("e.embedding", "s.cent")
+    d_probe = O.duck_l2_sq("q.qv", "s.cent")
+    d_code = PQ._duck_int_l2("v.sv", "s.cent")
+    res_grid = (
+        "list_transform(list_zip({v}, s.cent), "
+        "p -> (floor((CAST(p[1] AS DOUBLE) - p[2]) * 200.0 + 0.5))::BIGINT)"
+    )
+    adc_term = PQ._duck_int_l2(
+        f"list_slice(qr.qg, f.mi * {sub} + 1, f.mi * {sub} + {sub})",
+        "cw.cent",
+    )
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, label, embedding FROM embeddings
+),
+corpus_train AS (
+    SELECT * FROM corpus
+    WHERE (vec_id * {_SMP_MULT}) % {_SMP_MOD} < {_SMP_KEEP}
+),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+    FROM corpus_train ORDER BY vec_id LIMIT {_TRN_K}
+){coarse},
+q AS (SELECT embedding AS qv FROM corpus WHERE vec_id = 0),
+probes AS (
+    SELECT cluster FROM (
+        SELECT s.cluster, {d_probe} AS d FROM {cf} s CROSS JOIN q
+    ) ORDER BY d, cluster LIMIT {_TRN_NPROBE}
+),
+asg AS (
+    SELECT vec_id, label, embedding, cluster FROM (
+        SELECT e.vec_id, e.label, e.embedding, s.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id ORDER BY {d_assign}, s.cluster
+               ) AS rn
+        FROM corpus e CROSS JOIN {cf} s
+    ) WHERE rn = 1
+),
+res AS (
+    SELECT a.vec_id, a.label, a.embedding, a.cluster,
+           {res_grid.format(v="a.embedding")} AS g
+    FROM asg a JOIN {cf} s ON s.cluster = a.cluster
+),
+sv AS (
+    SELECT vec_id, t.mi,
+           list_slice(g, t.mi * {sub} + 1, t.mi * {sub} + {sub}) AS sv
+    FROM res, (SELECT UNNEST(range(0, {_PQT_M})) AS mi) t
+),
+sv_train AS (
+    SELECT * FROM sv
+    WHERE (vec_id * {_SMP_MULT}) % {_SMP_MOD} < {_SMP_KEEP}
+),
+p0 AS (
+    SELECT mi, rn - 1 AS code, sv AS cent FROM (
+        SELECT mi, sv,
+               ROW_NUMBER() OVER (PARTITION BY mi ORDER BY vec_id) AS rn
+        FROM sv_train
+    ) WHERE rn <= {_PQT_KC}
+){pq_rounds},
+fcode AS (
+    SELECT vec_id, mi, code FROM (
+        SELECT v.vec_id, v.mi, s.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.mi ORDER BY {d_code}, s.code
+               ) AS rn
+        FROM sv v JOIN {pf} s ON s.mi = v.mi
+    ) WHERE rn = 1
+),
+qres AS (
+    SELECT s.cluster AS cell, {res_grid.format(v="q.qv")} AS qg
+    FROM {cf} s CROSS JOIN q
+    WHERE s.cluster IN (SELECT cluster FROM probes)
+),
+adc AS (
+    SELECT r.vec_id, SUM({adc_term}) AS adc_d
+    FROM res r
+    JOIN qres qr ON qr.cell = r.cluster
+    JOIN fcode f ON f.vec_id = r.vec_id
+    JOIN {pf} cw ON cw.mi = f.mi AND cw.code = f.code
+    GROUP BY r.vec_id
+),
+refined AS (
+    SELECT r.vec_id, r.label, r.embedding, r.cluster
+    FROM adc a JOIN res r ON r.vec_id = a.vec_id
+    ORDER BY a.adc_d, a.vec_id
+    LIMIT {_PQT_REFINE}
+)
+SELECT vec_id, label, cluster,
+       {O.duck_l2_sq("refined.embedding", "q.qv")} AS distance
+FROM refined CROSS JOIN q
+ORDER BY distance, vec_id
+LIMIT 10
+"""
+
+
+@query("table_ivfpq_sampled_train_search", oracle=_sampled_ivfpq_oracle())
+def table_ivfpq_sampled_train_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED dual-tier trained IVF_PQ lifecycle through the engine
+    table: ``rebuild(index_type="IVF_PQ", train="lloyd", train_mod=4,
+    train_keep=1)`` trains the coarse cells AND the per-subspace
+    residual codebooks on the ~25% Knuth-hash subset, assigns and
+    residual-encodes EVERY row against them, persists both tiers +
+    the hash filter in the manifest, and a fresh Table serves
+    probe-pruned ADC over the stored 4-byte codes with the exact
+    re-rank. One hash match certifies that sampling both trainers
+    (the production configuration — see SCALING.md "Sampled
+    seeded-Lloyd": sampling eliminates the training-round cost term)
+    keeps the ENTIRE composite auditable from raw parquet, which no
+    library `.sample()` trainer can offer. Serving shape identical to
+    table_ivfpq_trained_search (X1-X3, table_mvp.cpp:94-203)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vectordb_spark.queries.vector import _query_vector
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    schema = TableSchema(
+        name="sampled_ivfpq_emb",
+        fields=[
+            FieldSchema(name="vec_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="label", field_type=FieldType.STRING),
+            FieldSchema(
+                name="embedding",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=len(qv),
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = _tempfile.mkdtemp(prefix="vdb_sampled_ivfpq_")
+    try:
+        import os as _os
+
+        t = Table(spark, schema, _os.path.join(work, "sampled_ivfpq_emb"))
+        t._init_storage()
+        # single ordered partition → _row_id == vec_id: both trainers'
+        # hash filters and seed picks line up with the oracle's vec_id
+        # arithmetic exactly
+        t.insert_df(emb.orderBy("vec_id").coalesce(1))
+        t.rebuild(
+            "embedding", index_type="IVF_PQ", k=_TRN_K, train="lloyd",
+            rounds=_TRN_ROUNDS, train_mod=_SMP_MOD, train_keep=_SMP_KEEP,
+        )
+        t2 = Table(spark, schema, _os.path.join(work, "sampled_ivfpq_emb"))
+        info = t2._load_meta()["indexes"]["embedding"]
+        assert info["train_mod"] == _SMP_MOD and info["type"] == "IVF_PQ"
+        assert info["pq_residual"] and len(info["pq_codebook"]) == _PQT_M
+        res = t2.search_indexed_df(qv, limit=10, nprobe=_TRN_NPROBE)
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        dists = F.array(
+            *[
+                l2_squared(F.col("embedding"), vector_literal(c))
+                for c in info["centroids"]
             ]
         )
         out = (
