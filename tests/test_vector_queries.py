@@ -59,3 +59,41 @@ def test_kmeans_one_round_seeds_claim_own_cluster(spark):
     # recomputed means must be finite and within the data's value range
     assert all(math.isfinite(r["avgv"]) for r in rows)
     assert len(seeds) == _KM_K
+
+
+def test_power_iteration_recovers_planted_direction(spark, tmp_path):
+    """vec_power_iteration_top_pc math check: on a corpus with one
+    dominant variance direction, two power iterations must align the
+    loading vector with it (|cos| > 0.99). The gate pins cross-engine
+    bit-equality; this pins that the algebra computes an actual top PC."""
+    import numpy as np
+
+    from vectordb_spark.queries.vector import vec_power_iteration_top_pc
+
+    rng = np.random.default_rng(17)
+    dim = 8
+    u = np.zeros(dim)
+    u[2], u[5] = 0.8, -0.6  # planted unit direction
+    n = 400
+    X = (
+        rng.normal(size=(n, 1)) * 5.0 * u[None, :]  # dominant axis
+        + rng.normal(size=(n, dim)) * 0.2           # isotropic noise
+        + 3.0                                        # nonzero mean
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(str(sf / "embeddings.parquet"))
+
+    out = vec_power_iteration_top_pc(spark, str(sf))
+    v = np.array([r["loading"] for r in out.orderBy("pos").collect()])
+    cos = abs(float(v @ u) / (np.linalg.norm(v) * np.linalg.norm(u)))
+    assert cos > 0.99, (cos, v)
+    # deterministic: second run bit-identical
+    v2 = np.array(
+        [r["loading"] for r in
+         vec_power_iteration_top_pc(spark, str(sf)).orderBy("pos").collect()]
+    )
+    assert (v == v2).all()
