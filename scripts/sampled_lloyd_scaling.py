@@ -6,7 +6,7 @@ Run alone (idle machine — see verify-skill gotchas):
 Round 9 measured the full-corpus oracle-replayable coarse trainer at
 ~14x MLlib KMeans (SCALING.md "Replayable seeded-Lloyd trainers");
 round 10 added train_mod/train_keep (operators/ann.py build_lloyd): a
-deterministic Knuth-hash filter restricts seeds and the per-round mean
+deterministic prime-mod hash filter restricts seeds and the per-round mean
 aggregates to ~keep/mod of the corpus while the final assignment still
 covers every row — and the filter is plain int64 arithmetic, so the
 table_ivfpq/ivf gate oracles replay the SAMPLED trainer bit-exactly
@@ -110,7 +110,7 @@ def main() -> None:
             N
             if mod is None
             else df.where(
-                (F.col("vec_id") * F.lit(IVFIndex.TRAIN_HASH_MULT)) % F.lit(mod)
+                F.expr(IVFIndex.train_hash_sql("vec_id")) % F.lit(mod)
                 < F.lit(keep)
             ).count()
         )

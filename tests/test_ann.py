@@ -356,7 +356,7 @@ def test_rebuild_lloyd_manifest_roundtrip(spark, tmp_path):
 
 def test_build_lloyd_sampled_training_subset(spark):
     """Sampled seeded-Lloyd (r10): train_mod/train_keep restrict seeds
-    and the per-round mean aggregates to the deterministic Knuth-hash
+    and the per-round mean aggregates to the deterministic prime-mod hash
     subset, the FINAL assignment still covers every row, and the whole
     thing equals a hand-run Lloyd over exactly that subset — the
     invariant the table_ivf_sampled_train_search oracle replays."""
@@ -370,9 +370,8 @@ def test_build_lloyd_sampled_training_subset(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     mod, keep = 4, 1
-    train_ids = [
-        i for i, _ in rows if (i * IVFIndex.TRAIN_HASH_MULT) % mod < keep
-    ]
+    P, H = IVFIndex.TRAIN_HASH_PRIME, IVFIndex.TRAIN_HASH_MULT
+    train_ids = [i for i, _ in rows if ((i % P) * H) % P % mod < keep]
     assert 0 < len(train_ids) < len(rows)
 
     a = IVFIndex(k=4, seed=1)

@@ -67,6 +67,9 @@ def test_unrolled_null_parity_on_short_and_null_arrays(spark, metric):
         (1, [1.0, 2.0]),             # short
         (2, []),                     # empty
         (3, None),                   # null array
+        (4, [1.0, 2.0, 3.0, 4.0, 5.0]),  # OVER-length: fold pads the
+        # query side with NULL -> NULL; the unrolled form's size guard
+        # must match instead of summing the first len(q) dims
     ]
     df = spark.createDataFrame(rows, "vec_id long, v array<float>")
     q = [0.5, -1.5, 2.5, 0.25]
@@ -85,6 +88,7 @@ def test_unrolled_null_parity_on_short_and_null_arrays(spark, metric):
         ).collect()
     }
     assert fold[1] is None and fold[2] is None and fold[3] is None
+    assert fold[4] is None
     for k in fold:
         if fold[k] is None:
             assert unrolled[k] is None, (k, unrolled[k])

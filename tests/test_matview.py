@@ -592,3 +592,18 @@ def test_join_view_small_base_delegates_to_rebuild(fact_dim, monkeypatch):
     mv.refresh(force_incremental=True)
     assert not calls
     assert _jrows(mv) == _join_truth(fact, dim)
+
+
+def test_join_view_dir_pruning_is_numeric(fact_dim, spark):
+    # version tags must prune by numeric (vf, vd), not string order:
+    # lexicographically "v9_3" > "v10_3", which deleted the
+    # just-superseded dir (breaking the in-flight-reader guarantee)
+    # and leaked the truly old one forever
+    import os
+
+    fact, dim, mv = fact_dim
+    df = spark.createDataFrame([("e", 1, 1.0)], "region string, n_rows long, _sum_dec double")
+    for vf in (9, 10, 11):
+        mv._commit(df, vf, 3)
+    dirs = sorted(d for d in os.listdir(mv.path) if d.startswith("v"))
+    assert dirs == ["v10_3", "v11_3"], dirs

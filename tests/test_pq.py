@@ -463,7 +463,7 @@ def test_pq_fit_hash_sample_is_order_free(spark):
 
 def test_fit_residual_lloyd_sampled_subset(spark):
     """Sampled fine-tier training (r10): train_mod/train_keep restrict
-    seeds + round aggregates to the Knuth-hash subset; the codebook
+    seeds + round aggregates to the prime-mod hash subset; the codebook
     equals fit_residual_lloyd run on exactly that subset, and serving
     (codes_residual) still encodes every row."""
     import numpy as np
@@ -485,7 +485,7 @@ def test_fit_residual_lloyd_sampled_subset(spark):
     )
     # twin: hand-filter the corpus to the hash subset, train full
     sub = indexed.where(
-        (F.col("vec_id") * IVFIndex.TRAIN_HASH_MULT) % mod < keep
+        F.expr(IVFIndex.train_hash_sql("vec_id")) % mod < keep
     )
     b = PQ.ResidualPQIndex(m=2, k=4, seed=3).fit_residual_lloyd(
         ivf, sub, "embedding", rounds=2, id_col="vec_id"

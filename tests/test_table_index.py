@@ -368,3 +368,33 @@ def test_refresh_index_refuses_residual_convention_mismatch(table):
     table.rebuild("Embedding", index_type="IVF_PQ", k=4)
     table.insert([{"ID": 901, "Embedding": [9.1, 9.1, 9.1, 9.1]}])
     assert table.refresh_index("Embedding")["appendedRecords"] >= 1
+
+
+def test_refresh_index_probes_untagged_manifest(table):
+    """An UNTAGGED residual manifest (pre-tag build) is ambiguous, not
+    wrong: refresh_index re-encodes a sample of already-indexed rows
+    under the current convention and compares with the STORED codes —
+    a byte match adopts the tag and the refresh proceeds; a mismatch
+    (here: a corrupted codebook makes every re-encode diverge) rejects."""
+    from vectordb_spark.schema import VectorDBError
+
+    table.rebuild("Embedding", index_type="IVF_PQ", k=4)
+    meta = table._load_meta()
+    del meta["indexes"]["Embedding"]["pq_residual_convention"]
+    table._save_meta(meta)
+    table.insert([{"ID": 900, "Embedding": [9.0, 9.0, 9.0, 9.0]}])
+    assert table.refresh_index("Embedding")["appendedRecords"] == 1
+    info = table._load_meta()["indexes"]["Embedding"]
+    assert info["pq_residual_convention"] == "double-v2"  # tag adopted
+
+    # untagged AND incompatible: swap every codeword pair in subspace 0
+    # so each stored code's re-encode lands on a different index
+    meta = table._load_meta()
+    idx = meta["indexes"]["Embedding"]
+    idx["pq_residual_convention"] = None
+    cb0 = idx["pq_codebook"][0]
+    idx["pq_codebook"][0] = [cb0[1], cb0[0], cb0[3], cb0[2]]
+    table._save_meta(meta)
+    table.insert([{"ID": 901, "Embedding": [9.2, 9.2, 9.2, 9.2]}])
+    with pytest.raises(VectorDBError, match="convention"):
+        table.refresh_index("Embedding")

@@ -77,10 +77,14 @@ def l2_squared_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
     are the right default — flip the call sites in operators/knn.py /
     table.py when the deployment's row counts justify it (the fold and
     the unrolled form are bit-interchangeable by construction —
-    including on MALFORMED rows: try_element_at yields NULL on arrays
-    shorter than the query, exactly like the zip_with fold, where
-    plain element_at would raise INVALID_ARRAY_INDEX under Spark 4
-    ANSI mode and kill the query; ADVICE r9)."""
+    including on MALFORMED rows, BOTH directions: try_element_at
+    yields NULL on arrays SHORTER than the query, exactly like the
+    zip_with fold — plain element_at would raise INVALID_ARRAY_INDEX
+    under Spark 4 ANSI mode and kill the query (ADVICE r9) — and the
+    size()-equality guard yields NULL on arrays LONGER than the query,
+    where the fold's zip_with pads the query side with NULL but a bare
+    unrolled chain would silently sum only the first len(q) dims and
+    return a finite distance the fold never produces)."""
     q = [float(x) for x in q]
     if len(q) > UNROLL_MAX_DIM:
         return l2_squared(a, vector_literal(q))
@@ -89,7 +93,7 @@ def l2_squared_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
     for i, v in enumerate(q):
         d = _dz(F.try_element_at(c, F.lit(i + 1))) - F.lit(v)
         terms.append(d * d)
-    return _unrolled_sum(terms)
+    return F.when(F.size(c) == F.lit(len(q)), _unrolled_sum(terms))
 
 
 def dot_product_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
@@ -99,11 +103,14 @@ def dot_product_lit(a: ColumnOrName, q: Sequence[float]) -> Column:
     if len(q) > UNROLL_MAX_DIM:
         return dot_product(a, vector_literal(q))
     c = _c(a)
-    return _unrolled_sum(
-        [
-            _dz(F.try_element_at(c, F.lit(i + 1))) * F.lit(v)
-            for i, v in enumerate(q)
-        ]
+    return F.when(
+        F.size(c) == F.lit(len(q)),
+        _unrolled_sum(
+            [
+                _dz(F.try_element_at(c, F.lit(i + 1))) * F.lit(v)
+                for i, v in enumerate(q)
+            ]
+        ),
     )
 
 

@@ -178,11 +178,32 @@ class IVFIndex:
         self._compute_build_stats(out, vec_col)
         return out
 
-    # Knuth multiplicative constant for the oracle-replayable sampled
-    # trainer: both Spark and DuckDB evaluate (id * H) % mod in exact
-    # int64 arithmetic, so the training subset is the same row set in
-    # both engines with no RNG involved.
+    # Oracle-replayable sampled-trainer hash: h(id) = ((id % P) · H)
+    # % P with P = 2^31−1 (Mersenne prime) and H the Knuth multiplier;
+    # the subset filter is h(id) % train_mod < train_keep.
+    # Why this exact form:
+    # * overflow-free for EVERY int64 id — (id % P) < 2^31 times H <
+    #   2^32 stays under 2^63, so Spark ANSI mode never raises and
+    #   DuckDB computes the identical value (a bare id·H overflows
+    #   past id ≈ 3.5e9, exactly the 100 TB regime this exists for);
+    # * genuinely mixing — multiplication modulo a PRIME scrambles
+    #   residue classes, where (id·H) % m alone is a bijection on
+    #   id % m (i.e. a stride sample in disguise: a corpus whose id
+    #   low bits encode source/shard would bias it);
+    # * plain int64 arithmetic, so a SQL oracle replays the subset
+    #   bit-exactly with no RNG state (see train_hash_sql).
     TRAIN_HASH_MULT = 2654435761
+    TRAIN_HASH_PRIME = 2147483647  # 2^31 − 1
+
+    @classmethod
+    def train_hash_sql(cls, id_expr: str) -> str:
+        """The sampled-trainer hash as SQL text — the SAME string is
+        valid Spark SQL (via F.expr) and DuckDB SQL, which is what
+        keeps the engine filter and the gate oracles one definition."""
+        return (
+            f"(((({id_expr}) % {cls.TRAIN_HASH_PRIME}) * "
+            f"{cls.TRAIN_HASH_MULT}) % {cls.TRAIN_HASH_PRIME})"
+        )
 
     def build_lloyd(
         self,
@@ -213,25 +234,22 @@ class IVFIndex:
         SAMPLED training — the answer to the measured 14× replayability
         premium of the full-corpus trainer (SCALING.md "Replayable
         seeded-Lloyd trainers"): seeds and the per-round mean
-        aggregates run only over rows whose deterministic
-        Knuth-multiplicative hash ``(id * 2654435761) % train_mod``
-        falls below ``train_keep`` (≈ keep/mod of the corpus, uniform
-        regardless of corpus ordering); the FINAL assignment still
-        covers every row. The filter is plain int64 arithmetic, so a
-        SQL oracle replays the training subset bit-exactly — sampling
-        costs nothing in auditability, unlike ``build``'s MLlib
-        ``.sample()``."""
+        aggregates run only over rows whose deterministic hash
+        ``train_hash_sql(id) % train_mod`` falls below ``train_keep``
+        (≈ keep/mod of the corpus, mixed across id structure — see the
+        constant block above for why the hash is taken modulo a
+        Mersenne prime); the FINAL assignment still covers every row.
+        The filter is plain int64 arithmetic, so a SQL oracle replays
+        the training subset bit-exactly — sampling costs nothing in
+        auditability, unlike ``build``'s MLlib ``.sample()``."""
         from vectordb_spark.functions.distance import l2_squared, vector_literal
 
         k = self.k
         if (train_mod is None) != (train_keep is None):
             raise ValueError("set both train_mod and train_keep, or neither")
         if train_mod is not None:
-            train_df = df.where(
-                (F.col(id_col).cast("bigint") * F.lit(self.TRAIN_HASH_MULT))
-                % F.lit(train_mod)
-                < F.lit(train_keep)
-            )
+            h = F.expr(self.train_hash_sql(f"CAST({id_col} AS BIGINT)"))
+            train_df = df.where(h % F.lit(train_mod) < F.lit(train_keep))
         else:
             train_df = df
         seeds = [

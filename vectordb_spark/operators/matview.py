@@ -440,10 +440,23 @@ class IncrementalJoinAggView:
                 {"fact_version": vf, "dim_version": vd, "dir": tag}, fh
             )
         os.replace(tmp, self._state_file)
+
+        # sort superseded dirs NUMERICALLY by (vf, vd): a lexicographic
+        # sort orders "v9_3" after "v10_3" and would delete the
+        # just-superseded dir (the one an in-flight reader holding the
+        # old state may still be scanning — the KEEP_HISTORY contract)
+        # while leaking the truly old one forever
+        def _vers(d: str) -> tuple[int, int]:
+            a, b = d[1:].split("_", 1)
+            return int(a), int(b)
+
         old = sorted(
-            d
-            for d in os.listdir(self.path)
-            if d.startswith("v") and "_" in d and d != tag
+            (
+                d
+                for d in os.listdir(self.path)
+                if d.startswith("v") and "_" in d and d != tag
+            ),
+            key=_vers,
         )
         for d in old[: max(0, len(old) - self.KEEP_HISTORY)]:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

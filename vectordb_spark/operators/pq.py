@@ -527,7 +527,7 @@ class ResidualPQIndex(PQIndex):
 
         ``train_mod``/``train_keep`` (both or neither) restrict seeds
         and the per-round aggregates to the same deterministic
-        Knuth-hash subset as ``IVFIndex.build_lloyd`` — serving
+        prime-mod hash subset as ``IVFIndex.build_lloyd`` — serving
         (``codes_residual``/ADC) always covers every row, and the
         filter is SQL-replayable int64 arithmetic."""
         from pyspark.sql import functions as F
@@ -550,7 +550,7 @@ class ResidualPQIndex(PQIndex):
         )
         if train_mod is not None:
             g = g.where(
-                (F.col(id_col).cast("bigint") * F.lit(IVFIndex.TRAIN_HASH_MULT))
+                F.expr(IVFIndex.train_hash_sql(f"CAST({id_col} AS BIGINT)"))
                 % F.lit(train_mod)
                 < F.lit(train_keep)
             )

@@ -287,7 +287,7 @@ ORACLE_WINDOW: tuple[str, ...] = (
 # driver rows — rotate into the window next round against the eviction
 # tier below):
 #   table_ivf_sampled_train_search — the SAMPLED trained-IVF lifecycle
-#     (VERDICT r9 missing #3): Knuth-hash train subset + full
+#     (VERDICT r9 missing #3): prime-mod hash train subset + full
 #     assignment + manifest round-trip + probe serving, all
 #     oracle-replayed; the production answer to the measured 14x
 #     full-corpus-trainer premium (SCALING.md "Sampled seeded-Lloyd").

@@ -776,16 +776,27 @@ def table_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VERDICT r9 "what's missing" #3: the replayable full-corpus trainer
 # costs ~14× MLlib at 1M×64-d (SCALING.md); real corpora train on a
 # sample. This gate certifies the scale answer: training restricted to
-# a deterministic Knuth-hash subset ((vec_id * 2654435761) % mod <
-# keep — exact int64 arithmetic both engines share, uniform regardless
-# of corpus ordering), final assignment still over every row, the
+# a deterministic hash subset (IVFIndex.train_hash_sql % mod < keep —
+# a multiplicative hash modulo the Mersenne prime 2^31−1: exact,
+# overflow-free int64 both engines share for EVERY id, mixing across
+# id residue classes instead of striding on id % mod), final
+# assignment still over every row, the
 # whole lifecycle (sampled seeds, both sampled Lloyd rounds, full
 # assignment, manifest round-trip, probe-pruned serving) replayed by
 # the oracle from raw parquet.
 
 _SMP_MOD = 4
 _SMP_KEEP = 1
-_SMP_MULT = 2654435761
+
+
+def _smp_filter_sql(id_expr: str = "vec_id") -> str:
+    """The sampled-trainer subset predicate, built from the ONE
+    definition the engine filter uses (IVFIndex.train_hash_sql — the
+    same string is valid Spark and DuckDB SQL), so the gate oracles
+    cannot drift from the engine if the hash ever changes."""
+    return (
+        f"{A.IVFIndex.train_hash_sql(id_expr)} % {_SMP_MOD} < {_SMP_KEEP}"
+    )
 
 
 def _sampled_ivf_oracle() -> str:
@@ -802,7 +813,7 @@ WITH corpus AS (
 ),
 corpus_train AS (
     SELECT * FROM corpus
-    WHERE (vec_id * {_SMP_MULT}) % {_SMP_MOD} < {_SMP_KEEP}
+    WHERE {_smp_filter_sql()}
 ),
 c0 AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
@@ -1248,7 +1259,7 @@ def table_clustered_compact_search(spark: SparkSession, sf_dir: str) -> DataFram
 # --------------------------- SAMPLED-trained IVF_PQ via the table path
 #
 # The sampled-training story end-to-end at the reference's real serving
-# shape: BOTH quantizer tiers train on the Knuth-hash subset
+# shape: BOTH quantizer tiers train on the prime-mod hash subset
 # (rebuild(train_mod, train_keep) plumbs the filter to build_lloyd AND
 # fit_residual_lloyd), every row still gets assigned + residual-encoded,
 # and serving is stored-code ADC through a fresh Table. The oracle
@@ -1288,7 +1299,7 @@ WITH corpus AS (
 ),
 corpus_train AS (
     SELECT * FROM corpus
-    WHERE (vec_id * {_SMP_MULT}) % {_SMP_MOD} < {_SMP_KEEP}
+    WHERE {_smp_filter_sql()}
 ),
 c0 AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
@@ -1322,7 +1333,7 @@ sv AS (
 ),
 sv_train AS (
     SELECT * FROM sv
-    WHERE (vec_id * {_SMP_MULT}) % {_SMP_MOD} < {_SMP_KEEP}
+    WHERE {_smp_filter_sql()}
 ),
 p0 AS (
     SELECT mi, rn - 1 AS code, sv AS cent FROM (
@@ -1374,7 +1385,7 @@ def table_ivfpq_sampled_train_search(
     """SAMPLED dual-tier trained IVF_PQ lifecycle through the engine
     table: ``rebuild(index_type="IVF_PQ", train="lloyd", train_mod=4,
     train_keep=1)`` trains the coarse cells AND the per-subspace
-    residual codebooks on the ~25% Knuth-hash subset, assigns and
+    residual codebooks on the ~25% prime-mod hash subset, assigns and
     residual-encodes EVERY row against them, persists both tiers +
     the hash filter in the manifest, and a fresh Table serves
     probe-pruned ADC over the stored 4-byte codes with the exact

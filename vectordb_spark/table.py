@@ -1602,6 +1602,44 @@ class Table:
         self._save_meta(meta)
         return {"field": field, "version": version, "indexedRecords": indexed_up_to}
 
+    def _residual_probe_matches(
+        self, info: dict, field: str, sample: int = 256
+    ) -> bool:
+        """Convention probe for UNTAGGED residual IVF_PQ manifests:
+        re-encode up to ``sample`` already-indexed live rows under the
+        CURRENT residual convention (their stored ``_cluster`` pins the
+        original coarse assignment) and compare byte-for-byte with the
+        stored codes. True ⇒ the base was encoded under the current
+        convention and refresh may append deltas; False (any mismatch,
+        or no index row still live to verify against) ⇒ ambiguity
+        stands and the caller rejects. One bounded read — the cost of
+        never guessing about persisted bytes."""
+        from vectordb_spark.operators.pq import ResidualPQIndex
+
+        stored = (
+            self.spark.read.parquet(os.path.join(self.path, info["dir"]))
+            .select(
+                "_row_id",
+                F.col("_pq_codes").cast("array<int>").alias("_stored"),
+                F.col("_cluster").cast("int").alias("_cluster"),
+            )
+            .limit(sample)
+        )
+        live = self.df().select("_row_id", field)
+        joined = stored.join(live, "_row_id")
+        rpqi = ResidualPQIndex(m=len(info["pq_codebook"]))
+        rpqi.codebook = info["pq_codebook"]
+        rpqi.coarse_centroids = info["centroids"]
+        recoded = rpqi.codes_residual(joined, field, out_col="_now")
+        n_checked, n_equal = recoded.agg(
+            F.count(F.lit(1)),
+            F.sum(
+                (F.col("_now").cast("array<int>") == F.col("_stored"))
+                .cast("int")
+            ),
+        ).first()
+        return int(n_checked or 0) > 0 and int(n_equal or 0) == int(n_checked)
+
     def refresh_index(self, field: str) -> dict:
         """Incremental ANN-index refresh: rows inserted since the last
         build/refresh self-assign to the STORED centroids (codegen
@@ -1662,7 +1700,17 @@ class Table:
                 # index silently skews recall (delta codes land in
                 # different grid cells than the base codebook was
                 # trained on) — refuse and demand a full rebuild.
+                # An UNTAGGED manifest (built before the tag existed)
+                # is ambiguous, not necessarily wrong: probe it by
+                # re-encoding a sample of already-indexed rows under
+                # the current convention and comparing to their STORED
+                # codes — bytes don't lie. Match ⇒ adopt the tag (it
+                # persists with this refresh's manifest commit);
+                # mismatch or nothing verifiable ⇒ reject as before.
                 conv = info.get("pq_residual_convention")
+                if conv is None and self._residual_probe_matches(info, field):
+                    conv = _PQ_RESIDUAL_CONVENTION
+                    info["pq_residual_convention"] = conv
                 if conv != _PQ_RESIDUAL_CONVENTION:
                     raise VectorDBError(
                         "INDEX_CONVENTION_MISMATCH",
