@@ -309,6 +309,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     the real serving shape: BOTH quantizer tiers train on the hash
 #     subset, every row assigned + residual-encoded, stored-code ADC
 #     serving; the whole composite oracle-replayed.
+#   table_time_travel_read — snapshot isolation as a driver row:
+#     df(version=v1) aggregated after a 4-version mutation history
+#     must equal the oracle's first-half-only aggregate (appends
+#     invisible, deletes present, upserts at pre-update values).
 #
 # Next eviction tier, oldest multi-round greens first, each with an
 # in-window compile-path sibling:

@@ -1158,3 +1158,57 @@ def stream_matview_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------------- time-travel snapshot read
+
+_TT_ORACLE = f"""
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sum_chars
+FROM documents, mid
+WHERE doc_id <= m
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("table_time_travel_read", oracle=_TT_ORACLE)
+def table_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation read certified as a driver row: the table
+    lives through the full cdc mutation lifecycle (bulk ingest v1 →
+    second-half append → 3 deletes → 3 upserts — four manifest
+    versions), and the gate aggregates ``df(version=v1)`` — the
+    time-travel read. The oracle aggregates ONLY the first-half
+    documents from raw parquet, so a hash match proves the versioned
+    manifest reconstructs the exact historical snapshot with zero
+    leakage from any later commit: appended rows invisible, deleted
+    rows still present, upserted rows at their PRE-update values. This
+    is the storage property the matview/changefeed machinery builds on
+    (their gates pin the deltas; this one pins the snapshots), and a
+    capability the reference has no equivalent for — its segments
+    mutate in place. 100 TB shape: a time-travel read lists the old
+    manifest's file set and scans only it — pure metadata, no data
+    rewritten or copied."""
+    from vectordb_spark.sources.readers import load_table as _lt  # noqa: F401
+
+    work = tempfile.mkdtemp(prefix="vdb_tt_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    assert int(t._load_meta()["version"]) > v1  # history really exists
+    out = (
+        t.df(version=v1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_chars"),
+        )
+        .orderBy("lang")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
