@@ -607,3 +607,30 @@ def test_join_view_dir_pruning_is_numeric(fact_dim, spark):
         mv._commit(df, vf, 3)
     dirs = sorted(d for d in os.listdir(mv.path) if d.startswith("v"))
     assert dirs == ["v10_3", "v11_3"], dirs
+
+
+def test_join_view_delta_ratio_crossover(fact_dim, monkeypatch):
+    # with the small-base floor disabled, the shared delta>=threshold*
+    # base crossover still delegates (threshold 0 -> any delta rebuilds)
+    # and stays incremental when the threshold is out of reach
+    fact, dim, mv = fact_dim
+    mv.full_build()
+    monkeypatch.setattr(type(mv), "SMALL_BASE_BYTES", 0)
+    calls = []
+    orig = type(mv).full_build
+
+    def _spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(type(mv), "full_build", _spy)
+    monkeypatch.setattr(type(mv), "REBUILD_THRESHOLD", 0.0)
+    fact.insert([{"oid": 80, "cid": 1, "amount": 1, "v": [0.0, 0.0]}])
+    mv.refresh()
+    assert calls, "zero threshold must delegate on any delta"
+    calls.clear()
+    monkeypatch.setattr(type(mv), "REBUILD_THRESHOLD", 1e9)
+    fact.insert([{"oid": 81, "cid": 2, "amount": 2, "v": [0.0, 0.0]}])
+    mv.refresh()
+    assert not calls, "unreachable threshold must stay incremental"
+    assert _jrows(mv) == _join_truth(fact, dim)
