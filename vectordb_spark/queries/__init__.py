@@ -314,6 +314,16 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     must equal the oracle's first-half-only aggregate (appends
 #     invisible, deletes present, upserts at pre-update values).
 #
+# Proposed 1:1 rotation for round 11 (queue entry ← eviction, making
+# the swap mechanical; confirm each eviction's round-10 driver row is
+# green before executing):
+#   table_ivf_sampled_train_search    ← sketch_hll_distinct_users
+#   mv_join_refresh                   ← bm25_topk
+#   stream_matview_maintenance        ← stream_enrich_join
+#   vec_power_iteration_top_pc        ← semantic_maxsim_search
+#   table_ivfpq_sampled_train_search  ← geo_join_radius_pairs
+#   table_time_travel_read            ← tpch_q7_nation_volume
+#
 # Next eviction tier, oldest multi-round greens first, each with an
 # in-window compile-path sibling:
 #   1. sketch_hll_distinct_users (G r6–r10?; sketch family keeps
