@@ -634,3 +634,53 @@ def test_join_view_delta_ratio_crossover(fact_dim, monkeypatch):
     mv.refresh()
     assert not calls, "unreachable threshold must stay incremental"
     assert _jrows(mv) == _join_truth(fact, dim)
+
+
+# ------------------------------------------- distinct-count views (r10)
+
+
+def test_distinct_view_exact_under_full_lifecycle(t, tmp_path):
+    """COUNT(DISTINCT val) per grp maintained through insert / delete /
+    upsert, checked against from-scratch truth after every refresh.
+    The fixture's vals are 10*i so deletes remove distinct values and
+    the upsert collapses one value onto an existing one."""
+    from vectordb_spark.operators.matview import IncrementalDistinctCountView
+
+    dv = IncrementalDistinctCountView(t, str(tmp_path / "dv"), ["grp"], "val")
+    dv.full_build()
+
+    def truth():
+        return {
+            r["grp"]: r["n"]
+            for r in t.df()
+            .groupBy("grp")
+            .agg(F.countDistinct("val").alias("n"))
+            .collect()
+        }
+
+    def got():
+        return {r["grp"]: r["n_distinct"] for r in dv.df().collect()}
+
+    assert got() == truth() == {"a": 5, "b": 5}
+    # duplicate value lands in grp a: n_rows grows, distinct does not
+    t.insert([{"id": 100, "grp": "a", "val": 20, "v": [0.0, 0.0]}])
+    dv.refresh(force_incremental=True)
+    assert got() == truth()
+    assert got()["a"] == 5
+    # delete one of the two val=20 rows: distinct STILL holds (the
+    # multiset state knows a copy survives) — the case (group, count)
+    # state cannot answer
+    t.delete(primary_keys=[2])
+    dv.refresh(force_incremental=True)
+    assert got() == truth()
+    assert got()["a"] == 5
+    # delete the second copy too: the value finally leaves
+    t.delete(primary_keys=[100])
+    dv.refresh(force_incremental=True)
+    assert got() == truth()
+    assert got()["a"] == 4
+    # upsert collapses val 30 onto 50: distinct shrinks by one
+    t.insert([{"id": 3, "grp": "b", "val": 50, "v": [0.0, 0.0]}], upsert=True)
+    dv.refresh(force_incremental=True)
+    assert got() == truth()
+    assert dv.version() == t._load_meta()["version"]

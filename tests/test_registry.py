@@ -171,6 +171,7 @@ def test_round11_queue_registered_with_oracles():
         "vec_power_iteration_top_pc",
         "table_ivfpq_sampled_train_search",
         "table_time_travel_read",
+        "mv_distinct_refresh",
     ):
         assert name in qs, name
         assert name in os_, f"{name} must be oracle-gated"

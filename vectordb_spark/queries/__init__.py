@@ -313,6 +313,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     df(version=v1) aggregated after a 4-version mutation history
 #     must equal the oracle's first-half-only aggregate (appends
 #     invisible, deletes present, upserts at pre-update values).
+#   mv_distinct_refresh — exact incremental COUNT(DISTINCT) view via
+#     (group, value) multiset state: deletes retract a distinct value
+#     only at its last copy, upserts move counts between value keys;
+#     oracle recomputes COUNT(DISTINCT) from the mutation plan.
 #
 # Proposed 1:1 rotation for round 11 (queue entry ← eviction, making
 # the swap mechanical; confirm each eviction's round-10 driver row is
@@ -323,6 +327,7 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #   vec_power_iteration_top_pc        ← semantic_maxsim_search
 #   table_ivfpq_sampled_train_search  ← geo_join_radius_pairs
 #   table_time_travel_read            ← tpch_q7_nation_volume
+#   mv_distinct_refresh               ← tpch_q13_customer_order_distribution
 #
 # Next eviction tier, oldest multi-round greens first, each with an
 # in-window compile-path sibling:

@@ -1212,3 +1212,67 @@ def table_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------ incremental DISTINCT-count view
+
+_MV_DISTINCT_ORACLE = """
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3),
+final AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM upds)
+                THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dels)
+)
+SELECT lang,
+       COUNT(DISTINCT n_chars) AS n_distinct,
+       COUNT(*) AS n_docs
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
+@query("mv_distinct_refresh", oracle=_MV_DISTINCT_ORACLE)
+def mv_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental COUNT(DISTINCT) view — the aggregate that is
+    NOT invertible from per-group state, maintained by keying the
+    state on (group, value) multiset counts
+    (operators/matview.py IncrementalDistinctCountView): the view is
+    built at the table's first version, the table lives through the
+    full cdc mutation lifecycle (bulk append, 3 deletes, 3 value-
+    shifting upserts), and ONE refresh merges the retractable
+    changefeed into the pair-multiset — a delete only removes a
+    distinct value when its LAST copy retracts, an upsert moves a
+    count between value keys. The oracle recomputes per-language
+    COUNT(DISTINCT n_chars) from raw parquet + the same mutation plan.
+    100 TB shape: refresh cost tracks the changefeed and the touched
+    (group, value) pairs; state size is the live distinct-pair count —
+    the honest price of exactness (HLL in operators/sketch.py is the
+    fixed-state estimate when deletes are absent)."""
+    from vectordb_spark.operators.matview import IncrementalDistinctCountView
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_dc_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    dv = IncrementalDistinctCountView(
+        t, os.path.join(work, "dv"), ["lang"], "n_chars"
+    )
+    # build the pair-multiset state AT v1 through the table's history,
+    # then advance the rest of the lifecycle with one incremental merge
+    dv._inner._commit(dv._inner._agg(t.df(version=v1)), v1)
+    dv.refresh(force_incremental=True)
+    out = (
+        dv.df()
+        .select("lang", "n_distinct", F.col("n_rows").alias("n_docs"))
+        .orderBy("lang")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
