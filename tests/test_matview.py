@@ -684,3 +684,46 @@ def test_distinct_view_exact_under_full_lifecycle(t, tmp_path):
     dv.refresh(force_incremental=True)
     assert got() == truth()
     assert dv.version() == t._load_meta()["version"]
+
+
+def test_distinct_view_null_values_follow_sql_semantics(spark, tmp_path):
+    """SQL COUNT(DISTINCT x) excludes NULLs: a NULL value's rows count
+    toward n_rows but never toward n_distinct — including through a
+    refresh that inserts and then deletes NULL-value rows."""
+    from vectordb_spark.operators.matview import IncrementalDistinctCountView
+
+    schema = TableSchema(
+        name="dv_null",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "dv_null"))
+    t._init_storage()
+    t.insert_df(
+        spark.createDataFrame(
+            [(0, "a", 1, [0.0, 0.0]), (1, "a", None, [0.0, 0.0]),
+             (2, "a", None, [0.0, 0.0]), (3, "b", 5, [0.0, 0.0])],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    dv = IncrementalDistinctCountView(t, str(tmp_path / "dv"), ["grp"], "val")
+    dv.full_build()
+    got = {r["grp"]: (r["n_distinct"], r["n_rows"]) for r in dv.df().collect()}
+    assert got == {"a": (1, 3), "b": (1, 1)}
+    t.delete(primary_keys=[1])  # one NULL copy retracts; one survives
+    t.insert_df(
+        spark.createDataFrame(
+            [(4, "b", None, [0.0, 0.0])],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    dv.refresh(force_incremental=True)
+    got = {r["grp"]: (r["n_distinct"], r["n_rows"]) for r in dv.df().collect()}
+    assert got == {"a": (1, 2), "b": (1, 2)}

@@ -661,12 +661,15 @@ class IncrementalDistinctCountView:
         return self._inner.version()
 
     def df(self) -> DataFrame:
-        # state rows with n_rows == 0 already dropped at merge time
+        # state rows with n_rows == 0 already dropped at merge time.
+        # SQL COUNT(DISTINCT x) EXCLUDES NULLs, so the NULL-value pair
+        # (tracked in state — its rows still count toward n_rows) must
+        # not count as a distinct value.
         return (
             self._inner.df()
             .groupBy(*self.group_cols)
             .agg(
-                F.count(F.lit(1)).alias("n_distinct"),
+                F.count(F.col(self.value_col)).alias("n_distinct"),
                 F.sum("n_rows").alias("n_rows"),
             )
         )
