@@ -145,11 +145,13 @@ HEADLINE = [
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
     # the correctness gate carries them every round. The mv_* gates
-    # (incremental/minmax/join refresh) stay out for the same reason:
-    # their wall time is scripted two-table mutation orchestration;
-    # refresh cost at scale is measured in SCALING.md's matview
-    # rehearsal. cdc_changefeed_diff IS in (above): its lifecycle is
-    # memoized, so it times only the manifest diff — real plan cost.
+    # (incremental/minmax/join/distinct refresh) and
+    # table_time_travel_read stay out for the same reason: their wall
+    # time is scripted mutation orchestration around the cdc lifecycle;
+    # refresh cost at scale is measured in SCALING.md's matview +
+    # streaming-freshness rehearsals. cdc_changefeed_diff IS in
+    # (above): its lifecycle is memoized, so it times only the
+    # manifest diff — real plan cost.
 ]
 
 _GIST: dict = {}
