@@ -142,6 +142,11 @@ HEADLINE = [
     # twin — the lifecycle map is where sampled-vs-full training cost
     # shows up)
     "table_ivf_sampled_train_search",
+    # round-11 addition: the oracle-checked 960-d wide-vector gate
+    # (grid → stored codes → ADC → re-rank in ONE composed plan; the
+    # encode is part of the measured plan on purpose — the memoized
+    # bench twin ann_gist_shape times the serving-only ADC scan)
+    "ann_gist960_adc_parity",
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
     # the correctness gate carries them every round. The mv_* gates
@@ -173,20 +178,25 @@ def _ann_gist_shape(spark, sf_dir):
 
     if "coded" not in _GIST:
         n, dim = 100_000, 960
-        df = (
-            spark.range(n)
-            .select(
+
+        def _build():
+            df = spark.range(n).select(
                 F.col("id").alias("vec_id"),
                 F.expr(
                     f"transform(sequence(0, {dim - 1}), "
                     "j -> CAST(sin(id * 960 + j) AS FLOAT))"
                 ).alias("embedding"),
             )
-        )
-        pq = PQIndex(seed=42).fit(df, "embedding")
-        coded = pq.codes(df, "embedding").cache()
-        coded.count()
-        _GIST["pq"], _GIST["coded"] = pq, coded
+            pq = PQIndex(seed=42).fit(df, "embedding")
+            coded = pq.codes(df, "embedding").cache()
+            coded.count()
+            return pq, coded
+
+        # Build (generate + PQ fit + codes) goes to the LIFECYCLE map —
+        # the headline entry must time only the per-query ADC scan
+        # (VERDICT r10 "what's wrong" #1: the inline build silently
+        # absorbed a +2.1 s trainer change into the headline).
+        _GIST["pq"], _GIST["coded"] = _timed_build("ann_gist_build", _build)
         _GIST["q"] = [
             float(__import__("math").sin(12345 * 960 + j)) for j in range(dim)
         ]

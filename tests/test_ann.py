@@ -454,3 +454,36 @@ def test_rebuild_sampled_requires_lloyd(spark, tmp_path):
     )
     info = t._load_meta()["indexes"]["emb"]
     assert info["train_mod"] == 2 and info["train_keep"] == 1
+
+
+def test_train_hash_negative_ids_uniform_rate(spark):
+    """r11 (ADVICE r10): the sampled-trainer hash is a NORMALIZED
+    non-negative residue, so negative ids sample at the same ~keep/mod
+    rate as positive ones (the sign-carrying form kept ~100% of
+    negative ids: h < 0 is below every keep threshold). Also pins the
+    SQL form == Python floor-mod on BOTH signs — the replay identity
+    the pytest oracles rely on."""
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.operators.ann import IVFIndex
+
+    P, H = IVFIndex.TRAIN_HASH_PRIME, IVFIndex.TRAIN_HASH_MULT
+    ids = list(range(-500, 0)) + list(range(500))
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    mod, keep = 4, 1
+    kept = (
+        df.where(
+            F.expr(IVFIndex.train_hash_sql("vec_id")) % mod < keep
+        )
+        .select("vec_id")
+        .collect()
+    )
+    kept_ids = sorted(r[0] for r in kept)
+    # Python floor-mod replay matches the SQL bit-for-bit on all ids
+    replay = sorted(i for i in ids if ((i % P) * H) % P % mod < keep)
+    assert kept_ids == replay
+    neg = sum(1 for i in kept_ids if i < 0)
+    pos = sum(1 for i in kept_ids if i >= 0)
+    # both signs near the ~1/4 rate — the old form kept all 500 negatives
+    assert 500 * 0.1 < neg < 500 * 0.45
+    assert 500 * 0.1 < pos < 500 * 0.45

@@ -727,3 +727,194 @@ def test_distinct_view_null_values_follow_sql_semantics(spark, tmp_path):
     dv.refresh(force_incremental=True)
     got = {r["grp"]: (r["n_distinct"], r["n_rows"]) for r in dv.df().collect()}
     assert got == {"a": (1, 2), "b": (1, 2)}
+
+
+def test_join_view_binding_validation(fact_dim, tmp_path):
+    """r11 (ADVICE r10): group/value columns bind to exactly one side
+    at CONSTRUCTION — ambiguous (both schemas) and unknown names raise
+    a typed error up front instead of an AMBIGUOUS_REFERENCE deep in
+    refresh(), and the one sanctioned both-sides name is the shared
+    equi-join key (equal on both sides under the inner join)."""
+    from vectordb_spark.operators.matview import (
+        IncrementalJoinAggView,
+        JoinViewSchemaError,
+    )
+
+    fact, dim, _ = fact_dim
+    # 'v' exists in BOTH schemas -> ambiguous group col
+    with pytest.raises(JoinViewSchemaError, match="BOTH"):
+        IncrementalJoinAggView(
+            fact, dim, str(tmp_path / "nope1"),
+            fact_key="cid", dim_key="ckey",
+            group_cols=["v"], value_col="amount",
+        )
+    # unknown value col
+    with pytest.raises(JoinViewSchemaError, match="neither"):
+        IncrementalJoinAggView(
+            fact, dim, str(tmp_path / "nope2"),
+            fact_key="cid", dim_key="ckey",
+            group_cols=["region"], value_col="revenue",
+        )
+    # bad join keys
+    with pytest.raises(JoinViewSchemaError, match="fact_key"):
+        IncrementalJoinAggView(
+            fact, dim, str(tmp_path / "nope3"),
+            fact_key="ckey", dim_key="ckey",
+            group_cols=["region"], value_col="amount",
+        )
+    # bindings recorded per declared side
+    mv = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "ok"),
+        fact_key="cid", dim_key="ckey",
+        group_cols=["region"], value_col="amount",
+    )
+    assert mv._side == {"region": "dim", "amount": "fact"}
+
+
+def test_join_view_shared_key_name_groups_ok(spark, tmp_path):
+    """The shared-name equi-join key is groupable: both sides are equal
+    under the inner join, so it binds to the fact and the full
+    lifecycle (build -> two-sided mutations -> refresh) stays exact."""
+    from vectordb_spark.operators.matview import IncrementalJoinAggView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    fschema = TableSchema(
+        name="sk_fact",
+        fields=[
+            FieldSchema(name="oid", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="cust", field_type=FieldType.INT8),
+            FieldSchema(name="amount", field_type=FieldType.INT8),
+            FieldSchema(
+                name="fv", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    dschema = TableSchema(
+        name="sk_dim",
+        fields=[
+            FieldSchema(name="cust", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="tier", field_type=FieldType.STRING),
+            FieldSchema(
+                name="dv", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    fact = Table(spark, fschema, str(tmp_path / "sk_fact"))
+    fact._init_storage()
+    dim = Table(spark, dschema, str(tmp_path / "sk_dim"))
+    dim._init_storage()
+    dim.insert([{"cust": c, "tier": "ab"[c % 2], "dv": [0.0, 0.0]} for c in range(3)])
+    fact.insert(
+        [{"oid": i, "cust": i % 3, "amount": 10 + i, "fv": [0.0, 0.0]}
+         for i in range(9)]
+    )
+    mv = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "sk_mv"),
+        fact_key="cust", dim_key="cust",
+        group_cols=["cust"], value_col="amount",
+    )
+    assert mv._side["cust"] == "fact"
+    mv.full_build()
+    fact.insert([{"oid": 100, "cust": 1, "amount": 500, "fv": [0.0, 0.0]}])
+    dim.delete(primary_keys=[0])
+    mv.refresh(force_incremental=True)
+    f, d = fact.df(), dim.df()
+    truth = {
+        r["cust"]: (r["n"], float(r["s"]))
+        for r in f.join(d, f["cust"] == d["cust"], "inner")
+        .groupBy(f["cust"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+    got = {
+        r["cust"]: (r["n_rows"], float(r["_sum_dec"]))
+        for r in mv.df().collect()
+    }
+    assert got == truth
+
+
+def test_join_view_prunes_clustered_fact_segments(spark, tmp_path):
+    """r11 (VERDICT r10 #5): on a join-key-clustered fact, the
+    A0 JOIN dD term's old-snapshot scan drops every segment whose
+    fact_key min/max contains none of the changed dim keys — and the
+    pruned refresh stays exact against the from-scratch truth."""
+    from vectordb_spark.operators.matview import IncrementalJoinAggView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    fschema = TableSchema(
+        name="pr_fact",
+        fields=[
+            FieldSchema(name="oid", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="cid", field_type=FieldType.INT8),
+            FieldSchema(name="amount", field_type=FieldType.INT8),
+            FieldSchema(
+                name="fv", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    dschema = TableSchema(
+        name="pr_dim",
+        fields=[
+            FieldSchema(name="ckey", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="region", field_type=FieldType.STRING),
+            FieldSchema(
+                name="dv", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    fact = Table(spark, fschema, str(tmp_path / "pr_fact"))
+    fact._init_storage()
+    dim = Table(spark, dschema, str(tmp_path / "pr_dim"))
+    dim._init_storage()
+    n_keys = 64
+    dim.insert(
+        [
+            {"ckey": c, "region": "nsew"[c % 4], "dv": [0.0, 0.0]}
+            for c in range(n_keys)
+        ]
+    )
+    fact.insert(
+        [
+            {"oid": i, "cid": i % n_keys, "amount": 100 + i,
+             "fv": [0.0, 0.0]}
+            for i in range(512)
+        ]
+    )
+    # key-clustered layout: the degenerate z-curve over (cid, cid) is
+    # a plain cid sort, so the 8 segments carry tight disjoint cid
+    # ranges — the "fact clustered on the join key" premise
+    fact.rewrite_zorder(("cid", "cid"), segments=8)
+    meta = fact._load_meta()
+    assert len(meta["files"]) > 2  # genuinely multi-segment
+    mv = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "pr_mv"),
+        fact_key="cid", dim_key="ckey",
+        group_cols=["region"], value_col="amount",
+    )
+    mv.full_build()
+    # one dim key migrates region: the only fact rows the dD term can
+    # touch live in the segment(s) covering cid == 5
+    dim.insert([{"ckey": 5, "region": "x", "dv": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    st = mv.last_refresh_stats
+    assert st is not None, "pruned path did not engage"
+    assert st["fact0_segments_scanned"] < st["fact0_segments_total"]
+    f, d = fact.df(), dim.df()
+    truth = {
+        r["region"]: (r["n"], float(r["s"]))
+        for r in f.join(d, f["cid"] == d["ckey"], "inner")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+    got = {
+        r["region"]: (r["n_rows"], float(r["_sum_dec"]))
+        for r in mv.df().collect()
+    }
+    assert got == truth

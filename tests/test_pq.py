@@ -501,3 +501,54 @@ def test_fit_residual_lloyd_sampled_subset(spark):
         PQ.ResidualPQIndex(m=2, k=4).fit_residual_lloyd(
             ivf, indexed, "embedding", id_col="vec_id", train_mod=4
         )
+
+
+def test_encode_np_matches_expr_both_dims(spark):
+    """r11: the Arrow-batched numpy encode produces the SAME 1-based
+    codes as the literal-Column encode — at the narrow table dim AND
+    at the wide (960-d class) dim where it is the measured winner —
+    and PQIndex.codes(impl=...) routes to both without changing a
+    value or the column type."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(41)
+    for dim in (64, 320):
+        rows = [
+            (int(i), [float(x) for x in rng.uniform(-0.5, 0.5, size=dim)])
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cb = PQ.seeded_codebook(dim)
+        grid_s, _ = PQ.grid_exprs("embedding")
+        expr_codes = {
+            r["vec_id"]: list(r["c"])
+            for r in df.withColumn("_g", F.expr(grid_s))
+            .select(
+                "vec_id", F.expr(PQ.encode_expr("_g", cb)).alias("c")
+            )
+            .collect()
+        }
+        np_df = df.select(
+            "vec_id", PQ.encode_np_udf(cb)(F.col("embedding")).alias("c")
+        )
+        np_codes = {r["vec_id"]: list(r["c"]) for r in np_df.collect()}
+        assert np_codes == expr_codes, f"dim={dim}"
+        assert dict(np_df.dtypes)["c"] == "array<bigint>"
+
+    # PQIndex.codes: the two impls agree end-to-end (auto picks np at
+    # wide dims, expr below 256)
+    idx = PQ.PQIndex(seed=11).fit(df, "embedding")
+    a = {
+        r["vec_id"]: list(r["_pq_codes"])
+        for r in idx.codes(df, "embedding", impl="expr").select(
+            "vec_id", "_pq_codes"
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: list(r["_pq_codes"])
+        for r in idx.codes(df, "embedding", impl="np").select(
+            "vec_id", "_pq_codes"
+        ).collect()
+    }
+    assert a == b

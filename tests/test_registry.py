@@ -53,9 +53,9 @@ def test_round8_rotation():
     # ladder carried by ann_ivfpq_adc), w10, a8, cross_source,
     # bigram_familiarity, pgm + video_frame (media carried by ahash +
     # scene_change), stream_dedup_incremental.
+    # (tpch_q7 / q13 left the window again in the round-11 rotation —
+    # see test_round11_rotation)
     for name in [
-        "tpch_q7_nation_volume",
-        "tpch_q13_customer_order_distribution",
         "tpch_q15_top_supplier",
         "tpch_q19_disjunctive_revenue",
         "tpch_q21_sole_late_supplier",
@@ -157,14 +157,13 @@ def test_window_is_vetted():
     assert set(ORACLE_WINDOW) <= WINDOW_VETTED
 
 
-def test_round11_queue_registered_with_oracles():
-    # round-10 additions awaiting driver rows: registered, oracled,
-    # and NOT yet in the window (rotation is a deliberate round-11
-    # act with documented evictions, not a side effect)
-    from vectordb_spark.queries import all_oracles
-
-    qs, os_ = all_queries(), all_oracles()
-    for name in (
+def test_round11_rotation():
+    # round-11 window facts (VERDICT r10 "Next round" #1): the seven
+    # round-10-queue queries — all judge-selfchecked 7/7 in VERDICT
+    # r10 AND re-selfchecked at both SFs this round — take their first
+    # driver slots. Every eviction was confirmed green in
+    # CORRECTNESS_r10.json before the swap.
+    for name in [
         "table_ivf_sampled_train_search",
         "mv_join_refresh",
         "stream_matview_maintenance",
@@ -172,6 +171,30 @@ def test_round11_queue_registered_with_oracles():
         "table_ivfpq_sampled_train_search",
         "table_time_travel_read",
         "mv_distinct_refresh",
+    ]:
+        assert name in ORACLE_WINDOW, name
+    for gone in [
+        "sketch_hll_distinct_users",
+        "bm25_topk",
+        "stream_enrich_join",
+        "semantic_maxsim_search",
+        "geo_join_radius_pairs",
+        "tpch_q7_nation_volume",
+        "tpch_q13_customer_order_distribution",
+    ]:
+        assert gone not in ORACLE_WINDOW, gone
+
+
+def test_round12_queue_registered_with_oracles():
+    # round-11 additions awaiting driver rows: registered, oracled,
+    # and NOT yet in the window (rotation is a deliberate round-12
+    # act with documented evictions, not a side effect)
+    from vectordb_spark.queries import all_oracles
+
+    qs, os_ = all_queries(), all_oracles()
+    for name in (
+        "ann_gist960_adc_parity",
+        "stream_join_matview_maintenance",
     ):
         assert name in qs, name
         assert name in os_, f"{name} must be oracle-gated"

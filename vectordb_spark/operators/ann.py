@@ -199,10 +199,22 @@ class IVFIndex:
     def train_hash_sql(cls, id_expr: str) -> str:
         """The sampled-trainer hash as SQL text — the SAME string is
         valid Spark SQL (via F.expr) and DuckDB SQL, which is what
-        keeps the engine filter and the gate oracles one definition."""
+        keeps the engine filter and the gate oracles one definition.
+
+        The residue is NORMALIZED non-negative (``(x % P + P) % P``):
+        both engines' ``%`` is sign-carrying, so without the
+        normalization a negative id hashed negative and
+        ``h % mod < keep`` was then true for EVERY negative residue —
+        ~100% sampling on negative-id rows instead of ~keep/mod.
+        Positive ids are untouched (the inner residue is already in
+        [0, P)), so every existing gate subset replays identically;
+        and the normalized form equals Python's floor-mod, so the
+        pytest replays match on all ids. Overflow-free as before:
+        the intermediate after ``+ P`` stays below 2·P < 2^32."""
+        p = cls.TRAIN_HASH_PRIME
         return (
-            f"(((({id_expr}) % {cls.TRAIN_HASH_PRIME}) * "
-            f"{cls.TRAIN_HASH_MULT}) % {cls.TRAIN_HASH_PRIME})"
+            f"((((({id_expr}) % {p}) * "
+            f"{cls.TRAIN_HASH_MULT}) % {p} + {p}) % {p})"
         )
 
     def build_lloyd(

@@ -59,6 +59,10 @@ class UnsupportedAggregateError(ValueError):
     """Requested aggregate has no incremental maintenance strategy."""
 
 
+class JoinViewSchemaError(ValueError):
+    """A join-view column reference is ambiguous or unresolvable."""
+
+
 class IncrementalAggView:
     """Per-group aggregates (COUNT(*) always; SUM/MIN/MAX of
     ``value_col`` per ``aggs``), stored as parquet next to a tiny JSON
@@ -416,6 +420,51 @@ class IncrementalJoinAggView:
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.aggs = tuple(dict.fromkeys(("count", *aggs)))
+        # Bind every referenced column to exactly ONE side at
+        # construction (ADVICE r10): without this, a group/value name
+        # present in both schemas failed only later inside
+        # refresh()/full_build() with AMBIGUOUS_REFERENCE — or worse,
+        # the two delta terms resolved it from DIFFERENT sides (term 1
+        # joins the dim snapshot, term 2 the dim changefeed against
+        # the old fact), silently mixing sources. The recorded binding
+        # drives qualified selects in _joined(), so both terms read
+        # each column from the same, declared side. The one name
+        # allowed on both sides is the shared equi-join key itself
+        # (fact_key == dim_key == group col): the inner join makes the
+        # two sides equal by construction, so it binds to the fact.
+        fact_fields = {f.name for f in fact.schema.fields}
+        dim_fields = {f.name for f in dim.schema.fields}
+        if fact_key not in fact_fields:
+            raise JoinViewSchemaError(
+                f"fact_key {fact_key!r} not in fact table "
+                f"{fact.schema.name!r} schema"
+            )
+        if dim_key not in dim_fields:
+            raise JoinViewSchemaError(
+                f"dim_key {dim_key!r} not in dim table "
+                f"{dim.schema.name!r} schema"
+            )
+        self._side: dict[str, str] = {}
+        for c in dict.fromkeys([*self.group_cols, value_col]):
+            in_f, in_d = c in fact_fields, c in dim_fields
+            if in_f and in_d:
+                if c == fact_key == dim_key:
+                    self._side[c] = "fact"
+                    continue
+                raise JoinViewSchemaError(
+                    f"column {c!r} exists in BOTH {fact.schema.name!r} "
+                    f"and {dim.schema.name!r}; the delta terms could "
+                    "resolve it from different sides — rename one, or "
+                    "group by the shared join key"
+                )
+            if not in_f and not in_d:
+                raise JoinViewSchemaError(
+                    f"column {c!r} found in neither table's schema"
+                )
+            self._side[c] = "fact" if in_f else "dim"
+        # scanned-vs-total segment counts of the last refresh's
+        # A0⋈ΔD fact read (None until the pruned path engages)
+        self.last_refresh_stats: dict | None = None
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -475,10 +524,25 @@ class IncrementalJoinAggView:
 
     # ------------------------------------------------------------ build
 
-    def _joined(self, fact_df: DataFrame, dim_df: DataFrame) -> DataFrame:
-        return fact_df.join(
+    def _joined(
+        self, fact_df: DataFrame, dim_df: DataFrame, extra: tuple = ()
+    ) -> DataFrame:
+        """Equi-join with every group/value column projected from its
+        DECLARED side (the ``_side`` binding recorded at construction)
+        — both refresh delta terms and full_build resolve each name
+        from the same source, by construction."""
+        joined = fact_df.join(
             dim_df, fact_df[self.fact_key] == dim_df[self.dim_key], "inner"
         )
+
+        def _src(c: str) -> DataFrame:
+            return fact_df if self._side[c] == "fact" else dim_df
+
+        cols = [
+            _src(c)[c].alias(c)
+            for c in dict.fromkeys([*self.group_cols, self.value_col])
+        ]
+        return joined.select(*cols, *extra)
 
     def _agg(self, joined: DataFrame) -> DataFrame:
         exprs = [F.count(F.lit(1)).alias("n_rows")]
@@ -506,6 +570,62 @@ class IncrementalJoinAggView:
         return vf, vd
 
     # ---------------------------------------------------------- refresh
+
+    def _pruned_fact_snapshot(
+        self, fmeta: dict, vf0: int, d_dim: DataFrame
+    ) -> DataFrame:
+        """The A0 side of the changed-dim term, with SEGMENT PRUNING
+        pushed from ΔD's join keys (VERDICT r10 #5). On a fact
+        clustered on the join key (``rewrite_zorder`` /
+        ``compact(cluster_by=)`` both leave per-segment integer
+        min/max in the manifest), a dim change touching k keys only
+        joins fact rows whose ``fact_key`` equals one of them — so any
+        segment whose [min, max] contains NONE of the changed keys is
+        dropped driver-side, before Spark lists its files. The key
+        list is delta-sized (the same rows the term broadcasts), so
+        collecting it costs one changefeed-plan pass of a few ints.
+        Conservative everywhere: missing history/stats, a non-integer
+        key column, or NULL keys fall back to the full snapshot —
+        pruning can only drop segments PROVEN key-disjoint.
+
+        ``last_refresh_stats`` records scanned-vs-total segment counts
+        for the term (None when the pruning path didn't engage) — the
+        observability hook the pytest gate asserts on."""
+        import bisect
+
+        self.last_refresh_stats = None
+        hist = {
+            int(h["version"]): h["files"] for h in fmeta.get("history", [])
+        }
+        hist[int(fmeta["version"])] = fmeta["files"]
+        files = hist.get(int(vf0))
+        stats = fmeta.get("segment_stats") or {}
+        if files is None or not any(
+            (stats.get(f) or {}).get(self.fact_key) for f in files
+        ):
+            return self.fact.df(version=vf0)
+        keys = [
+            r[0] for r in d_dim.select(self.dim_key).distinct().collect()
+        ]
+        if not keys or not all(
+            isinstance(k, int) and not isinstance(k, bool) for k in keys
+        ):
+            return self.fact.df(version=vf0)
+        keys.sort()
+
+        def _may_hit(st: dict | None) -> bool:
+            rng = (st or {}).get(self.fact_key)
+            if not rng or rng[0] is None or rng[1] is None:
+                return True
+            i = bisect.bisect_left(keys, int(rng[0]))
+            return i < len(keys) and keys[i] <= int(rng[1])
+
+        keep = [f for f in files if _may_hit(stats.get(f))]
+        self.last_refresh_stats = {
+            "fact0_segments_total": len(files),
+            "fact0_segments_scanned": len(keep),
+        }
+        return self.fact._df_for_files(keep)
 
     _SIGNED = ("insert", "update_post")
 
@@ -555,22 +675,21 @@ class IncrementalJoinAggView:
         if vf1 != vf0:
             d_fact = self._signed(self.fact.changes(vf0, vf1, update_preimages=True))
             contribs.append(
-                self._joined(d_fact, self.dim.df(version=vd1)).select(
-                    *self.group_cols, self.value_col, "_sign"
+                self._joined(
+                    d_fact, self.dim.df(version=vd1),
+                    extra=(d_fact["_sign"],),
                 )
             )
         if vd1 != vd0:
             d_dim = self._signed(self.dim.changes(vd0, vd1, update_preimages=True))
             # broadcast the (delta-sized) dim changes under the old
             # fact snapshot — the only fact read of the refresh, key-
-            # prunable when the fact is clustered on the join key
-            fact0 = self.fact.df(version=vf0)
+            # PRUNED when the fact is clustered on the join key (see
+            # _pruned_fact_snapshot)
+            fact0 = self._pruned_fact_snapshot(fmeta, vf0, d_dim)
+            bd_dim = F.broadcast(d_dim)
             contribs.append(
-                fact0.join(
-                    F.broadcast(d_dim),
-                    fact0[self.fact_key] == d_dim[self.dim_key],
-                    "inner",
-                ).select(*self.group_cols, self.value_col, "_sign")
+                self._joined(fact0, bd_dim, extra=(bd_dim["_sign"],))
             )
         delta = reduce(DataFrame.unionByName, contribs)
         agg_exprs = [F.sum("_sign").alias("d_rows")]

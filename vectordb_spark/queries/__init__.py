@@ -138,7 +138,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # (G r6–r9; winnowed-fingerprint equi-join — banded-dedup family
     # keeps cluster_components) and text_boilerplate_span_removal
     # (G r6–r9; text battery keeps lm_perplexity, maxsim, bm25 ×4).
-    "geo_join_radius_pairs",
+    # Round-11 rotation: table_ivfpq_sampled_train_search evicts
+    # geo_join_radius_pairs (G r6–r10; the binned-range equi-join
+    # shape also lives in zorder_range_scan's residual scan).
+    "table_ivfpq_sampled_train_search",
     "ann_ivf_autoplan_fallback",
     # Round-6 additions, rotated in the same round they were built —
     # every one selfcheck-green at sf0.001 AND sf0.01 with a real
@@ -152,12 +155,22 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # text_top_bigrams_per_lang + text_repetition_ngrams (text battery
     # keeps gopher / fuzzy / bigram_familiarity / boilerplate / lm-
     # perplexity).
-    "bm25_topk",
+    # Round-11 rotation: mv_join_refresh evicts bm25_topk (G r6–r10;
+    # lexical path keeps phrase_bm25_topk + text_index_bm25_search +
+    # bm25_multiquery_batch — all strictly richer supersets).
+    "mv_join_refresh",
     "hybrid_bm25_vector_rrf",
     "text_index_bm25_search",
-    "semantic_maxsim_search",
+    # Round-11 rotation: vec_power_iteration_top_pc evicts
+    # semantic_maxsim_search (G r6–r10; multi-vector fold machinery
+    # shared with in-window semantic_text_search + hybrid).
+    "vec_power_iteration_top_pc",
     "text_lm_perplexity",
-    "stream_enrich_join",
+    # Round-11 rotation: stream_matview_maintenance evicts
+    # stream_enrich_join (G r6–r10; streaming keeps late_window_upsert
+    # + stream_stream_join_attribution, and the new gate exercises the
+    # same readStream→foreachBatch→Table machinery plus view refresh).
+    "stream_matview_maintenance",
     # binary quantization rung of the SQ8/PQ ladder, built and rotated
     # in the same round; evicts rj_follow_on_events (driver-green
     # r2-r5; the binned-range-join path keeps geo_join_radius_pairs,
@@ -181,7 +194,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # asof_join_latest_order (G r2-r5; join family keeps tpch q5/q10 +
     # geo_join_radius_pairs, asof machinery stays pytest-covered in
     # tests/test_asof.py)
-    "sketch_hll_distinct_users",
+    # Round-11 rotation: table_ivf_sampled_train_search evicts
+    # sketch_hll_distinct_users (G r6–r10; sketch family keeps
+    # bloom_prune + hdr_quantiles in-window).
+    "table_ivf_sampled_train_search",
     # full sparse INVERTED-INDEX lifecycle (build → tail insert →
     # dim-pruned exact search) vs a brute-force oracle; evicts
     # t1_knn_cosine (driver-green r2-r5; brute-force-KNN path keeps
@@ -228,8 +244,12 @@ ORACLE_WINDOW: tuple[str, ...] = (
     #   stream_dedup_incremental (G r6-r7; streaming keeps
     #     late_window_upsert + enrich_join + the stream-stream
     #     newcomer).
-    "tpch_q7_nation_volume",
-    "tpch_q13_customer_order_distribution",
+    # Round-11 rotation: table_time_travel_read evicts
+    # tpch_q7_nation_volume and mv_distinct_refresh evicts
+    # tpch_q13_customer_order_distribution (both G r8–r10; the 22-query
+    # battery keeps q2/q8/q9/q11/q12/q15/q16/q19/q20/q21/q22 in-window).
+    "table_time_travel_read",
+    "mv_distinct_refresh",
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_sole_late_supplier",
@@ -280,12 +300,35 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "tpch_q16_part_supplier_counts",
 )
 
-# Round-11 rotation pre-plan (VERDICT r9 #7: keep the window hygiene).
-# The registry holds ~118 bench queries vs 50 oracle slots.
+# Round-12 rotation pre-plan (window hygiene, VERDICT r9 #7 / r10 #8).
+# The registry holds ~115 bench queries vs 50 oracle slots.
 #
-# ROUND-11 QUEUE (built in round 10, dual-SF selfcheck-green, awaiting
-# driver rows — rotate into the window next round against the eviction
-# tier below):
+# ROUND-12 QUEUE (built in round 11, dual-SF selfcheck-green, awaiting
+# driver rows — rotate into the window next round; every eviction
+# below must be a green r11 driver row first):
+#   ann_gist960_adc_parity — the reference's own benchmark shape
+#     (gist-960-euclidean.py:18-60) oracle-checked at 960-d: exact
+#     wide-vector KNN top-10 + stored-code PQ-ADC agreement in one
+#     hash-matched row (corpus synthesized from embeddings ids by
+#     exact integer arithmetic; VERDICT r10 #4).
+#   stream_join_matview_maintenance — streaming JOIN-view maintenance
+#     (VERDICT r10 #7): orders stream into the fact in 3 micro-batches
+#     while the same sink advances the revenue-per-nation join view
+#     per batch; dim mutates mid-stream so both delta terms fire
+#     against moving snapshots; oracle joins raw parquet.
+#
+# Proposed 1:1 rotation for round 12 (confirm each eviction's round-11
+# driver row is green before executing):
+#   ann_gist960_adc_parity          ← ann_binary_hamming_rerank
+#     (G r6–; the quantized-ANN ladder keeps ann_ivfpq_adc +
+#     ann_matryoshka_rerank + the trained/sampled lifecycles in-window)
+#   stream_join_matview_maintenance ← tpch_q15_top_supplier
+#     (G r8–; the agg-view equi-back-join shape is exactly what
+#     mv_join_refresh now serves in-window; battery keeps
+#     q2/q8/q9/q11/q12/q16/q19/q20/q21/q22)
+#
+# Historical note — round-11 queue (all rotated into the window above,
+# executed this round):
 #   table_ivf_sampled_train_search — the SAMPLED trained-IVF lifecycle
 #     (VERDICT r9 missing #3): prime-mod hash train subset + full
 #     assignment + manifest round-trip + probe serving, all
@@ -318,9 +361,8 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     only at its last copy, upserts move counts between value keys;
 #     oracle recomputes COUNT(DISTINCT) from the mutation plan.
 #
-# Proposed 1:1 rotation for round 11 (queue entry ← eviction, making
-# the swap mechanical; confirm each eviction's round-10 driver row is
-# green before executing):
+# Executed round-11 rotation (all 7 evictions confirmed green in
+# CORRECTNESS_r10.json before the swap):
 #   table_ivf_sampled_train_search    ← sketch_hll_distinct_users
 #   mv_join_refresh                   ← bm25_topk
 #   stream_matview_maintenance        ← stream_enrich_join
@@ -329,21 +371,13 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #   table_time_travel_read            ← tpch_q7_nation_volume
 #   mv_distinct_refresh               ← tpch_q13_customer_order_distribution
 #
-# Next eviction tier, oldest multi-round greens first, each with an
-# in-window compile-path sibling:
-#   1. sketch_hll_distinct_users (G r6–r10?; sketch family keeps
-#      bloom_prune + hdr_quantiles),
-#   2. bm25_topk (G r6–; lexical path keeps phrase_bm25_topk +
-#      text_index_bm25_search + bm25_multiquery_batch — all strictly
-#      richer supersets of the plain top-k),
-#   3. stream_enrich_join (G r6–; streaming keeps late_window_upsert +
-#      stream_stream_join_attribution),
-#   4. semantic_maxsim_search (G r6–; multi-vector scoring shares the
-#      fold machinery with in-window semantic_text_search + hybrid),
-#   5. geo_join_radius_pairs (G r6–; the binned-range equi-join shape
-#      also lives in zorder_range_scan's residual scan),
-#   6. tpch_q7_nation_volume / q13 / q15 (G r8–; the 22-query battery
-#      keeps q2/q8/q9/q11/q12/q16/q19/q20/q21/q22 in-window).
+# Next eviction tier after the round-12 mapping above (oldest
+# multi-round greens first, each with an in-window compile-path
+# sibling): phrase_bm25_topk / bm25_multiquery_batch (G r6–; lexical
+# path keeps text_index_bm25_search), sparse_index_knn_search (G r6–;
+# only if a richer sparse lifecycle gate lands first),
+# sketch_hdr_quantiles (G r7–; sketch family keeps bloom_prune),
+# tpch_q19/q21/q22 (G r8–).
 #
 # Historical note — round-10 queue (all rotated into the window above):
 #   table_ivfpq_trained_search — trained residual-IVFPQ lifecycle
@@ -493,6 +527,18 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "tpch_q12_shipmode_priority",
         "tpch_q16_part_supplier_counts",
         "table_clustered_compact_search",
+        # r10 additions (round-11 queue), dual-SF selfcheck-green r10
+        # AND judge-re-verified ("7/7 PASS", VERDICT r10)
+        "table_ivf_sampled_train_search",
+        "mv_join_refresh",
+        "stream_matview_maintenance",
+        "vec_power_iteration_top_pc",
+        "table_ivfpq_sampled_train_search",
+        "table_time_travel_read",
+        "mv_distinct_refresh",
+        # r11 additions (round-12 queue), dual-SF selfcheck-green r11
+        "ann_gist960_adc_parity",
+        "stream_join_matview_maintenance",
     }
 )
 

@@ -1276,3 +1276,185 @@ def mv_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------- streaming JOIN-view maintenance (fact stream)
+
+_SJV_ORACLE = f"""
+WITH tgt AS (SELECT MIN(o_custkey) AS k FROM orders),
+dim1 AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey = (SELECT k FROM tgt)
+                THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nation
+    FROM customer
+)
+SELECT CAST(nation AS INT) AS nation,
+       COUNT(*) AS n_orders,
+       {O.dec_sum("o_totalprice")} AS sum_price
+FROM orders o JOIN dim1 d ON o.o_custkey = d.c_custkey
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@query("stream_join_matview_maintenance", oracle=_SJV_ORACLE)
+def stream_join_matview_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming JOIN-view maintenance (VERDICT r10 #7) — the
+    Materialize class at its real shape: orders stream into the FACT
+    table in THREE micro-batches (foreachBatch → manifest commit per
+    batch) while the SAME sink advances a revenue-per-nation
+    IncrementalJoinAggView over orders JOIN customer by one
+    delta-join refresh per batch; between batches 1 and 2 the DIM
+    mutates too (the busiest customer's nation moves), so the mid-
+    stream refresh exercises BOTH delta terms — ΔA⋈D1 for the landed
+    batch and A0⋈ΔD for the nation move — against snapshots that keep
+    changing underneath. The gate asserts one view advance per
+    micro-batch with exactly one dim-version step; the oracle computes
+    the final join-aggregate from raw parquet, so the hash match
+    proves three chained two-sided delta merges reproduce the
+    from-scratch answer through stream→table→changefeed→join-view.
+    100 TB shape: per batch the refresh reads that batch's segment +
+    the broadcast dim delta + the |groups|-row view — freshness cost
+    tracks batch size (the single-table streaming gate's discipline,
+    now across a join)."""
+    from vectordb_spark.operators.matview import IncrementalJoinAggView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.table import Table
+
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders")
+
+    stream_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    fschema = TableSchema(
+        name="sjv_orders",
+        fields=[
+            FieldSchema(
+                name="o_orderkey", field_type=FieldType.INT8, primary_key=True
+            ),
+            FieldSchema(name="o_custkey", field_type=FieldType.INT8),
+            FieldSchema(name="o_totalprice", field_type=FieldType.DOUBLE),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    dschema = TableSchema(
+        name="sjv_customer",
+        fields=[
+            FieldSchema(
+                name="c_custkey", field_type=FieldType.INT8, primary_key=True
+            ),
+            FieldSchema(name="c_nationkey", field_type=FieldType.INT4),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    zv = F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("v")
+    work = tempfile.mkdtemp(prefix="vdb_sjv_")
+
+    # three fact stream files by o_orderkey % 3, mtimes pinned so the
+    # file source delivers them as three ordered micro-batches
+    src = os.path.join(work, "stream_src")
+    os.makedirs(src)
+    for i in range(3):
+        part_dir = os.path.join(work, f"third{i}")
+        (
+            ords.where(f"o_orderkey % 3 = {i}")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        part = next(
+            n for n in os.listdir(part_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    fact = Table(spark, fschema, os.path.join(work, "sjv_orders"))
+    fact._init_storage()
+    dim = Table(spark, dschema, os.path.join(work, "sjv_customer"))
+    dim._init_storage()
+    dim.insert_df(cust.select("c_custkey", "c_nationkey", zv))
+    mv = IncrementalJoinAggView(
+        fact, dim, os.path.join(work, "mv"),
+        fact_key="o_custkey", dim_key="c_custkey",
+        group_cols=["c_nationkey"], value_col="o_totalprice",
+    )
+    mv.full_build()  # view exists BEFORE any fact rows: empty groups
+
+    # the mid-stream dim mutation, resolved up front from the raw
+    # source (the same choice the oracle makes)
+    tgt_ck = int(ords.agg(F.min("o_custkey")).first()[0])
+    tgt_nat = int(
+        cust.where(F.col("c_custkey") == tgt_ck)
+        .select("c_nationkey")
+        .first()[0]
+    )
+    versions: list[tuple[int, int]] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fact.insert_df(
+            batch_df.select("o_orderkey", "o_custkey", "o_totalprice", zv)
+        )
+        if len(versions) == 1:
+            dim.insert(
+                [
+                    {
+                        "c_custkey": tgt_ck,
+                        "c_nationkey": (tgt_nat + 1) % 25,
+                        "v": [0.0, 0.0],
+                    }
+                ],
+                upsert=True,
+            )
+        versions.append(mv.refresh(force_incremental=True))
+
+    q = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # one two-sided view advance per micro-batch; the dim version
+    # stepped exactly once (the mid-stream nation move)
+    assert len(versions) == 3 and versions == sorted(set(versions)), versions
+    assert versions[-1][1] == versions[0][1] + 1, versions
+    assert mv.versions() == (
+        fact._load_meta()["version"], dim._load_meta()["version"]
+    )
+
+    out = (
+        mv.df()
+        .select(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("n_rows").alias("n_orders"),
+            F.col("_sum_dec").cast("double").alias("sum_price"),
+        )
+        .orderBy("nation")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -634,11 +634,13 @@ def vec_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the gate keeps the tall posexplode plan (fixture
     corpora; the kmeans-gate precedent — wide per-dim aggregates pay
-    seconds of codegen compile for zero win at this size); at 100 TB
-    the same algebra runs as 2·dim wide LONG aggregates with s_i
-    evaluated once per row (the build_lloyd rewrite, operators/ann.py
-    round-9 note). Driver state is dim doubles per iteration — the
-    same k·dim-collect pattern every trainer here uses."""
+    seconds of codegen compile for zero win at this size); the 100 TB
+    form now EXISTS as operators/linalg.py power_iteration_top_pc —
+    the same grids (shared constants), s_i evaluated once per row, dim
+    wide LONG aggregates, no explode and no join — pinned bit-identical
+    to this plan in tests/test_linalg.py. Driver state is dim doubles
+    per iteration — the same k·dim-collect pattern every trainer here
+    uses."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     tall = emb.select(

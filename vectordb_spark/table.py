@@ -1613,18 +1613,39 @@ class Table:
         convention and refresh may append deltas; False (any mismatch,
         or no index row still live to verify against) ⇒ ambiguity
         stands and the caller rejects. One bounded read — the cost of
-        never guessing about persisted bytes."""
+        never guessing about persisted bytes.
+
+        The sample must be SPREAD, not the first row-group (ADVICE
+        r10): a bare ``.limit`` returns one segment/cluster's rows,
+        and a convention that differs only on rare inputs (grid
+        half-boundary rounding, clamping at extremes — exactly the
+        class a convention tag guards against) can agree byte-for-byte
+        on that correlated slice while other stored codes differ. So:
+        an index at or under ``full_check_max`` rows is verified IN
+        FULL (codes are 4-byte rows — 64k of them is a trivial read);
+        a larger one samples ``sample`` rows by smallest
+        ``xxhash64(_row_id)``, a uniform spread across clusters and
+        segments. Adoption on the sampled path is still probabilistic
+        — a convention divergence confined to rows outside the spread
+        sample would be missed — which is why the tag this probe
+        writes is the one-time bridge for pre-tag manifests, not the
+        ongoing integrity mechanism (new builds persist the tag at
+        build time)."""
         from vectordb_spark.operators.pq import ResidualPQIndex
 
-        stored = (
-            self.spark.read.parquet(os.path.join(self.path, info["dir"]))
-            .select(
-                "_row_id",
-                F.col("_pq_codes").cast("array<int>").alias("_stored"),
-                F.col("_cluster").cast("int").alias("_cluster"),
-            )
-            .limit(sample)
+        full_check_max = 65536
+        stored = self.spark.read.parquet(
+            os.path.join(self.path, info["dir"])
+        ).select(
+            "_row_id",
+            F.col("_pq_codes").cast("array<int>").alias("_stored"),
+            F.col("_cluster").cast("int").alias("_cluster"),
         )
+        n_index = sum(int(v) for v in (info.get("cluster_sizes") or {}).values())
+        if n_index > full_check_max:
+            stored = stored.orderBy(
+                F.xxhash64(F.col("_row_id")).asc(), F.col("_row_id").asc()
+            ).limit(sample)
         live = self.df().select("_row_id", field)
         joined = stored.join(live, "_row_id")
         rpqi = ResidualPQIndex(m=len(info["pq_codebook"]))
