@@ -562,3 +562,42 @@ def test_compact_and_vacuum(warehouse, spark):
     # inserts keep working after maintenance
     assert t.insert([rec(7)])["inserted"] == 1
     assert t.statistics() == {"totalRecords": 4}
+
+
+def test_insert_df_pk_check_pruned_multisegment(warehouse, spark):
+    """r11: the non-upsert PK-conflict anti-join reads a RANGE-PRUNED
+    snapshot (segments whose PK min/max overlaps the batch), not the
+    whole table — and duplicate skipping stays exact when the
+    conflicting key lives in an OLD segment (that segment always
+    survives pruning: the key is inside both the batch range and its
+    segment's stats)."""
+    from pyspark.sql import functions as F
+
+    db = warehouse.load_db("prunedb")
+    t = db.create_table(CITIES_SCHEMA)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "ID int, Doc string")
+        v = F.array(*[F.lit(x) for x in QV])
+        return df.select(
+            "ID", "Doc",
+            v.alias("EmbeddingEuclidean"),
+            v.alias("EmbeddingDotProduct"),
+            v.alias("EmbeddingCosine"),
+        )
+
+    # three segments with disjoint PK ranges: [0,9], [100,109], [200,209]
+    for base in (0, 100, 200):
+        t.insert_df(batch([(base + i, f"s{base}_{i}") for i in range(10)]))
+    meta = t._load_meta()
+    assert len(meta["files"]) == 3
+    assert all(meta.get("segment_stats", {}).get(f, {}).get("ID")
+               for f in meta["files"])
+    # batch overlapping ONLY the middle segment, with one duplicate
+    res = t.insert_df(batch([(105, "dup"), (110, "new")]))
+    assert res["inserted"] == 1
+    assert [r["Doc"] for r in t.get(primary_keys=[105])["result"]] == ["s100_5"]
+    # batch entirely above every segment: nothing to check against
+    res = t.insert_df(batch([(300, "x"), (301, "y")]))
+    assert res["inserted"] == 2
+    assert t.statistics() == {"totalRecords": 33}

@@ -182,19 +182,40 @@ def encode_np_udf(codebook: list[list[list[int]]]):
     CB = np.asarray(codebook, dtype=np.int64)  # (m, k, sub)
     m, _, sub = CB.shape
 
-    # no pd.Series type hints: this module uses future-annotations
-    # (stringified hints), which pyspark cannot resolve against the
-    # function's locals — pass the eval type explicitly instead
+    # Distances via the GEMM expansion |s−c|² = |s|² − 2·s·c + |c|²:
+    # one BLAS matmul per subspace over (batch, sub)×(sub, k) instead
+    # of the naive (batch, m, k, sub) broadcast temp — which at a 10k
+    # Arrow batch of 960-d is a 10 GB int64 allocation (measured: the
+    # broadcast form turned the 100k GIST build into 71 s of memory
+    # thrash; the GEMM form keeps temps at (batch, k)). EXACT despite
+    # float64: grid values are integers ≤ ~2^17, so every product
+    # (≤ 2^34) and every ≤ sub-term partial sum (< 2^41) is an integer
+    # below 2^53 — float64 adds/multiplies of such integers round
+    # nothing, and the int64 round-trip is lossless.
+    CBf = CB.astype(np.float64)
+    c2 = (CB * CB).sum(axis=2)                     # (m, k) int64, exact
+
     def _encode(v):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(v.to_numpy()).astype(np.float64)
-        G = np.floor(X * QMUL + 0.5).astype(np.int64)
-        S = G.reshape(len(X), m, 1, sub)
-        d = ((S - CB[None]) ** 2).sum(axis=3)      # (n, m, k) int64
-        codes = d.argmin(axis=2) + 1               # first-min, 1-based
-        return pd.Series(list(codes.astype(np.int64)))
+        G = np.floor(X * QMUL + 0.5)               # exact integer doubles
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for mi in range(m):
+            S = G[:, mi * sub : (mi + 1) * sub]    # (n, sub)
+            sc = S @ CBf[mi].T                     # (n, k) exact ints
+            s2 = (S * S).sum(axis=1)               # (n,) exact ints
+            d = (
+                s2[:, None].astype(np.int64)
+                - 2 * sc.astype(np.int64)
+                + c2[mi][None, :]
+            )
+            codes[:, mi] = d.argmin(axis=1) + 1    # first-min, 1-based
+        return pd.Series(list(codes))
 
+    # no pd.Series type hints: this module uses future-annotations
+    # (stringified hints), which pyspark cannot resolve against the
+    # function's locals — pass the eval type explicitly instead
     _encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return F.pandas_udf(_encode, ArrayType(LongType()))
 

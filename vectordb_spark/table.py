@@ -727,7 +727,6 @@ class Table:
                 == 1
             )
             inserted_df = new_df.withColumn("_keep", keep).where("_keep").drop("_keep")
-            existing = self.df().select(pk_field.name)
             if upsert:
                 base = self.df().join(
                     inserted_df.select(pk_field.name), pk_field.name, "left_anti"
@@ -740,6 +739,31 @@ class Table:
                 self._bump_mutation_seq(meta)
                 self._write_base(full, meta, start + total)
                 return {"inserted": n, "skipped": 0}
+            # PK-conflict check against a RANGE-PRUNED snapshot, not
+            # the whole table (r11): only segments whose manifest
+            # min/max overlaps the batch's PK range can hold a
+            # conflict, so for an integer PK the anti-join's build
+            # side shrinks to the overlapping segments — on an
+            # append-mostly table with fresh keys that is usually the
+            # newest segment or nothing. Safe superset by
+            # construction: a conflicting key lies inside the batch
+            # range AND inside its segment's [min, max], so that
+            # segment always survives pruning; missing stats keep the
+            # segment (scan_df's conservative rule). String PKs carry
+            # no stats and fall back to the full PK-column scan.
+            if pk_field.field_type.is_int:
+                rng = inserted_df.agg(
+                    F.min(pk_field.name), F.max(pk_field.name)
+                ).first()
+                lo, hi = rng[0], rng[1]
+                if lo is None:
+                    existing = self.df().select(pk_field.name).limit(0)
+                else:
+                    existing = self.scan_df(
+                        extra_bounds={pk_field.name: (float(lo), float(hi))}
+                    ).select(pk_field.name)
+            else:
+                existing = self.df().select(pk_field.name)
             inserted_df = inserted_df.join(existing, pk_field.name, "left_anti")
         for fld in self.schema.fields:
             if fld.is_index_field:
