@@ -1,0 +1,123 @@
+"""Copy-on-write upsert/delete vs full-base consolidation at scale.
+
+The r11 write-path claim: a point-ish upsert or delete against a
+multi-segment table should cost the AFFECTED segments, not the table —
+manifest min/max stats prune candidates, a broadcast semi-join finds
+the segments actually holding conflicts, only those rewrite, everything
+else is retained verbatim in the new manifest. The legacy path (still
+the fallback above the COW_REWRITE_FRACTION bytes crossover, for
+non-integer PKs, and for over-broadcast-size batches) rewrites the
+whole live base every commit. Each variant runs against its own fresh
+identical table; legacy is forced via the operator's own fallback
+knobs (COW_UPSERT_MAX_BATCH=0 / COW_REWRITE_FRACTION=0), so both
+timings include full commit bookkeeping.
+
+Prints a SCALING.md section. Run alone (idle machine — see
+.claude/skills/verify gotchas):
+    python scripts/cow_write_scaling.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vectordb_spark import get_spark
+from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+from vectordb_spark.table import Table
+
+N_BASE = 20_000_000
+N_SEGMENTS = 16
+UPSERT_SIZES = (1_000, 100_000)
+
+
+def _mk_table(spark, work, name):
+    schema = TableSchema(
+        name=name,
+        fields=[
+            FieldSchema(name="k", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="val", field_type=FieldType.DOUBLE),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, os.path.join(work, name))
+    t._init_storage()
+    per = N_BASE // N_SEGMENTS
+    for s in range(N_SEGMENTS):
+        t.insert_df(
+            spark.range(s * per, (s + 1) * per).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 997).cast("double").alias("val"),
+                F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("v"),
+            )
+        )
+    return t
+
+
+def _batch(spark, start, n):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("k"),
+        F.lit(-1.0).alias("val"),
+        F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("v"),
+    )
+
+
+def main() -> None:
+    spark = get_spark("cow_write_scaling")
+    work = tempfile.mkdtemp(prefix="cow_scale_")
+    print(
+        f"\n## COW upsert/delete vs full-base rewrite "
+        f"({N_BASE:,} rows, {N_SEGMENTS} segments)\n"
+    )
+    print("| mutation | COW s | segs rewritten / total | legacy (full rewrite) s |")
+    print("|---|---|---|---|")
+
+    rows = []
+    for n in UPSERT_SIZES:
+        t = _mk_table(spark, work, f"cw_{n}")
+        files0 = set(t._load_meta()["files"])
+        t0 = time.time()
+        t.insert_df(_batch(spark, 5_000_000, n), upsert=True)
+        t_cow = round(time.time() - t0, 2)
+        rewritten = len(files0 - set(t._load_meta()["files"]))
+
+        t2 = _mk_table(spark, work, f"cw_leg_{n}")
+        t2.COW_UPSERT_MAX_BATCH = 0  # force the legacy consolidation
+        t0 = time.time()
+        t2.insert_df(_batch(spark, 5_000_000, n), upsert=True)
+        t_leg = round(time.time() - t0, 2)
+        rows.append((f"upsert {n:,}", t_cow, f"{rewritten}/{N_SEGMENTS}", t_leg))
+        print(f"| upsert {n:,} | {t_cow} | {rewritten}/{N_SEGMENTS} | {t_leg} |",
+              flush=True)
+        shutil.rmtree(os.path.join(work, f"cw_{n}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(work, f"cw_leg_{n}"), ignore_errors=True)
+
+    t = _mk_table(spark, work, "cw_del")
+    files0 = set(t._load_meta()["files"])
+    t0 = time.time()
+    t.delete(filter="k >= 100000 AND k < 101000")
+    t_cow = round(time.time() - t0, 2)
+    rewritten = len(files0 - set(t._load_meta()["files"]))
+    t2 = _mk_table(spark, work, "cw_del_leg")
+    t2.COW_REWRITE_FRACTION = 0.0  # any candidate -> legacy
+    t0 = time.time()
+    t2.delete(filter="k >= 100000 AND k < 101000")
+    t_leg = round(time.time() - t0, 2)
+    print(f"| delete 1,000 (range) | {t_cow} | {rewritten}/{N_SEGMENTS} | {t_leg} |",
+          flush=True)
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

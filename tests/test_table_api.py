@@ -601,3 +601,125 @@ def test_insert_df_pk_check_pruned_multisegment(warehouse, spark):
     res = t.insert_df(batch([(300, "x"), (301, "y")]))
     assert res["inserted"] == 2
     assert t.statistics() == {"totalRecords": 33}
+
+
+def test_delete_cow_rewrites_only_matched_segments(warehouse, spark):
+    """r11 copy-on-write delete: untouched segments are RETAINED in
+    the new manifest (same dirs, zero bytes moved), only segments
+    holding matches are rewritten, fully-emptied segments drop out,
+    time travel still serves the pre-delete snapshot, and the
+    changefeed surfaces exactly the deleted rows."""
+    from pyspark.sql import functions as F
+
+    db = warehouse.load_db("cowdb")
+    t = db.create_table(CITIES_SCHEMA)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "ID int, Doc string")
+        v = F.array(*[F.lit(x) for x in QV])
+        return df.select(
+            "ID", "Doc",
+            v.alias("EmbeddingEuclidean"),
+            v.alias("EmbeddingDotProduct"),
+            v.alias("EmbeddingCosine"),
+        )
+
+    # three disjoint-range segments
+    for base in (0, 100, 200):
+        t.insert_df(batch([(base + i, f"s{base}_{i}") for i in range(10)]))
+    meta0 = t._load_meta()
+    v0 = meta0["version"]
+    files0 = list(meta0["files"])
+    assert len(files0) == 3
+
+    # delete two rows confined to the middle segment
+    res = t.delete(primary_keys=[103, 107])
+    assert res["deleted"] == 2
+    meta1 = t._load_meta()
+    # first and third segments retained verbatim; middle replaced by a
+    # cow_ dir
+    assert files0[0] in meta1["files"] and files0[2] in meta1["files"]
+    assert files0[1] not in meta1["files"]
+    assert any(f.startswith("cow_") for f in meta1["files"])
+    assert meta1["row_count"] == 28
+    assert t.statistics() == {"totalRecords": 28}
+    # surviving rows intact, deleted gone
+    ids = sorted(r["ID"] for r in t.df().select("ID").collect())
+    assert 103 not in ids and 107 not in ids and len(ids) == 28
+    # time travel: the pre-delete snapshot still has 30 rows
+    assert t.df(version=v0).count() == 30
+    # changefeed: exactly the two deleted rows, as delete pre-images
+    ch = t.changes(v0).collect()
+    assert sorted((r["_change_type"], r["ID"]) for r in ch) == [
+        ("delete", 103), ("delete", 107),
+    ]
+
+    # empty-segment drop: delete ALL of segment one -> its dir (the
+    # retained files0[0]) leaves the manifest entirely. Filter-only
+    # delete exercises the range_bounds pruning path.
+    res = t.delete(filter="ID < 100")
+    assert res["deleted"] == 10
+    meta2 = t._load_meta()
+    assert files0[0] not in meta2["files"]
+    assert t.df().count() == 18
+
+    # crossover: a delete spanning every remaining segment falls back
+    # to the consolidating rewrite (single base_ dir)
+    res = t.delete(filter="ID >= 0")
+    assert res["deleted"] == 18
+    meta3 = t._load_meta()
+    assert t.df().count() == 0
+    assert all(not f.startswith("cow_") for f in meta3["files"])
+
+
+def test_upsert_cow_rewrites_only_conflicting_segments(warehouse, spark):
+    """r11 copy-on-write upsert: a PK-conflicting upsert rewrites only
+    the segments holding the replaced keys (others retained verbatim),
+    lands the batch as one add segment in the SAME atomic version,
+    keeps keep-last semantics, and the changefeed pairs the update as
+    pre/post images exactly like the consolidating path did."""
+    from pyspark.sql import functions as F
+
+    db = warehouse.load_db("cowupdb")
+    t = db.create_table(CITIES_SCHEMA)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "ID int, Doc string")
+        v = F.array(*[F.lit(x) for x in QV])
+        return df.select(
+            "ID", "Doc",
+            v.alias("EmbeddingEuclidean"),
+            v.alias("EmbeddingDotProduct"),
+            v.alias("EmbeddingCosine"),
+        )
+
+    for base in (0, 100, 200):
+        t.insert_df(batch([(base + i, f"s{base}_{i}") for i in range(10)]))
+    meta0 = t._load_meta()
+    v0, files0 = meta0["version"], list(meta0["files"])
+
+    # upsert touching only the middle segment (one replace + one new)
+    res = t.insert_df(batch([(105, "upd"), (150, "new")]), upsert=True)
+    assert res["inserted"] == 2
+    meta1 = t._load_meta()
+    assert meta1["version"] == v0 + 1  # ONE atomic commit
+    assert files0[0] in meta1["files"] and files0[2] in meta1["files"]
+    assert files0[1] not in meta1["files"]
+    assert any(f.startswith("cow_") for f in meta1["files"])
+    assert t.statistics() == {"totalRecords": 31}
+    assert [r["Doc"] for r in t.get(primary_keys=[105])["result"]] == ["upd"]
+    assert [r["Doc"] for r in t.get(primary_keys=[150])["result"]] == ["new"]
+    # changefeed: 105 pairs as update pre/post, 150 is an insert
+    ch = sorted(
+        (r["_change_type"], r["ID"]) for r in t.changes(v0, update_preimages=True).collect()
+    )
+    assert ch == [("insert", 150), ("update_post", 105), ("update_pre", 105)]
+    # row-based point upsert rides the same path
+    v1 = meta1["version"]
+    t.insert([{"ID": 205, "Doc": "pt", "EmbeddingEuclidean": QV,
+               "EmbeddingDotProduct": QV, "EmbeddingCosine": QV}], upsert=True)
+    meta2 = t._load_meta()
+    assert meta2["version"] == v1 + 1
+    assert files0[0] in meta2["files"]  # untouched segment still live
+    assert [r["Doc"] for r in t.get(primary_keys=[205])["result"]] == ["pt"]
+    assert t.statistics() == {"totalRecords": 31}

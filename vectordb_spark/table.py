@@ -656,10 +656,11 @@ class Table:
         new_df = self._apply_ingest_transforms(new_df)
 
         if pk_field is not None and existing_pks and upsert:
-            # consolidate: old rows minus replaced PKs, plus new rows
-            base = self.df().where(~F.col(pk_field.name).isin(list(existing_pks)))
+            # replaced PKs leave via the segment-granular COW path
+            # (only their segments rewrite); the batch lands as one
+            # add segment in the same atomic commit
             self._bump_mutation_seq(meta)
-            self._write_base(base.unionByName(new_df), meta, next_row_id)
+            self._cow_upsert(new_df, meta, pk_field, next_row_id)
         else:
             self._append(new_df, meta, next_row_id)
         return {"inserted": len(rows), "skipped": skipped}
@@ -673,7 +674,27 @@ class Table:
         meta = self._load_meta()
         start = meta["next_row_id"]
         cols = [f.name for f in self.schema.fields if not f.is_index_field]
-        new_df = df.select(*cols)
+        # Cast DENSE VECTOR columns to their declared array<float> at
+        # ingest (the row path always stored float32, via
+        # createDataFrame over the declared schema): without this a
+        # double-element batch landed as a DOUBLE-typed segment next
+        # to FLOAT-typed siblings — masked while upserts consolidated
+        # everything into one rewritten base, fatal once COW keeps
+        # heterogeneous segments live side by side (Parquet readers
+        # refuse mixed element types). Scalar and sparse columns keep
+        # their longstanding pass-through behavior (several gates
+        # deliberately feed int data under a STRING declaration and
+        # read back what they stored).
+        dense = {
+            f.name for f in self.schema.fields if f.field_type.is_dense_vector
+        }
+        new_df = df.select(
+            *[
+                F.col(c).cast("array<float>").alias(c) if c in dense
+                else F.col(c)
+                for c in cols
+            ]
+        )
         # Assign batch-order row ids WITHOUT a global sort: a
         # row_number() over a partitionless window would funnel the
         # whole batch through one task. monotonically_increasing_id
@@ -728,16 +749,12 @@ class Table:
             )
             inserted_df = new_df.withColumn("_keep", keep).where("_keep").drop("_keep")
             if upsert:
-                base = self.df().join(
-                    inserted_df.select(pk_field.name), pk_field.name, "left_anti"
-                )
                 for fld in self.schema.fields:
                     if fld.is_index_field:
                         inserted_df = self._embed_index_field(inserted_df, fld)
-                full = base.unionByName(self._apply_ingest_transforms(inserted_df))
-                n = inserted_df.count()
+                inserted_df = self._apply_ingest_transforms(inserted_df)
                 self._bump_mutation_seq(meta)
-                self._write_base(full, meta, start + total)
+                n = self._cow_upsert(inserted_df, meta, pk_field, start + total)
                 return {"inserted": n, "skipped": 0}
             # PK-conflict check against a RANGE-PRUNED snapshot, not
             # the whole table (r11): only segments whose manifest
@@ -1183,7 +1200,8 @@ class Table:
             full = os.path.join(self.path, name)
             if (
                 name.startswith(
-                    ("add_", "base_", "index_", "textindex_", "sparseindex_")
+                    ("add_", "base_", "cow_", "zrw_", "index_",
+                     "textindex_", "sparseindex_")
                 )
                 and name not in referenced
                 and os.path.isdir(full)
@@ -1232,14 +1250,228 @@ class Table:
         if ast is not None:
             cond = cond & to_spark_column(ast)
         meta = self._load_meta()
-        before = self._count(meta)
-        kept = self.df().where(~F.coalesce(cond, F.lit(False)))
-        # the consolidation commit records the surviving count from
-        # parquet footers — deleted falls out of the delta, no extra
-        # O(table) count actions
+        # segment pruning bounds for the COW path: the filter's
+        # conjunctive ranges plus the PK list's min/max (integer PKs)
+        from vectordb_spark.expr.prune import range_bounds
+
+        bounds = range_bounds(ast)
+        if primary_keys:
+            pk_field = self.schema.primary_key
+            if pk_field.field_type.is_int and all(
+                isinstance(k, int) and not isinstance(k, bool)
+                for k in primary_keys
+            ):
+                lo, hi = float(min(primary_keys)), float(max(primary_keys))
+                cur = bounds.get(pk_field.name, (None, None))
+                bounds[pk_field.name] = (
+                    lo if cur[0] is None else max(lo, cur[0]),
+                    hi if cur[1] is None else min(hi, cur[1]),
+                )
         self._bump_mutation_seq(meta)
-        self._write_base(kept, meta, meta["next_row_id"])
-        return {"deleted": before - int(meta["row_count"])}
+        return {"deleted": self._cow_delete(cond, meta, bounds)}
+
+    # COW-vs-consolidation crossover: when the segments that must be
+    # rewritten cover at least this fraction of the base bytes, one
+    # consolidating full rewrite wins (it also defragments); below it,
+    # rewriting only the affected segments tracks the DELETE size, not
+    # the table size — the matview REBUILD_THRESHOLD discipline
+    # applied to the write path.
+    COW_REWRITE_FRACTION = 0.5
+
+    def _dir_bytes(self, name: str) -> int:
+        total = 0
+        for root, _dirs, fnames in os.walk(os.path.join(self.path, name)):
+            for fn in fnames:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return total
+
+    # COW upsert gives up (legacy consolidating rewrite) above this
+    # batch size: the batch-key side is force-broadcast into every
+    # rewritten segment's anti-join, so it must stay broadcast-sized.
+    COW_UPSERT_MAX_BATCH = 1_000_000
+
+    def _cow_upsert(
+        self, batch_df: DataFrame, meta: dict, pk_field, next_row_id: int
+    ) -> int:
+        """Segment-granular copy-on-write upsert (r11): the legacy
+        path rewrote the ENTIRE live base (anti-join ∪ batch) on every
+        upsert commit — O(table) per commit. Now the batch's PK range
+        prunes candidate segments via manifest stats, one broadcast
+        semi-join counts conflicts per segment, only CONFLICTING
+        segments are rewritten (surviving rows keep their _row_id),
+        and the batch lands as a normal add segment — all in ONE
+        atomic manifest version, so readers, time travel, and
+        ``changes()`` see exactly the same logical diff as the
+        consolidating path (updated PKs pair into update pre/post
+        images across the rewritten and added dirs). Falls back to the
+        legacy rewrite when the PK is non-integer, stats are missing,
+        the batch exceeds broadcast size, or the conflicting segments
+        cover ≥ COW_REWRITE_FRACTION of the base bytes (where the
+        consolidation costs the same and defragments)."""
+        pk = pk_field.name
+        batch_df = batch_df.localCheckpoint()
+        n = batch_df.count()
+        before = self._count(meta)
+        files = list(meta["files"])
+        stats = meta.get("segment_stats") or {}
+
+        def _legacy() -> int:
+            base = self.df().join(
+                batch_df.select(pk), pk, "left_anti"
+            )
+            full = base.unionByName(batch_df)
+            self._write_base(full, meta, next_row_id)
+            return n
+
+        if (
+            not pk_field.field_type.is_int
+            or n > self.COW_UPSERT_MAX_BATCH
+            or not files
+            or not any((stats.get(f) or {}).get(pk) for f in files)
+        ):
+            return _legacy()
+        rng = batch_df.agg(F.min(pk), F.max(pk)).first()
+        if rng[0] is None:
+            return _legacy()
+        bounds = {pk: (float(rng[0]), float(rng[1]))}
+        from vectordb_spark.expr.prune import segment_overlaps
+
+        candidates = [
+            f for f in files if segment_overlaps(stats.get(f), bounds)
+        ]
+        if candidates:
+            total_b = sum(self._dir_bytes(f) for f in files)
+            cand_b = sum(self._dir_bytes(f) for f in candidates)
+            if total_b and cand_b >= self.COW_REWRITE_FRACTION * total_b:
+                return _legacy()
+        matched: dict[str, int] = {}
+        if candidates:
+            prefix = os.path.abspath(self.path)
+            keys = F.broadcast(batch_df.select(pk))
+            for r in (
+                self._df_for_files(candidates)
+                .join(keys, pk, "left_semi")
+                .groupBy(F.input_file_name().alias("_f"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            ):
+                p = r["_f"]
+                p = p[5:] if p.startswith("file:") else p
+                rel = os.path.relpath(os.path.abspath(p), prefix)
+                seg = rel.split(os.sep, 1)[0]
+                matched[seg] = matched.get(seg, 0) + int(r["c"])
+        removed = sum(matched.values())
+        to_rewrite = [f for f in files if matched.get(f)]
+        self._record_history(meta)
+        version = meta["version"] + 1
+        new_files = [f for f in files if f not in to_rewrite]
+        for i, f in enumerate(to_rewrite):
+            name = f"cow_{version}_{i}"
+            kept = self._df_for_files([f]).join(
+                F.broadcast(batch_df.select(pk)), pk, "left_anti"
+            )
+            self._write_segment(kept, name)
+            if self._dir_count(name) > 0:
+                new_files.append(name)
+                meta.setdefault("segment_stats", {})[name] = (
+                    self._segment_stats(name)
+                )
+        add_name = f"add_{version}"
+        self._write_segment(batch_df, add_name)
+        new_files.append(add_name)
+        meta.setdefault("segment_stats", {})[add_name] = self._segment_stats(
+            add_name
+        )
+        meta["files"] = new_files
+        meta["version"] = version
+        meta["next_row_id"] = next_row_id
+        meta["row_count"] = before - removed + n
+        meta["index_sources"] = self.index_sources
+        self._save_meta(meta)
+        return n
+
+    def _cow_delete(self, cond, meta: dict, bounds: dict) -> int:
+        """Segment-granular copy-on-write delete (r11). The legacy
+        path rewrote the ENTIRE live base into one segment on every
+        delete — O(table) per commit, the write-path twin of the
+        matview full-rebuild problem. Now: (1) manifest min/max stats
+        prune the candidate segments driver-side (a delete whose PK
+        range or filter ranges miss a segment cannot touch it);
+        (2) one column-pruned scan of the candidates counts matches
+        per segment via input_file_name, so segments with zero matches
+        are RETAINED as-is (same dirs, zero bytes moved); (3) only
+        matched segments are rewritten (rows surviving ``~cond``
+        preserve their _row_id, so index delta dirs stay valid);
+        (4) when the matched segments cover ≥ COW_REWRITE_FRACTION of
+        the base bytes the consolidating full rewrite runs instead —
+        it costs the same and defragments. Changefeed semantics are
+        unchanged: ``changes()`` diffs by PK with content-equality
+        cancellation, so retained dirs prune at file level and
+        surviving rows in rewritten dirs cancel — only the deleted
+        rows surface, exactly as before (pinned in tests)."""
+        files = list(meta["files"])
+        stats = meta.get("segment_stats") or {}
+        before = self._count(meta)
+        candidates = files
+        if bounds and stats:
+            from vectordb_spark.expr.prune import segment_overlaps
+
+            candidates = [
+                f for f in files if segment_overlaps(stats.get(f), bounds)
+            ]
+
+        def _legacy() -> int:
+            kept = self.df().where(~F.coalesce(cond, F.lit(False)))
+            # the consolidation commit records the surviving count
+            # from parquet footers — no extra O(table) count actions
+            self._write_base(kept, meta, meta["next_row_id"])
+            return before - int(meta["row_count"])
+
+        if candidates:
+            total_b = sum(self._dir_bytes(f) for f in files)
+            cand_b = sum(self._dir_bytes(f) for f in candidates)
+            if total_b and cand_b >= self.COW_REWRITE_FRACTION * total_b:
+                return _legacy()
+        matched: dict[str, int] = {}
+        if candidates:
+            prefix = os.path.abspath(self.path)
+            for r in (
+                self._df_for_files(candidates)
+                .where(F.coalesce(cond, F.lit(False)))
+                .groupBy(F.input_file_name().alias("_f"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                p = r["_f"]
+                p = p[5:] if p.startswith("file:") else p
+                rel = os.path.relpath(os.path.abspath(p), prefix)
+                seg = rel.split(os.sep, 1)[0]
+                matched[seg] = matched.get(seg, 0) + int(r["n"])
+        removed = sum(matched.values())
+        to_rewrite = [f for f in files if matched.get(f)]
+        self._record_history(meta)
+        version = meta["version"] + 1
+        new_files = [f for f in files if f not in to_rewrite]
+        for i, f in enumerate(to_rewrite):
+            name = f"cow_{version}_{i}"
+            kept = self._df_for_files([f]).where(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            self._write_segment(kept, name)
+            if self._dir_count(name) > 0:
+                new_files.append(name)
+                meta.setdefault("segment_stats", {})[name] = (
+                    self._segment_stats(name)
+                )
+        meta["files"] = new_files
+        meta["version"] = version
+        meta["row_count"] = before - removed
+        meta["index_sources"] = self.index_sources
+        self._save_meta(meta)
+        return removed
 
     # ---------------------------------------------------------------- query
 
