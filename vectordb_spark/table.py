@@ -637,9 +637,22 @@ class Table:
         # PKs already in the table
         existing_pks: set = set()
         if pk_field is not None and seen_pks:
+            pks = list(seen_pks)
+            # same range-pruned conflict check as insert_df (r11):
+            # integer-PK point inserts read only the segments whose
+            # manifest min/max overlaps the batch's key range
+            if pk_field.field_type.is_int and all(
+                isinstance(k, int) and not isinstance(k, bool) for k in pks
+            ):
+                snapshot = self.scan_df(
+                    extra_bounds={
+                        pk_field.name: (float(min(pks)), float(max(pks)))
+                    }
+                )
+            else:
+                snapshot = self.df()
             existing = (
-                self.df()
-                .where(F.col(pk_field.name).isin(list(seen_pks)))
+                snapshot.where(F.col(pk_field.name).isin(pks))
                 .select(pk_field.name)
                 .collect()
             )
