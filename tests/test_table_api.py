@@ -723,3 +723,50 @@ def test_upsert_cow_rewrites_only_conflicting_segments(warehouse, spark):
     assert files0[0] in meta2["files"]  # untouched segment still live
     assert [r["Doc"] for r in t.get(primary_keys=[205])["result"]] == ["pt"]
     assert t.statistics() == {"totalRecords": 31}
+
+
+def test_vacuum_reclaims_cow_and_zrw_dirs(warehouse, spark):
+    """r11: superseded copy-on-write (cow_) and z-order rewrite (zrw_)
+    segment dirs are reclaimable by vacuum like add_/base_ dirs —
+    zrw_ dirs previously leaked forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    db = warehouse.load_db("vacowdb")
+    t = db.create_table(CITIES_SCHEMA)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "ID int, Doc string")
+        v = F.array(*[F.lit(x) for x in QV])
+        return df.select(
+            "ID", "Doc",
+            v.alias("EmbeddingEuclidean"),
+            v.alias("EmbeddingDotProduct"),
+            v.alias("EmbeddingCosine"),
+        )
+
+    for base in (0, 100, 200):
+        t.insert_df(batch([(base + i, f"d{base+i}") for i in range(8)]))
+    # zrw_ layout, then a COW delete that supersedes one zrw_ dir
+    t.rewrite_zorder(("ID", "ID"), segments=3)
+    zrw0 = [f for f in t._load_meta()["files"] if f.startswith("zrw_")]
+    assert len(zrw0) >= 2
+    t.delete(primary_keys=[0, 1])
+    meta = t._load_meta()
+    assert any(f.startswith("cow_") for f in meta["files"])
+    superseded_zrw = [f for f in zrw0 if f not in meta["files"]]
+    assert superseded_zrw  # the rewritten zrw_ dir left the manifest
+    # another delete supersedes the cow_ dir too
+    cow0 = [f for f in meta["files"] if f.startswith("cow_")]
+    t.delete(primary_keys=[2])
+    meta2 = t._load_meta()
+    assert cow0[0] not in meta2["files"]
+
+    res = t.vacuum(grace_seconds=0)
+    assert res["removedSegments"] > 0
+    live = set(os.listdir(t.path))
+    for gone in (*superseded_zrw, cow0[0]):
+        assert gone not in live, gone
+    # current data intact
+    assert t.df().count() == 21
