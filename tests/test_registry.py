@@ -54,9 +54,9 @@ def test_round8_rotation():
     # bigram_familiarity, pgm + video_frame (media carried by ahash +
     # scene_change), stream_dedup_incremental.
     # (tpch_q7 / q13 left the window again in the round-11 rotation —
-    # see test_round11_rotation)
+    # see test_round11_rotation; tpch_q15 left in the round-12 rotation
+    # — see test_round12_rotation)
     for name in [
-        "tpch_q15_top_supplier",
         "tpch_q19_disjunctive_revenue",
         "tpch_q21_sole_late_supplier",
         "tpch_q22_dormant_customers",
@@ -185,17 +185,22 @@ def test_round11_rotation():
         assert gone not in ORACLE_WINDOW, gone
 
 
-def test_round12_queue_registered_with_oracles():
-    # round-11 additions awaiting driver rows: registered, oracled,
-    # and NOT yet in the window (rotation is a deliberate round-12
-    # act with documented evictions, not a side effect)
-    from vectordb_spark.queries import all_oracles
-
-    qs, os_ = all_queries(), all_oracles()
-    for name in (
+def test_round12_rotation():
+    # round-12 window facts (VERDICT r11 "Next round" #1): the two
+    # round-11-queue queries — both judge-selfchecked 2/2 in VERDICT
+    # r11 AND re-selfchecked at both SFs this round — take their first
+    # driver slots. Both evictions confirmed green in
+    # CORRECTNESS_r11.json before the swap: ann_binary_hamming_rerank
+    # (G r6–r11; quantized-ANN ladder keeps ivfpq_adc + matryoshka +
+    # trained/sampled lifecycles) and tpch_q15_top_supplier (G r8–r11;
+    # agg-view equi-back-join served by mv_join_refresh in-window).
+    for name in [
         "ann_gist960_adc_parity",
         "stream_join_matview_maintenance",
-    ):
-        assert name in qs, name
-        assert name in os_, f"{name} must be oracle-gated"
-        assert name not in ORACLE_WINDOW, f"{name} rotated in early"
+    ]:
+        assert name in ORACLE_WINDOW, name
+    for gone in [
+        "ann_binary_hamming_rerank",
+        "tpch_q15_top_supplier",
+    ]:
+        assert gone not in ORACLE_WINDOW, gone

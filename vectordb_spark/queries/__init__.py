@@ -171,11 +171,14 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # + stream_stream_join_attribution, and the new gate exercises the
     # same readStream→foreachBatch→Table machinery plus view refresh).
     "stream_matview_maintenance",
-    # binary quantization rung of the SQ8/PQ ladder, built and rotated
-    # in the same round; evicts rj_follow_on_events (driver-green
-    # r2-r5; the binned-range-join path keeps geo_join_radius_pairs,
-    # the same equi-join-on-bin shape, in window)
-    "ann_binary_hamming_rerank",
+    # Round-12 rotation: ann_gist960_adc_parity — the reference's own
+    # GIST-960 benchmark shape (gist-960-euclidean.py:18-60) as a
+    # hash-checked row: exact 960-d KNN top-10 + stored-code PQ-ADC
+    # agreement in one oracle-replayed composite. Evicts
+    # ann_binary_hamming_rerank (G r6–r11; the quantized-ANN ladder
+    # keeps ann_ivfpq_adc + ann_matryoshka_rerank + the trained and
+    # sampled lifecycles in-window).
+    "ann_gist960_adc_parity",
     # exact-phrase BM25 (positional adjacency as a codegen
     # start-position filter; the positional-index twin is pytest-pinned
     # in test_text_index.py); evicts a7_percentile_facets (driver-green
@@ -250,7 +253,15 @@ ORACLE_WINDOW: tuple[str, ...] = (
     # battery keeps q2/q8/q9/q11/q12/q15/q16/q19/q20/q21/q22 in-window).
     "table_time_travel_read",
     "mv_distinct_refresh",
-    "tpch_q15_top_supplier",
+    # Round-12 rotation: stream_join_matview_maintenance — streaming
+    # JOIN-view maintenance (orders stream into the fact in 3
+    # micro-batches while the same foreachBatch sink advances the
+    # revenue-per-nation join view; dim mutates mid-stream so both
+    # delta terms fire against moving snapshots). Evicts
+    # tpch_q15_top_supplier (G r8–r11; the agg-view equi-back-join
+    # shape is served in-window by mv_join_refresh, and the battery
+    # keeps q2/q8/q9/q11/q12/q16/q19/q20/q21/q22).
+    "stream_join_matview_maintenance",
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_sole_late_supplier",
     "tpch_q22_dormant_customers",
@@ -300,32 +311,28 @@ ORACLE_WINDOW: tuple[str, ...] = (
     "tpch_q16_part_supplier_counts",
 )
 
-# Round-12 rotation pre-plan (window hygiene, VERDICT r9 #7 / r10 #8).
-# The registry holds ~115 bench queries vs 50 oracle slots.
+# Round-13 rotation pre-plan (window hygiene, VERDICT r11 #8).
+# The registry holds ~117 bench queries vs 50 oracle slots.
 #
-# ROUND-12 QUEUE (built in round 11, dual-SF selfcheck-green, awaiting
-# driver rows — rotate into the window next round; every eviction
-# below must be a green r11 driver row first):
-#   ann_gist960_adc_parity — the reference's own benchmark shape
-#     (gist-960-euclidean.py:18-60) oracle-checked at 960-d: exact
-#     wide-vector KNN top-10 + stored-code PQ-ADC agreement in one
-#     hash-matched row (corpus synthesized from embeddings ids by
-#     exact integer arithmetic; VERDICT r10 #4).
-#   stream_join_matview_maintenance — streaming JOIN-view maintenance
-#     (VERDICT r10 #7): orders stream into the fact in 3 micro-batches
-#     while the same sink advances the revenue-per-nation join view
-#     per batch; dim mutates mid-stream so both delta terms fire
-#     against moving snapshots; oracle joins raw parquet.
+# ROUND-13 QUEUE (build in round 12, dual-SF selfcheck-green before
+# queueing; rotate into the window next round; every eviction below
+# must be a green r12 driver row first):
+#   table_sparse_index_lifecycle — the sparse twin of
+#     table_ivf_sampled_train_search (VERDICT r11 #5): sparse
+#     insert → inverted-index build → mutate (delete + upsert) →
+#     delta refresh → dim-pruned exact search, the whole composite
+#     oracle-replayed from raw parquet.
 #
-# Proposed 1:1 rotation for round 12 (confirm each eviction's round-11
+# Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
+#   table_sparse_index_lifecycle    ← sparse_index_knn_search
+#     (G r6–; the lifecycle gate is a strict superset — same postings
+#     build + dim-pruned serving, plus the mutation/refresh path)
+#
+# Executed round-12 rotation (both evictions confirmed green in
+# CORRECTNESS_r11.json before the swap):
 #   ann_gist960_adc_parity          ← ann_binary_hamming_rerank
-#     (G r6–; the quantized-ANN ladder keeps ann_ivfpq_adc +
-#     ann_matryoshka_rerank + the trained/sampled lifecycles in-window)
 #   stream_join_matview_maintenance ← tpch_q15_top_supplier
-#     (G r8–; the agg-view equi-back-join shape is exactly what
-#     mv_join_refresh now serves in-window; battery keeps
-#     q2/q8/q9/q11/q12/q16/q19/q20/q21/q22)
 #
 # Historical note — round-11 queue (all rotated into the window above,
 # executed this round):
