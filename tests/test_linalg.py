@@ -122,3 +122,17 @@ def test_wide_form_plan_has_no_join_or_explode(spark, corpus):
     )
     plan = first._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "Join" not in plan
+
+
+def test_power_iteration_degenerate_corpus_no_zero_division(spark):
+    """ADVICE r11: every row equal to the mean → the iterate is the
+    zero vector; the operator must return a vector, not divide by
+    zero. (The direction is undefined, so any unit-normalized v is
+    acceptable — the contract is 'no crash, stable output'.)"""
+    from vectordb_spark.operators.linalg import power_iteration_top_pc
+
+    rows = [(int(i), [1.5, -2.0, 0.25]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = power_iteration_top_pc(df, "embedding", iters=2)
+    assert len(v) == 3
+    assert all(abs(x) <= 1.0 for x in v)

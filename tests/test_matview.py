@@ -918,3 +918,64 @@ def test_join_view_prunes_clustered_fact_segments(spark, tmp_path):
         for r in mv.df().collect()
     }
     assert got == truth
+
+
+def test_join_view_stats_reset_on_fact_only_refresh(spark, tmp_path):
+    """ADVICE r11: last_refresh_stats describes THIS refresh only. A
+    fact-only refresh never runs the A0 JOIN dD term, so stats left by
+    an earlier dim-moving refresh must be cleared, not reported."""
+    from vectordb_spark.operators.matview import IncrementalJoinAggView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    fschema = TableSchema(
+        name="rs_fact",
+        fields=[
+            FieldSchema(name="oid", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="cid", field_type=FieldType.INT8),
+            FieldSchema(name="amount", field_type=FieldType.INT8),
+            FieldSchema(
+                name="fv", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    dschema = TableSchema(
+        name="rs_dim",
+        fields=[
+            FieldSchema(name="ckey", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="region", field_type=FieldType.STRING),
+            FieldSchema(
+                name="dv", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    fact = Table(spark, fschema, str(tmp_path / "rs_fact"))
+    fact._init_storage()
+    dim = Table(spark, dschema, str(tmp_path / "rs_dim"))
+    dim._init_storage()
+    dim.insert(
+        [{"ckey": c, "region": "ns"[c % 2], "dv": [0.0, 0.0]} for c in range(8)]
+    )
+    fact.insert(
+        [
+            {"oid": i, "cid": i % 8, "amount": 100 + i, "fv": [0.0, 0.0]}
+            for i in range(64)
+        ]
+    )
+    fact.rewrite_zorder(("cid", "cid"), segments=4)
+    mv = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "rs_mv"),
+        fact_key="cid", dim_key="ckey",
+        group_cols=["region"], value_col="amount",
+    )
+    mv.full_build()
+    # dim-moving refresh populates the stats
+    dim.insert([{"ckey": 3, "region": "x", "dv": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    assert mv.last_refresh_stats is not None
+    # fact-only refresh must clear them (pre-fix: stale counts linger)
+    fact.insert([{"oid": 900, "cid": 1, "amount": 7, "fv": [0.0, 0.0]}])
+    mv.refresh(force_incremental=True)
+    assert mv.last_refresh_stats is None

@@ -552,3 +552,37 @@ def test_encode_np_matches_expr_both_dims(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_pq_fit_hash_sample_string_ids_under_ansi(spark):
+    """ADVICE r11: hash-mode sampling on STRING ids must not ride
+    CAST(id AS BIGINT) — under ANSI (Spark 4 default posture) the cast
+    errors, and with ANSI off it yields NULL (dropping every row and
+    silently degrading to the id-order fallback). String ids route
+    through xxhash64 instead, stay order-free, and survive ANSI."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (f"doc-{i:04d}", [float(x) for x in rng.normal(size=4)])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        fwd = PQ.PQIndex(m=2, k=4, seed=3, train_size=128).fit(
+            df, "embedding", id_col="doc_id"
+        )
+        rev = PQ.PQIndex(m=2, k=4, seed=3, train_size=128).fit(
+            df.orderBy(F.col("doc_id").desc()), "embedding", id_col="doc_id"
+        )
+        assert fwd.codebook == rev.codebook
+        # and it is NOT the id-order slice — the bias the mode exists
+        # to avoid (the pre-fix NULL-hash path collapsed to exactly it)
+        old = PQ.PQIndex(
+            m=2, k=4, seed=3, train_size=128, sample_mode="id_order"
+        ).fit(df, "embedding", id_col="doc_id")
+        assert old.codebook != fwd.codebook
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)

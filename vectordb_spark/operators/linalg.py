@@ -101,5 +101,11 @@ def power_iteration_top_pc(
         ).first()
         w = [int(row[f"w{p}"]) / W_GRID for p in range(dim)]
         wmax = max(abs(x) for x in w)
+        if wmax == 0:
+            # degenerate corpus: every row equals the mean (or all
+            # loadings quantize to 0 on W_GRID) — the iterate is the
+            # zero vector and the direction is undefined; keep the
+            # current v rather than divide by zero (ADVICE r11)
+            break
         v = [x / wmax for x in w]
     return v

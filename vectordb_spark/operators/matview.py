@@ -590,10 +590,12 @@ class IncrementalJoinAggView:
 
         ``last_refresh_stats`` records scanned-vs-total segment counts
         for the term (None when the pruning path didn't engage) — the
-        observability hook the pytest gate asserts on."""
+        observability hook the pytest gate asserts on. The None reset
+        lives at the top of ``refresh()``, not here: a refresh whose
+        dim side didn't move never calls this method, and stale stats
+        from the previous refresh must not survive it (ADVICE r11)."""
         import bisect
 
-        self.last_refresh_stats = None
         hist = {
             int(h["version"]): h["files"] for h in fmeta.get("history", [])
         }
@@ -637,6 +639,10 @@ class IncrementalJoinAggView:
         )
 
     def refresh(self, *, force_incremental: bool = False) -> tuple[int, int]:
+        # stats describe THIS refresh only: a fact-only refresh never
+        # runs the A0⋈ΔD term, so stale counts from the previous
+        # refresh must not linger (ADVICE r11)
+        self.last_refresh_stats = None
         st = self.versions()
         if st is None:
             return self.full_build()

@@ -320,10 +320,24 @@ class PQIndex:
             base = df.select(vec_col, id_col)
             n = base.count()
             if n > self.train_size:
-                h_sql = (
-                    f"({IVFIndex.train_hash_sql(f'CAST({id_col} AS BIGINT)')}"
-                    f" + {self.seed % P}) % {P}"
-                )
+                from pyspark.sql.types import IntegralType
+
+                if isinstance(base.schema[id_col].dataType, IntegralType):
+                    h_sql = (
+                        f"({IVFIndex.train_hash_sql(f'CAST({id_col} AS BIGINT)')}"
+                        f" + {self.seed % P}) % {P}"
+                    )
+                else:
+                    # string/UUID ids: CAST AS BIGINT would yield NULL
+                    # (dropping every row; ANSI mode errors instead —
+                    # ADVICE r11). xxhash64 is deterministic across
+                    # sessions; fold the seed additively and reduce to
+                    # the same non-negative prime residue so the
+                    # threshold filter stays map-only and uniform.
+                    h_sql = (
+                        f"pmod(xxhash64(CAST({id_col} AS STRING))"
+                        f" + {self.seed % P}, {P})"
+                    )
                 target = min(n, 2 * self.train_size)
                 thresh = -(-P * target // n)  # ceil(P·target/n)
                 kept = (

@@ -1471,11 +1471,16 @@ def table_ivfpq_sampled_train_search(
 # runs. The sf tables carry no 960-d column, so the corpus is
 # SYNTHESIZED from the embeddings table's ids by integer arithmetic
 # both engines (and Python, for the query row) compute bit-identically:
-#   v[j] = (((id+1) · (2j+1) · 2654435761) % 257 − 128) / 256
-# — every operand stays under 2^54 (exact in int64 AND replayable in
-# engines whose only integer is a double), the residue is positive
-# (all factors positive), and /256 is a power-of-two scale, so the
-# DOUBLE vector is exact. The gate serves the real wide-vector ADC
+#   v[j] = ((((id % 1753)+1) · (2j+1) · 2654435761) % 257 − 128) / 256
+# — the id is reduced mod the prime 1753 BEFORE the multiply chain
+# (ADVICE r11: without it the product overflows 2^53 once id ≳ 1.8k
+# and int64 once id ≳ 1.8M), so the largest operand is
+# 1753·1919·2654435761 ≈ 2^52.99 — exact in int64 AND replayable in
+# engines whose only integer is a double, at ANY corpus size. The
+# residue is positive (all factors positive), and /256 is a
+# power-of-two scale, so the DOUBLE vector is exact. Ids ≥ 1753 repeat
+# earlier vectors; ties are broken by vec_id in both engines, so the
+# gate stays deterministic. The gate serves the real wide-vector ADC
 # pipeline: grid-quantize (QMUL grid) → STORED M=8 sub-codes
 # (encode_expr — 4 bytes/row instead of 3840) → integer ADC ranking
 # from the stored codes → exact L2 re-rank of the top 64 → top-10 with
@@ -1486,12 +1491,12 @@ _G960_DIM = 960
 _G960_REFINE = 64
 _G960_VEC_SQL_SPARK = (
     f"transform(sequence(0, {_G960_DIM - 1}), j -> "
-    "CAST((vec_id + 1) * (2*j + 1) * 2654435761 % 257 - 128 AS DOUBLE)"
+    "CAST((vec_id % 1753 + 1) * (2*j + 1) * 2654435761 % 257 - 128 AS DOUBLE)"
     " / 256.0)"
 )
 _G960_VEC_SQL_DUCK = (
     f"list_transform(range(0, {_G960_DIM}), j -> "
-    "(((vec_id + 1) * (2*j + 1) * 2654435761) % 257 - 128)::DOUBLE"
+    "(((vec_id % 1753 + 1) * (2*j + 1) * 2654435761) % 257 - 128)::DOUBLE"
     " / 256.0)"
 )
 
@@ -1499,7 +1504,7 @@ _G960_VEC_SQL_DUCK = (
 def _g960_query_vector() -> list[float]:
     """Python twin of the synthesis expressions for the vec_id=0 row."""
     return [
-        (((0 + 1) * (2 * j + 1) * 2654435761) % 257 - 128) / 256.0
+        (((0 % 1753 + 1) * (2 * j + 1) * 2654435761) % 257 - 128) / 256.0
         for j in range(_G960_DIM)
     ]
 
