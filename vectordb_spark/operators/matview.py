@@ -176,13 +176,23 @@ class IncrementalAggView:
     REBUILD_THRESHOLD = 0.25
 
     @staticmethod
-    def _files_bytes(root: str, files: list[str]) -> int:
+    def _files_bytes(
+        root: str, files: list[str], cache: dict | None = None
+    ) -> int:
         """Metadata-only on-disk size of a manifest file list (each
         entry is a segment dir or file under the table root) — the
         same bytes measure the SCALING.md crossover was computed in;
-        no data is scanned."""
+        no data is scanned. ``cache`` is the table manifest's
+        ``segment_bytes`` map (recorded at segment-write time): when a
+        name is cached the directory is never listed — on object
+        storage the per-refresh walk was a LIST storm (VERDICT r11
+        "what's wrong" #4). Uncached names (pre-cache manifests) fall
+        back to the walk."""
         total = 0
         for rel in files:
+            if cache is not None and rel in cache:
+                total += int(cache[rel])
+                continue
             p = os.path.join(root, rel)
             if os.path.isdir(p):
                 for dirpath, _dirs, names in os.walk(p):
@@ -221,10 +231,13 @@ class IncrementalAggView:
             hist[v1] = meta["files"]
             old_set = set(hist.get(v0, ()))
             new_set = set(hist.get(v1, ()))
+            sz = meta.get("segment_bytes") or {}
             delta_bytes = self._files_bytes(
-                self.table.path, sorted(old_set ^ new_set)
+                self.table.path, sorted(old_set ^ new_set), sz
             )
-            base_bytes = self._files_bytes(self.table.path, sorted(new_set))
+            base_bytes = self._files_bytes(
+                self.table.path, sorted(new_set), sz
+            )
             if base_bytes and delta_bytes >= self.REBUILD_THRESHOLD * base_bytes:
                 return self.full_build()
         ch = self.table.changes(v0, v1, update_preimages=True)
@@ -662,9 +675,10 @@ class IncrementalJoinAggView:
                 old = set(hist.get(v_from, ()))
                 new = set(hist.get(int(meta["version"]), ()))
                 fb = IncrementalAggView._files_bytes
+                sz = meta.get("segment_bytes") or {}
                 return (
-                    fb(table.path, sorted(old ^ new)),
-                    fb(table.path, sorted(new)),
+                    fb(table.path, sorted(old ^ new), sz),
+                    fb(table.path, sorted(new), sz),
                 )
 
             dfb, bfb = _delta_and_base(self.fact, fmeta, vf0)
