@@ -77,6 +77,10 @@ class FieldType(str, enum.Enum):
     def is_real(self) -> bool:
         return self in {FieldType.FLOAT, FieldType.DOUBLE}
 
+    @property
+    def is_string(self) -> bool:
+        return self is FieldType.STRING
+
 
 _DENSE = {FieldType.VECTOR_FLOAT, FieldType.VECTOR_DOUBLE}
 _SPARSE = {FieldType.SPARSE_VECTOR_FLOAT, FieldType.SPARSE_VECTOR_DOUBLE}

@@ -412,11 +412,19 @@ class Table:
         from vectordb_spark.expr.prune import range_bounds, segment_overlaps
 
         bounds = range_bounds(ast)
+        from vectordb_spark.expr.prune import _same_kind
+
         for col, (lo, hi) in (extra_bounds or {}).items():
             cur_lo, cur_hi = bounds.get(col, (None, None))
-            if lo is not None and (cur_lo is None or lo > cur_lo):
+            if lo is not None and (
+                cur_lo is None
+                or (_same_kind(lo, cur_lo) and lo > cur_lo)
+            ):
                 cur_lo = lo
-            if hi is not None and (cur_hi is None or hi < cur_hi):
+            if hi is not None and (
+                cur_hi is None
+                or (_same_kind(hi, cur_hi) and hi < cur_hi)
+            ):
                 cur_hi = hi
             bounds[col] = (cur_lo, cur_hi)
         if bounds and stats:
@@ -639,8 +647,9 @@ class Table:
         if pk_field is not None and seen_pks:
             pks = list(seen_pks)
             # same range-pruned conflict check as insert_df (r11):
-            # integer-PK point inserts read only the segments whose
-            # manifest min/max overlaps the batch's key range
+            # integer- and (r12) string-PK point inserts read only the
+            # segments whose manifest min/max overlaps the batch's key
+            # range
             if pk_field.field_type.is_int and all(
                 isinstance(k, int) and not isinstance(k, bool) for k in pks
             ):
@@ -648,6 +657,12 @@ class Table:
                     extra_bounds={
                         pk_field.name: (float(min(pks)), float(max(pks)))
                     }
+                )
+            elif pk_field.field_type.is_string and all(
+                isinstance(k, str) for k in pks
+            ):
+                snapshot = self.scan_df(
+                    extra_bounds={pk_field.name: (min(pks), max(pks))}
                 )
             else:
                 snapshot = self.df()
@@ -779,15 +794,20 @@ class Table:
             # construction: a conflicting key lies inside the batch
             # range AND inside its segment's [min, max], so that
             # segment always survives pruning; missing stats keep the
-            # segment (scan_df's conservative rule). String PKs carry
-            # no stats and fall back to the full PK-column scan.
-            if pk_field.field_type.is_int:
+            # segment (scan_df's conservative rule). String PKs prune
+            # on the exact manifest string stats (r12); other PK types
+            # fall back to the full PK-column scan.
+            if pk_field.field_type.is_int or pk_field.field_type.is_string:
                 rng = inserted_df.agg(
                     F.min(pk_field.name), F.max(pk_field.name)
                 ).first()
                 lo, hi = rng[0], rng[1]
                 if lo is None:
                     existing = self.df().select(pk_field.name).limit(0)
+                elif pk_field.field_type.is_string:
+                    existing = self.scan_df(
+                        extra_bounds={pk_field.name: (lo, hi)}
+                    ).select(pk_field.name)
                 else:
                     existing = self.scan_df(
                         extra_bounds={pk_field.name: (float(lo), float(hi))}
@@ -911,12 +931,38 @@ class Table:
         string stats truncate."""
         return self._segment_stats_count(name)[0]
 
+    # string-PK stats above this length are not recorded (manifest
+    # bloat guard); the segment then simply never prunes on the PK and
+    # the ≥½-bytes crossover still bounds COW write amplification
+    STRING_STAT_MAX_LEN = 256
+
+    def _string_stat_pk(self, columns) -> str | None:
+        """The STRING primary key, when stats for it should be
+        recorded (r12: the reference's PK domain includes STRING,
+        basic_meta_impl.cpp:370-378 — without exact string min/max a
+        string-keyed table full-rewrites on every delete/upsert, the
+        write amplification COW exists to kill). Exact values are
+        computed by aggregate at segment-write time, NOT read from
+        parquet footers, whose string stats truncate."""
+        pk = self.schema.primary_key
+        if (
+            pk is not None
+            and pk.field_type.is_string
+            and pk.name in columns
+        ):
+            return pk.name
+        return None
+
     def _segment_stats_count(self, name: str) -> tuple[dict[str, list], int]:
         """Pruning stats AND row count of a just-written segment in
-        ONE footer-metadata aggregate (r12: the commit path used to
-        run a count job plus a stats job per new segment — two of the
-        fixed per-commit jobs behind the measured ~0.45 commits/s
-        floor)."""
+        ONE aggregate (r12: the commit path used to run a count job
+        plus a stats job per new segment — two of the fixed per-commit
+        jobs behind the measured ~0.45 commits/s floor). Integer
+        min/max and the count come from parquet FOOTER metadata
+        (aggregatePushdown); when the table has a STRING primary key
+        its exact min/max joins the same aggregate, which then runs as
+        a column-pruned scan instead (string footer stats truncate, so
+        pushdown is off the table for them by design)."""
         self.spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
         df = self.spark.read.parquet(os.path.join(self.path, name))
         cols = [
@@ -924,15 +970,25 @@ class Table:
             for f in self.schema.fields
             if f.field_type.is_int and f.name in df.columns
         ]
+        spk = self._string_stat_pk(df.columns)
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        if spk:
+            aggs += [F.min(spk).alias("_slo"), F.max(spk).alias("_shi")]
         row = df.agg(*aggs).first()
         stats = {
             c: [int(row[f"lo_{c}"]), int(row[f"hi_{c}"])]
             for c in cols
             if row[f"lo_{c}"] is not None
         }
+        if (
+            spk
+            and row["_slo"] is not None
+            and len(row["_slo"]) <= self.STRING_STAT_MAX_LEN
+            and len(row["_shi"]) <= self.STRING_STAT_MAX_LEN
+        ):
+            stats[spk] = [row["_slo"], row["_shi"]]
         return stats, int(row["_n"])
 
     def _append(self, new_df: DataFrame, meta: dict, next_row_id: int) -> None:
@@ -1276,15 +1332,29 @@ class Table:
         bounds = range_bounds(ast)
         if primary_keys:
             pk_field = self.schema.primary_key
+            lo = hi = None
             if pk_field.field_type.is_int and all(
                 isinstance(k, int) and not isinstance(k, bool)
                 for k in primary_keys
             ):
                 lo, hi = float(min(primary_keys)), float(max(primary_keys))
+            elif pk_field.field_type.is_string and all(
+                isinstance(k, str) for k in primary_keys
+            ):
+                # exact string-PK stats are manifest-recorded (r12),
+                # so string key lists prune segments too
+                lo, hi = min(primary_keys), max(primary_keys)
+            if lo is not None:
+                from vectordb_spark.expr.prune import _same_kind
+
                 cur = bounds.get(pk_field.name, (None, None))
                 bounds[pk_field.name] = (
-                    lo if cur[0] is None else max(lo, cur[0]),
-                    hi if cur[1] is None else min(hi, cur[1]),
+                    lo
+                    if (cur[0] is None or not _same_kind(lo, cur[0]))
+                    else max(lo, cur[0]),
+                    hi
+                    if (cur[1] is None or not _same_kind(hi, cur[1]))
+                    else min(hi, cur[1]),
                 )
         self._bump_mutation_seq(meta)
         return {"deleted": self._cow_delete(cond, meta, bounds)}
@@ -1369,19 +1439,30 @@ class Table:
             for f in self.schema.fields
             if f.field_type.is_int and f.name in df.columns
         ]
+        spk = self._string_stat_pk(df.columns)
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        if spk:
+            aggs += [F.min(spk).alias("_slo"), F.max(spk).alias("_shi")]
         stats: dict[str, dict] = {}
         counts: dict[str, int] = {}
         for row in df.groupBy(tag).agg(*aggs).collect():
             src = row[tag]
             counts[src] = int(row["_n"])
-            stats[src] = {
+            st = {
                 c: [int(row[f"lo_{c}"]), int(row[f"hi_{c}"])]
                 for c in cols
                 if row[f"lo_{c}"] is not None
             }
+            if (
+                spk
+                and row["_slo"] is not None
+                and len(row["_slo"]) <= self.STRING_STAT_MAX_LEN
+                and len(row["_shi"]) <= self.STRING_STAT_MAX_LEN
+            ):
+                st[spk] = [row["_slo"], row["_shi"]]
+            stats[src] = st
         return stats, counts
 
     def _cow_rewrite(
@@ -1537,8 +1618,9 @@ class Table:
             self._write_base(full, meta, next_row_id)
             return n
 
+        str_pk = pk_field.field_type.is_string
         if (
-            not pk_field.field_type.is_int
+            not (pk_field.field_type.is_int or str_pk)
             or n > self.COW_UPSERT_MAX_BATCH
             or not files
             or not any((stats.get(f) or {}).get(pk) for f in files)
@@ -1547,7 +1629,13 @@ class Table:
         rng = batch_df.agg(F.min(pk), F.max(pk)).first()
         if rng[0] is None:
             return _legacy()
-        bounds = {pk: (float(rng[0]), float(rng[1]))}
+        bounds = {
+            pk: (
+                (rng[0], rng[1])
+                if str_pk
+                else (float(rng[0]), float(rng[1]))
+            )
+        }
         from vectordb_spark.expr.prune import segment_overlaps
 
         candidates = [
