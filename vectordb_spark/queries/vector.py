@@ -632,64 +632,22 @@ def vec_power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. Normalization is by max-|component| (no sqrt), so v stays
     exactly representable.
 
-    Scale shape: the gate keeps the tall posexplode plan (fixture
-    corpora; the kmeans-gate precedent — wide per-dim aggregates pay
-    seconds of codegen compile for zero win at this size); the 100 TB
-    form now EXISTS as operators/linalg.py power_iteration_top_pc —
-    the same grids (shared constants), s_i evaluated once per row, dim
-    wide LONG aggregates, no explode and no join — pinned bit-identical
-    to this plan in tests/test_linalg.py. Driver state is dim doubles
-    per iteration — the same k·dim-collect pattern every trainer here
-    uses."""
+    Scale shape (r12, VERDICT r11 #4): the gate now RUNS the
+    production wide-aggregate operator
+    (operators/linalg.py power_iteration_top_pc) — s_i evaluated once
+    per row by a sequential BIGINT fold, ``dim`` wide LONG partial
+    aggregates, one corpus scan + a one-row shuffle per iteration, no
+    posexplode and no per-iteration join of the exploded corpus — so
+    the driver's oracle hash certifies the exact plan you'd lift to a
+    cluster. The retired tall posexplode+join plan remains replayed
+    in tests/test_linalg.py, which pins the two forms bit-identical
+    (same shared grid constants), so this swap changed no output bit.
+    Driver state is dim doubles per iteration — the same k·dim-collect
+    pattern every trainer here uses."""
+    from vectordb_spark.operators.linalg import power_iteration_top_pc
+
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    tall = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
-
-    mu_rows = tall.groupBy("pos").agg(
-        F.sum(F.floor(F.col("val") * 1e12 + F.lit(0.5)).cast("bigint")).alias("g")
-    ).collect()
-    dim = len(mu_rows)
-    mu = {int(r["pos"]): (int(r["g"]) / 1e12) / n for r in mu_rows}
-    mu_lit = F.array(*[F.lit(mu[p]) for p in range(dim)])
-    m_col = F.element_at(mu_lit, F.col("pos") + 1)
-
-    v = [1.0] * dim
-    for _ in range(_PC_ITERS):
-        v_lit = F.array(*[F.lit(x) for x in v])
-        s_df = (
-            tall.withColumn(
-                "_t",
-                F.floor(
-                    (F.col("val") - m_col)
-                    * F.element_at(v_lit, F.col("pos") + 1)
-                    * 1e9
-                    + F.lit(0.5)
-                ).cast("bigint"),
-            )
-            .groupBy("vec_id")
-            .agg(F.sum("_t").alias("sint"))
-        )
-        w_rows = (
-            tall.join(s_df, "vec_id")
-            .groupBy("pos")
-            .agg(
-                F.sum(
-                    F.floor(
-                        (F.col("val") - m_col)
-                        * (F.col("sint").cast("double") / 1e9)
-                        * 1e8
-                        + F.lit(0.5)
-                    ).cast("bigint")
-                ).alias("wint")
-            )
-            .collect()
-        )
-        w = {int(r["pos"]): int(r["wint"]) / 1e8 for r in w_rows}
-        wmax = max(abs(x) for x in w.values())
-        v = [w[p] / wmax for p in range(dim)]
-
+    v = power_iteration_top_pc(emb, "embedding", iters=_PC_ITERS)
     return spark.createDataFrame(
-        [(p, v[p]) for p in range(dim)], "pos long, loading double"
+        [(p, x) for p, x in enumerate(v)], "pos long, loading double"
     ).orderBy("pos")
