@@ -150,13 +150,15 @@ HEADLINE = [
     # stream_* gates stay out of HEADLINE: their wall time is
     # availableNow micro-batch orchestration latency, not plan cost —
     # the correctness gate carries them every round. The mv_* gates
-    # (incremental/minmax/join/distinct refresh) and
-    # table_time_travel_read stay out for the same reason: their wall
-    # time is scripted mutation orchestration around the cdc lifecycle;
-    # refresh cost at scale is measured in SCALING.md's matview +
-    # streaming-freshness rehearsals. cdc_changefeed_diff IS in
-    # (above): its lifecycle is memoized, so it times only the
-    # manifest diff — real plan cost.
+    # (incremental/minmax/join/distinct refresh), table_time_travel_read
+    # and table_sparse_index_lifecycle stay out for the same reason:
+    # their wall time is scripted mutation orchestration around the cdc
+    # lifecycle; refresh cost at scale is measured in SCALING.md's
+    # matview + streaming-freshness rehearsals, and the dim-pruned
+    # sparse SEARCH is already timed by sparse_index_knn_search's
+    # memoized-build bench variant. cdc_changefeed_diff IS in (above):
+    # its lifecycle is memoized, so it times only the manifest diff —
+    # real plan cost.
 ]
 
 _GIST: dict = {}

@@ -204,3 +204,17 @@ def test_round12_rotation():
         "tpch_q15_top_supplier",
     ]:
         assert gone not in ORACLE_WINDOW, gone
+
+
+def test_round13_queue_registered_with_oracles():
+    # round-12 additions awaiting driver rows: registered, oracled,
+    # vetted (dual-SF selfcheck), and NOT yet in the window (rotation
+    # is a deliberate round-13 act with documented evictions)
+    from vectordb_spark.queries import WINDOW_VETTED, all_oracles
+
+    qs, os_ = all_queries(), all_oracles()
+    for name in ("table_sparse_index_lifecycle",):
+        assert name in qs, name
+        assert name in os_, f"{name} must be oracle-gated"
+        assert name in WINDOW_VETTED, f"{name} must be vetted"
+        assert name not in ORACLE_WINDOW, f"{name} rotated in early"

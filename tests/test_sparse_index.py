@@ -100,3 +100,47 @@ def test_vacuum_reclaims_sparse_versions(table):
     left = {d for d in os.listdir(table.path) if d.startswith("sparseindex_")}
     assert left == {"sparseindex_Vec_v2", "sparseindex_Vec_v2_norms"}
     assert table.search_sparse_indexed_df(Q, limit=3).count() == 3
+
+
+def test_delta_refresh_exact_and_lifecycle(table):
+    """r12 refresh_sparse_index: the tail lands in immutable delta
+    postings + norms dirs (indexed_up_to advances, search reads main +
+    deltas), results stay EXACT through a delete + a second tail, and
+    vacuum keeps live delta dirs while a full rebuild supersedes
+    them."""
+    import os
+
+    table.rebuild_sparse_index("Vec", buckets=16)
+    table.insert([{"ID": 900 + i, "Vec": _vec(i)} for i in range(20)])
+    res = table.refresh_sparse_index("Vec")
+    assert res["appendedRecords"] == 20
+    info = table._load_meta()["sparse_indexes"]["Vec"]
+    assert len(info["deltas"]) == 1 and len(info["norms_deltas"]) == 1
+    # refreshed tail is postings-served AND exact (incl. void docs)
+    for q in (Q, {"indices": [999], "values": [1.0]}):
+        assert _ids(table.search_sparse_indexed_df(q, limit=12)) == _ids(
+            table.search_df(q, limit=12)
+        )
+    # idempotent when nothing new
+    assert table.refresh_sparse_index("Vec")["appendedRecords"] == 0
+    # delete rows covered by main AND delta dirs, then a live tail
+    table.delete(primary_keys=[13, 902, 905])
+    table.insert([{"ID": 950 + i, "Vec": _vec(i + 3)} for i in range(5)])
+    assert _ids(table.search_sparse_indexed_df(Q, limit=12)) == _ids(
+        table.search_df(Q, limit=12)
+    )
+    # vacuum keeps the live delta dirs...
+    table.vacuum(grace_seconds=0)
+    left = {d for d in os.listdir(table.path) if d.startswith("sparseindex_")}
+    assert {
+        "sparseindex_Vec_v1_delta1",
+        "sparseindex_Vec_v1_delta1_norms",
+    } <= left
+    # ...and a full rebuild supersedes them
+    table.rebuild_sparse_index("Vec", buckets=16)
+    table.vacuum(grace_seconds=0)
+    left = {d for d in os.listdir(table.path) if d.startswith("sparseindex_")}
+    assert left == {"sparseindex_Vec_v2", "sparseindex_Vec_v2_norms"}
+    assert _ids(table.search_sparse_indexed_df(Q, limit=10)) == _ids(
+        table.search_df(Q, limit=10)
+    )

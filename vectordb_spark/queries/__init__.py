@@ -546,6 +546,8 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         # r11 additions (round-12 queue), dual-SF selfcheck-green r11
         "ann_gist960_adc_parity",
         "stream_join_matview_maintenance",
+        # r12 additions (round-13 queue), dual-SF selfcheck-green r12
+        "table_sparse_index_lifecycle",
     }
 )
 

@@ -335,3 +335,139 @@ def build_sparse_gate_table(spark: SparkSession, sf_dir: str, work: str):
     t.rebuild_sparse_index("Vec", buckets=32)
     t.insert_df(tf.where(F.col("doc_id") % 5 == 4))  # unindexed tail
     return t, qv
+
+
+# ---------------------------------------------------- sparse lifecycle
+#
+# Round-13 queue (VERDICT r11 #5): the sparse twin of
+# table_ivf_sampled_train_search — the FULL sparse inverted-index
+# lifecycle as one hash-checked row. Flow on the engine side:
+#   bulk insert (60%) → rebuild_sparse_index → tail insert (20%)
+#   → refresh_sparse_index (delta postings + delta norms dirs)
+#   → filter DELETE (doc_id % 101 = 7; dead ids in the postings stay
+#     handled by the mutation_seq semi-join)
+#   → UPSERT (doc_id % 101 = 11 rows get a disjoint one-hot vector —
+#     their old postings die, the new rows ride the unindexed tail)
+#   → final unindexed tail insert (the remaining 20%, minus deleted)
+#   → dim-pruned exact search.
+# The oracle replays the same logical corpus from raw parquet: docs
+# with doc_id % 101 = 7 removed, docs with doc_id % 101 = 11 (among
+# the pre-tail 80%) carrying the upserted vector, everything else the
+# plain TF encoding. Equality proves main postings + delta postings +
+# live-tail scan + dead-id filtering + void-candidate completion
+# compose EXACTLY through the whole mutation history.
+
+_LIFE_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, {_IDX_D} AS indices, {_VAL_D} AS tf_values
+    FROM (SELECT doc_id, {_TH_D} AS hs FROM documents)
+),
+q AS (
+    SELECT indices AS q_idx, tf_values AS q_val FROM tf WHERE doc_id = 0
+),
+fin AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 101 = 11 AND doc_id % 5 <> 4
+                THEN [CAST(doc_id AS BIGINT)]
+                ELSE indices END AS indices,
+           CASE WHEN doc_id % 101 = 11 AND doc_id % 5 <> 4
+                THEN [CAST(1.0 AS FLOAT)]
+                ELSE tf_values END AS tf_values
+    FROM tf
+    WHERE doc_id % 101 <> 7
+)
+SELECT doc_id,
+       ({_NORM_DOC_D}) - 2.0 * ({_DOT_D}) + ({_NORM_Q_D}) AS distance
+FROM fin CROSS JOIN q
+ORDER BY distance, doc_id
+LIMIT 10
+"""
+
+
+def build_sparse_lifecycle_table(spark: SparkSession, sf_dir: str, work: str):
+    """Run the sparse lifecycle gate's full mutation history on a
+    table under ``work`` and return ``(table, query_vector)``. Split
+    out so bench.py can amortize the build and time only the search."""
+    import os as _os
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select(
+        "doc_id",
+        F.struct(F.expr(_TH_S).alias("hs")).alias("_t"),
+    ).select(
+        "doc_id",
+        F.struct(
+            F.expr("array_sort(array_distinct(_t.hs))").alias("indices"),
+            F.expr(
+                "transform(array_sort(array_distinct(_t.hs)), "
+                "i -> CAST(size(filter(_t.hs, h -> h = i)) AS FLOAT))"
+            ).alias("values"),
+        ).alias("Vec"),
+    )
+    qrow = tf.where(F.col("doc_id") == 0).select("Vec").head()
+    qv = {
+        "indices": [int(i) for i in qrow[0]["indices"]],
+        "values": [float(v) for v in qrow[0]["values"]],
+    }
+    schema = TableSchema(
+        name="sparse_life_docs",
+        fields=[
+            FieldSchema(name="doc_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="Vec",
+                field_type=FieldType.SPARSE_VECTOR_FLOAT,
+                dimension=1 << 60,
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, _os.path.join(work, "sparse_life_docs"))
+    t._init_storage()
+    five = F.col("doc_id") % 5
+    t.insert_df(tf.where(five.isin(0, 1, 2)))          # 60% bulk
+    t.rebuild_sparse_index("Vec", buckets=32)
+    t.insert_df(tf.where(five == 3))                   # 20% tail
+    t.refresh_sparse_index("Vec")                      # -> delta dirs
+    t.delete(filter="doc_id % 101 = 7")
+    upd = tf.where(
+        (F.col("doc_id") % 101 == 11) & (five != 4)
+    ).select(
+        "doc_id",
+        F.struct(
+            F.array(F.col("doc_id").cast("long")).alias("indices"),
+            F.array(F.lit(1.0)).cast("array<float>").alias("values"),
+        ).alias("Vec"),
+    )
+    t.insert_df(upd, upsert=True)
+    t.insert_df(                                       # final live tail
+        tf.where((five == 4) & (F.col("doc_id") % 101 != 7))
+    )
+    return t, qv
+
+
+@query("table_sparse_index_lifecycle", oracle=_LIFE_ORACLE)
+def table_sparse_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sparse inverted-index LIFECYCLE vs a brute-force oracle on
+    the final logical corpus (module comment above): build → delta
+    refresh (refresh_sparse_index, r12) → delete → upsert → unindexed
+    tail → dim-pruned exact search. One hash match certifies that
+    every serving path the index has (main postings, delta postings,
+    live-tail scan, dead-id semi-join, void-candidate completion)
+    composes exactly across the whole mutation history — the same
+    agreement discipline as the reference's pre/post-rebuild test
+    (db_server.cpp:1596-1612), extended to mutations."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    work = _tempfile.mkdtemp(prefix="vdb_sparse_life_")
+    t, qv = build_sparse_lifecycle_table(spark, sf_dir, work)
+    out = (
+        t.search_sparse_indexed_df(qv, limit=10)
+        .select("doc_id", F.col("_distance").alias("distance"))
+        .localCheckpoint()
+    )
+    _shutil.rmtree(work, ignore_errors=True)
+    return out

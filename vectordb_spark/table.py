@@ -1268,6 +1268,7 @@ class Table:
             for info in meta.get(fam, {}).values():
                 referenced.add(info["dir"])
                 referenced.update(info.get("deltas", []))
+                referenced.update(info.get("norms_deltas", []))
                 if info.get("norms_dir"):
                     referenced.add(info["norms_dir"])
         removed = skipped_recent = 0
@@ -2927,11 +2928,63 @@ class Table:
             "dir": name,
             "norms_dir": norms_name,
             "buckets": buckets,
+            "deltas": [],
+            "norms_deltas": [],
             "indexed_up_to": meta["next_row_id"],
             "mutation_seq": int(meta.get("mutation_seq", 0)),
         }
         self._save_meta(meta)
         return {"field": field, "version": version, "indexedRecords": n}
+
+    def refresh_sparse_index(self, field: str) -> dict:
+        """Incremental sparse-index refresh (r12 — the sparse twin of
+        ``refresh_text_index``): postings and norms for ONLY the
+        unindexed tail (rows inserted since the last build/refresh)
+        land in new immutable DELTA dirs beside the main index — same
+        ``_db`` bucket partitioning, so query-dim pruning applies per
+        dir — and ``indexed_up_to`` advances atomically. A growing
+        table never pays a full posting rebuild to keep search off the
+        live-tail scan path. Deletes are untouched: dead postings in
+        older dirs stay handled by the mutation_seq semi-join until a
+        full ``rebuild_sparse_index`` resets the baseline (the Lucene
+        segment-commit discipline)."""
+        from vectordb_spark.functions.distance import sparse_norm_sq
+
+        meta = self._load_meta()
+        info = meta.get("sparse_indexes", {}).get(field)
+        if info is None:
+            raise VectorDBError(
+                "NOT_IMPLEMENTED_ERROR",
+                f"No sparse index on field {field}; call "
+                "rebuild_sparse_index first.",
+            )
+        up_to = int(info["indexed_up_to"])
+        if up_to >= int(meta["next_row_id"]):
+            return {
+                "field": field,
+                "version": info["version"],
+                "appendedRecords": 0,
+            }
+        tail = self.df().where(F.col("_row_id") >= up_to)
+        deltas = list(info.get("deltas", []))
+        name = f"{info['dir']}_delta{len(deltas) + 1}"
+        self._write_sparse_postings(tail, field, int(info["buckets"]), name)
+        norms_name = f"{name}_norms"
+        tail.select(
+            "_row_id", sparse_norm_sq(F.col(field)).alias("_norm2")
+        ).write.mode("overwrite").parquet(os.path.join(self.path, norms_name))
+        n = self._dir_count(norms_name)
+        info["deltas"] = deltas + [name]
+        info["norms_deltas"] = list(info.get("norms_deltas", [])) + [
+            norms_name
+        ]
+        info["indexed_up_to"] = meta["next_row_id"]
+        self._save_meta(meta)
+        return {
+            "field": field,
+            "version": info["version"],
+            "appendedRecords": n,
+        }
 
     def _write_sparse_postings(
         self, df: DataFrame, field: str, buckets: int, name: str
@@ -3004,13 +3057,30 @@ class Table:
         up_to = int(info["indexed_up_to"])
         has_tail = up_to < int(meta["next_row_id"])
 
-        idx_ids = (
-            spark.read.parquet(os.path.join(self.path, info["dir"]))
-            .where(F.col("_db").isin(dbs) & F.col("_dim").isin(dims))
-            .select("_row_id")
+        from functools import reduce as _reduce
+
+        idx_ids = _reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(os.path.join(self.path, d))
+                .where(F.col("_db").isin(dbs) & F.col("_dim").isin(dims))
+                .select("_row_id")
+                # main dir + refresh deltas (refresh_sparse_index):
+                # each its own bucket-partitioned root, dim-pruned
+                # independently — same layout, so per-dir hive reads
+                # union cleanly
+                for d in [info["dir"], *info.get("deltas", [])]
+            ],
         )
-        norms = spark.read.parquet(
-            os.path.join(self.path, info["norms_dir"])
+        norms = _reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(os.path.join(self.path, d))
+                for d in [
+                    info["norms_dir"],
+                    *info.get("norms_deltas", []),
+                ]
+            ],
         )
         if not clean:
             live = base.select("_row_id")
