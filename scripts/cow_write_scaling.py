@@ -5,12 +5,11 @@ multi-segment table should cost the AFFECTED segments, not the table —
 manifest min/max stats prune candidates, a broadcast semi-join finds
 the segments actually holding conflicts, only those rewrite, everything
 else is retained verbatim in the new manifest. The legacy path (still
-the fallback above the COW_REWRITE_FRACTION bytes crossover, for
-non-integer PKs, and for over-broadcast-size batches) rewrites the
-whole live base every commit. Each variant runs against its own fresh
-identical table; legacy is forced via the operator's own fallback
-knobs (COW_UPSERT_MAX_BATCH=0 / COW_REWRITE_FRACTION=0), so both
-timings include full commit bookkeeping.
+the fallback for unsupported PK types, over-broadcast-size batches,
+and COW_DISABLED tables) rewrites the whole live base every commit.
+Each variant runs against its own fresh identical table; legacy is
+forced via the operator's own fallback knobs (COW_UPSERT_MAX_BATCH=0 /
+COW_DISABLED=True), so both timings include full commit bookkeeping.
 
 Prints a SCALING.md section. Run alone (idle machine — see
 .claude/skills/verify gotchas):
@@ -109,7 +108,7 @@ def main() -> None:
     t_cow = round(time.time() - t0, 2)
     rewritten = len(files0 - set(t._load_meta()["files"]))
     t2 = _mk_table(spark, work, "cw_del_leg")
-    t2.COW_REWRITE_FRACTION = 0.0  # any candidate -> legacy
+    t2.COW_DISABLED = True  # force the legacy consolidation
     t0 = time.time()
     t2.delete(filter="k >= 100000 AND k < 101000")
     t_leg = round(time.time() - t0, 2)
@@ -214,7 +213,7 @@ def string_section(spark, work) -> None:
     t_cow = round(time.time() - t0, 2)
     rewritten = len(files0 - set(t._load_meta()["files"]))
     t2 = _mk_string_table(spark, work, "cws_del_leg")
-    t2.COW_REWRITE_FRACTION = 0.0
+    t2.COW_DISABLED = True
     t0 = time.time()
     t2.delete(primary_keys=keys)
     t_leg = round(time.time() - t0, 2)

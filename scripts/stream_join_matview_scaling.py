@@ -129,5 +129,109 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+OVERLAP = 10_000
+OV_BATCHES = 10
+
+
+def overlap_section() -> None:
+    """r12 (VERDICT r11 #7): the streaming sink's per-batch upserts
+    ride _cow_upsert — rehearse the key-overlap pattern where EVERY
+    micro-batch updates old keys, so every batch commit triggers
+    segment rewrites before the join-view refresh. Two key patterns:
+    'local' (overlap keys come from the previous batch's range — COW
+    prunes to the newest segments) and 'scattered' (overlap keys
+    stride the whole key history — candidates approach the whole
+    base, the ≥1/2-bytes crossover fires, and the commit becomes the
+    legacy consolidation: the honest worst case)."""
+    spark = get_spark("stream_join_matview_overlap")
+    for pattern in ("local", "scattered"):
+        work = tempfile.mkdtemp(prefix=f"sjv_ovl_{pattern}_")
+        fschema = TableSchema(
+            name="sjo_fact",
+            fields=[
+                FieldSchema(name="oid", field_type=FieldType.INT8, primary_key=True),
+                FieldSchema(name="cid", field_type=FieldType.INT8),
+                FieldSchema(name="amount", field_type=FieldType.INT8),
+                FieldSchema(
+                    name="v", field_type=FieldType.VECTOR_FLOAT,
+                    dimension=2, metric="EUCLIDEAN",
+                ),
+            ],
+        )
+        dschema = TableSchema(
+            name="sjo_dim",
+            fields=[
+                FieldSchema(name="ckey", field_type=FieldType.INT8, primary_key=True),
+                FieldSchema(name="nation", field_type=FieldType.INT4),
+                FieldSchema(
+                    name="v", field_type=FieldType.VECTOR_FLOAT,
+                    dimension=2, metric="EUCLIDEAN",
+                ),
+            ],
+        )
+        fact = Table(spark, fschema, os.path.join(work, "sjo_fact"))
+        fact._init_storage()
+        dim = Table(spark, dschema, os.path.join(work, "sjo_dim"))
+        dim._init_storage()
+        dim.insert_df(
+            spark.range(N_DIM).select(
+                F.col("id").alias("ckey"),
+                (F.col("id") % NATIONS).cast("int").alias("nation"),
+                F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("v"),
+            )
+        )
+        mv = IncrementalJoinAggView(
+            fact, dim, os.path.join(work, "mv"),
+            fact_key="cid", dim_key="ckey",
+            group_cols=["nation"], value_col="amount",
+        )
+        mv.full_build()
+        print(
+            f"\n## Streaming upserts x COW: {pattern} key overlap "
+            f"({OV_BATCHES} batches x {BATCH:,} rows, "
+            f"{OVERLAP:,} old-key updates per batch)\n"
+        )
+        print("| batch | fact rows | segs rewritten | ingest s | refresh s |")
+        print("|---|---|---|---|---|")
+        nxt = 0
+        for b in range(1, OV_BATCHES + 1):
+            batch_df = _fact_df(spark, nxt, BATCH)
+            if b > 1:
+                if pattern == "local":
+                    keys = spark.range(nxt - BATCH, nxt - BATCH + OVERLAP)
+                else:
+                    stride = max(1, nxt // OVERLAP)
+                    keys = spark.range(OVERLAP).select(
+                        (F.col("id") * stride).alias("id")
+                    )
+                ov = keys.select(
+                    F.col("id").alias("oid"),
+                    (F.col("id") % N_DIM).alias("cid"),
+                    F.lit(-1).cast("long").alias("amount"),
+                    F.array(F.lit(0.0), F.lit(0.0))
+                    .cast("array<float>")
+                    .alias("v"),
+                )
+                batch_df = batch_df.unionByName(ov)
+            files0 = set(fact._load_meta()["files"])
+            t0 = time.time()
+            fact.insert_df(batch_df, upsert=True)
+            t_ing = round(time.time() - t0, 2)
+            rewritten = len(files0 - set(fact._load_meta()["files"]))
+            nxt += BATCH
+            t0 = time.time()
+            mv.refresh(force_incremental=True)
+            t_ref = round(time.time() - t0, 2)
+            print(
+                f"| {b} | {nxt:,} | {rewritten}/{len(files0)} "
+                f"| {t_ing} | {t_ref} |",
+                flush=True,
+            )
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--overlap-only" in sys.argv:
+        overlap_section()
+    else:
+        main()

@@ -663,13 +663,14 @@ def test_delete_cow_rewrites_only_matched_segments(warehouse, spark):
     assert files0[0] not in meta2["files"]
     assert t.df().count() == 18
 
-    # crossover: a delete spanning every remaining segment falls back
-    # to the consolidating rewrite (single base_ dir)
+    # full-span delete: every segment empties and drops out of the
+    # manifest entirely — no cow_ dirs, no consolidating base_ dir
+    # (r12: mutations never consolidate; see Table.COW_DISABLED)
     res = t.delete(filter="ID >= 0")
     assert res["deleted"] == 18
     meta3 = t._load_meta()
     assert t.df().count() == 0
-    assert all(not f.startswith("cow_") for f in meta3["files"])
+    assert meta3["files"] == []
 
 
 def test_upsert_cow_rewrites_only_conflicting_segments(warehouse, spark):
@@ -972,3 +973,38 @@ def test_string_pk_cow_rewrites_only_matched_segments(spark, tmp_path):
     meta3 = t._load_meta()
     assert files0[0] not in meta3["files"]
     assert t.df().count() == 19
+
+
+def test_overlapping_upserts_preserve_segment_structure(spark, tmp_path):
+    """r12: mutations never consolidate. Pre-r12, the >=1/2-bytes
+    crossover collapsed a key-overlap upsert stream to ONE segment on
+    the second batch, after which every batch re-consolidated O(table)
+    bytes forever (the streaming rehearsal's degeneracy). Now each
+    batch rewrites only its matched segments and the base keeps a
+    growing, range-prunable multi-segment layout."""
+    t = _cow_fixture_table(
+        spark, tmp_path / "ovl", n_segments=1, rows_per=100, step=100
+    )
+    # four more batches, each overlapping the PREVIOUS batch's range
+    for b in range(1, 5):
+        lo = b * 100
+        t.insert(
+            [
+                {"id": k, "val": b, "v": [0.0, 0.0]}
+                # 100 new keys + 10 updates of the previous batch
+                for k in list(range(lo, lo + 100))
+                + list(range(lo - 10, lo))
+            ],
+            upsert=True,
+        )
+    meta = t._load_meta()
+    # structure grew (pre-fix: consolidated to exactly 1 base_ dir)
+    assert len(meta["files"]) >= 5
+    assert any(f.startswith("cow_") for f in meta["files"])
+    assert not any(f.startswith("base_") for f in meta["files"])
+    # keep-last semantics held across every overlap
+    rows = {r["id"]: r["val"] for r in t.df().collect()}
+    assert len(rows) == 500
+    for b in range(1, 5):
+        lo = b * 100
+        assert all(rows[k] == b for k in range(lo - 10, lo))

@@ -932,8 +932,10 @@ class Table:
         return self._segment_stats_count(name)[0]
 
     # string-PK stats above this length are not recorded (manifest
-    # bloat guard); the segment then simply never prunes on the PK and
-    # the ≥½-bytes crossover still bounds COW write amplification
+    # bloat guard); the segment then simply never prunes on the PK
+    # (mutations rewrite it like any other candidate — bytes written
+    # are still bounded by candidate kept-rows, same as the legacy
+    # consolidation's whole-base write)
     STRING_STAT_MAX_LEN = 256
 
     def _string_stat_pk(self, columns) -> str | None:
@@ -1278,7 +1280,7 @@ class Table:
             if (
                 name.startswith(
                     ("add_", "base_", "cow_", "zrw_", "index_",
-                     "textindex_", "sparseindex_")
+                     "textindex_", "sparseindex_", "cowstage_")
                 )
                 and name not in referenced
                 and os.path.isdir(full)
@@ -1360,13 +1362,19 @@ class Table:
         self._bump_mutation_seq(meta)
         return {"deleted": self._cow_delete(cond, meta, bounds)}
 
-    # COW-vs-consolidation crossover: when the segments that must be
-    # rewritten cover at least this fraction of the base bytes, one
-    # consolidating full rewrite wins (it also defragments); below it,
-    # rewriting only the affected segments tracks the DELETE size, not
-    # the table size — the matview REBUILD_THRESHOLD discipline
-    # applied to the write path.
-    COW_REWRITE_FRACTION = 0.5
+    # r12: mutations never consolidate (the r11 ≥COW_REWRITE_FRACTION
+    # crossover is GONE — the streaming key-overlap rehearsal showed it
+    # degenerate: with overlap keys in every micro-batch it collapsed
+    # the base to ONE segment on batch 2 and then re-consolidated
+    # O(table) bytes every batch forever, because a 1-segment base can
+    # never satisfy candidates < fraction again). When candidates span
+    # the whole base, the COW rewrite writes the SAME bytes as the
+    # consolidation would but PRESERVES the per-segment range
+    # structure, so the next local mutation prunes again — the Delta
+    # Lake discipline: DML rewrites matched files, OPTIMIZE/compact()
+    # defragments. ``COW_DISABLED`` opts a table back into the
+    # consolidating legacy path (A/B harnesses, pathological tables).
+    COW_DISABLED = False
 
     def _walk_bytes(self, name: str) -> int:
         total = 0
@@ -1489,10 +1497,10 @@ class Table:
         dirs of candidates with zero matches are discarded (their
         original dirs are retained verbatim in the manifest — the
         false-positive cost is bounded by how loose the range pruning
-        is, and the ≥½-bytes crossover above caps it at half the
-        table); genuinely matched ones are renamed into final ``cow_``
-        dirs and registered. Returns (new segment names, matched row
-        counts per source segment)."""
+        is, and NEVER exceeds what the legacy whole-base consolidation
+        would write, since candidates ⊆ base); genuinely matched ones
+        are renamed into final ``cow_`` dirs and registered. Returns
+        (new segment names, matched row counts per source segment)."""
         import shutil
         from urllib.parse import unquote
 
@@ -1518,7 +1526,9 @@ class Table:
             )
             part_cols = [tag]
         kept = keep_fn(tagged)
-        staging = os.path.join(self.path, f"_cowstage_{version}")
+        # no leading underscore: Spark's hidden-path filter warns on
+        # underscore-prefixed roots; crash leftovers are vacuum's job
+        staging = os.path.join(self.path, f"cowstage_{version}")
         try:
             kept.write.mode("overwrite").partitionBy(*part_cols).parquet(
                 staging
@@ -1600,10 +1610,13 @@ class Table:
         ``changes()`` see exactly the same logical diff as the
         consolidating path (updated PKs pair into update pre/post
         images across the rewritten and added dirs). Falls back to the
-        legacy rewrite when the PK is non-integer, stats are missing,
-        the batch exceeds broadcast size, or the candidate segments
-        cover ≥ COW_REWRITE_FRACTION of the base bytes (where the
-        consolidation costs the same and defragments)."""
+        legacy rewrite only when the PK is neither integer nor string,
+        stats are missing, the batch exceeds broadcast size, or
+        ``COW_DISABLED`` is set — never by a bytes crossover (see the
+        COW_DISABLED comment: consolidating on overlap degenerated the
+        streaming key-overlap pattern to O(table) per batch forever,
+        while COW at worst writes the same bytes once and keeps the
+        segment structure prunable)."""
         pk = pk_field.name
         batch_df = batch_df.localCheckpoint()
         n = batch_df.count()
@@ -1642,11 +1655,8 @@ class Table:
         candidates = [
             f for f in files if segment_overlaps(stats.get(f), bounds)
         ]
-        if candidates:
-            total_b = sum(self._dir_bytes(f, meta) for f in files)
-            cand_b = sum(self._dir_bytes(f, meta) for f in candidates)
-            if total_b and cand_b >= self.COW_REWRITE_FRACTION * total_b:
-                return _legacy()
+        if self.COW_DISABLED:
+            return _legacy()
         rows_map = self._candidate_rows(meta, candidates)
         self._record_history(meta)
         version = meta["version"] + 1
@@ -1688,10 +1698,12 @@ class Table:
         so candidates with zero matches are RETAINED as-is (same dirs
         in the manifest) and there is no separate count pass;
         (3) only matched segments are replaced (survivors preserve
-        their _row_id, so index delta dirs stay valid); (4) when the
-        candidate segments cover ≥ COW_REWRITE_FRACTION of the base
-        bytes the consolidating full rewrite runs instead — it costs
-        the same and defragments. Changefeed semantics are unchanged:
+        their _row_id, so index delta dirs stay valid); (4) mutations
+        never consolidate (see the COW_DISABLED comment) — at worst
+        (candidates = whole base) the rewrite writes the same bytes a
+        consolidation would, once, and keeps the per-segment range
+        structure so the NEXT mutation prunes; ``compact()`` remains
+        the defragmenter. Changefeed semantics are unchanged:
         ``changes()`` diffs by PK with content-equality cancellation,
         so retained dirs prune at file level and surviving rows in
         rewritten dirs cancel — only the deleted rows surface, exactly
@@ -1714,11 +1726,8 @@ class Table:
             self._write_base(kept, meta, meta["next_row_id"])
             return before - int(meta["row_count"])
 
-        if candidates:
-            total_b = sum(self._dir_bytes(f, meta) for f in files)
-            cand_b = sum(self._dir_bytes(f, meta) for f in candidates)
-            if total_b and cand_b >= self.COW_REWRITE_FRACTION * total_b:
-                return _legacy()
+        if self.COW_DISABLED:
+            return _legacy()
         rows_map = self._candidate_rows(meta, candidates)
         self._record_history(meta)
         version = meta["version"] + 1
