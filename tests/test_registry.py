@@ -213,7 +213,10 @@ def test_round13_queue_registered_with_oracles():
     from vectordb_spark.queries import WINDOW_VETTED, all_oracles
 
     qs, os_ = all_queries(), all_oracles()
-    for name in ("table_sparse_index_lifecycle",):
+    for name in (
+        "table_sparse_index_lifecycle",
+        "cdc_string_pk_changefeed",
+    ):
         assert name in qs, name
         assert name in os_, f"{name} must be oracle-gated"
         assert name in WINDOW_VETTED, f"{name} must be vetted"

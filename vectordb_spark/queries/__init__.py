@@ -314,20 +314,30 @@ ORACLE_WINDOW: tuple[str, ...] = (
 # Round-13 rotation pre-plan (window hygiene, VERDICT r11 #8).
 # The registry holds ~117 bench queries vs 50 oracle slots.
 #
-# ROUND-13 QUEUE (build in round 12, dual-SF selfcheck-green before
-# queueing; rotate into the window next round; every eviction below
-# must be a green r12 driver row first):
+# ROUND-13 QUEUE (built in round 12, BOTH dual-SF selfcheck-green;
+# rotate into the window next round; every eviction below must be a
+# green r12 driver row first):
 #   table_sparse_index_lifecycle — the sparse twin of
 #     table_ivf_sampled_train_search (VERDICT r11 #5): sparse
-#     insert → inverted-index build → mutate (delete + upsert) →
-#     delta refresh → dim-pruned exact search, the whole composite
-#     oracle-replayed from raw parquet.
+#     insert → inverted-index build → 20% tail → DELTA REFRESH
+#     (refresh_sparse_index, new r12) → filter delete → one-hot
+#     upsert → final tail → dim-pruned exact search, the whole
+#     composite oracle-replayed from raw parquet.
+#   cdc_string_pk_changefeed — the changefeed lifecycle on a STRING
+#     primary key (reference PK domain, basic_meta_impl.cpp:370-378):
+#     every mutation rides the r12 string-PK COW path (exact
+#     write-time string stats); changes(v1) hash-matched against a
+#     raw-parquet oracle.
 #
 # Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
 #   table_sparse_index_lifecycle    ← sparse_index_knn_search
 #     (G r6–; the lifecycle gate is a strict superset — same postings
 #     build + dim-pruned serving, plus the mutation/refresh path)
+#   cdc_string_pk_changefeed        ← phrase_bm25_topk
+#     (G r6–; the lexical path keeps text_index_bm25_search +
+#     bm25_multiquery_batch in-window; the positional-adjacency twin
+#     stays pytest-pinned in test_text_index.py)
 #
 # Executed round-12 rotation (both evictions confirmed green in
 # CORRECTNESS_r11.json before the swap):
@@ -548,6 +558,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "stream_join_matview_maintenance",
         # r12 additions (round-13 queue), dual-SF selfcheck-green r12
         "table_sparse_index_lifecycle",
+        "cdc_string_pk_changefeed",
     }
 )
 

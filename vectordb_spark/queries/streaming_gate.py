@@ -1458,3 +1458,127 @@ def stream_join_matview_maintenance(
 
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# -------------------------------------- string-PK changefeed (CDC) gate
+#
+# Round-13 queue (r12): the cdc_changefeed_diff lifecycle on a table
+# whose PRIMARY KEY is a STRING — the reference's PK domain includes
+# STRING (basic_meta_impl.cpp:370-378), and r12's exact write-time
+# string stats route these tables through the segment-granular COW
+# path (1/N segments rewritten; pinned structurally in
+# tests/test_table_api.py::test_string_pk_cow_rewrites_only_matched_segments).
+# This gate makes the string-keyed mutation surface HASH-CHECKED:
+# append + delete + upsert on zero-padded doc keys, then changes(v1)
+# must reconstruct exactly the same logical diff the oracle computes
+# from raw parquet. Zero-padded keys sort identically as strings and
+# integers, so both engines pick the same 6 mutation targets.
+
+_CDC_STR_ORACLE = """
+WITH base AS (
+    SELECT printf('doc-%09d', doc_id) AS dockey, doc_id, lang, n_chars
+    FROM documents
+),
+mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT dockey FROM base, mid WHERE doc_id <= m
+    ORDER BY dockey LIMIT 6
+),
+dels AS (SELECT dockey FROM ordered ORDER BY dockey LIMIT 3),
+upds AS (SELECT dockey FROM ordered ORDER BY dockey LIMIT 3 OFFSET 3)
+SELECT b.dockey, b.lang, CAST(b.n_chars AS BIGINT) AS n_chars,
+       'insert' AS change_type
+FROM base b, mid WHERE b.doc_id > mid.m
+UNION ALL
+SELECT dockey, lang, CAST(n_chars AS BIGINT), 'delete'
+FROM base WHERE dockey IN (SELECT dockey FROM dels)
+UNION ALL
+SELECT dockey, lang, CAST(n_chars + 1000 AS BIGINT), 'update'
+FROM base WHERE dockey IN (SELECT dockey FROM upds)
+"""
+
+
+def build_cdc_string_gate_table(spark: SparkSession, sf_dir: str, work: str):
+    """The cdc lifecycle (bulk ingest v1 → append → delete ×3 →
+    upsert ×3) on a STRING-keyed table under ``work``; returns
+    ``(table, v1)``. Every mutation rides the string-PK COW path."""
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table
+    from vectordb_spark.table import Table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "dockey", F.format_string("doc-%09d", F.col("doc_id"))
+    )
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    first = d.where(F.col("doc_id") <= mid)
+    keys = [
+        r[0]
+        for r in first.select("dockey").orderBy("dockey").limit(6).collect()
+    ]
+    dels, upds = keys[:3], keys[3:6]
+    table_schema = TableSchema(
+        name="cdc_sdocs",
+        fields=[
+            FieldSchema(
+                name="dockey", field_type=FieldType.STRING, primary_key=True
+            ),
+            FieldSchema(name="lang", field_type=FieldType.STRING),
+            FieldSchema(name="n_chars", field_type=FieldType.INT8),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, table_schema, os.path.join(work, "cdc_sdocs"))
+    t._init_storage()
+
+    def _proj(df: DataFrame) -> DataFrame:
+        return df.select(
+            "dockey",
+            "lang",
+            "n_chars",
+            F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("Emb"),
+        )
+
+    t.insert_df(_proj(first))
+    v1 = t.versions()[-1]
+    t.insert_df(_proj(d.where(F.col("doc_id") > mid)))
+    t.delete(primary_keys=dels)
+    upd_recs = [
+        {
+            "dockey": r["dockey"],
+            "lang": r["lang"],
+            "n_chars": r["n_chars"] + 1000,
+            "Emb": [0.0, 0.0],
+        }
+        for r in d.where(F.col("dockey").isin(upds))
+        .select("dockey", "lang", "n_chars")
+        .collect()
+    ]
+    t.insert(upd_recs, upsert=True)
+    return t, v1
+
+
+@query("cdc_string_pk_changefeed", oracle=_CDC_STR_ORACLE)
+def cdc_string_pk_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed gate on a STRING primary key (module comment above):
+    the same manifest-history diff discipline as cdc_changefeed_diff,
+    with every mutation riding the r12 string-PK COW path (exact
+    write-time string stats prune the rewrite set). A hash match
+    certifies string-keyed delete/upsert semantics end to end against
+    an oracle that never saw the table format."""
+    work = tempfile.mkdtemp(prefix="vdb_cdcs_")
+    t, v1 = build_cdc_string_gate_table(spark, sf_dir, work)
+    out = t.changes(v1).select(
+        "dockey",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_change_type").alias("change_type"),
+    )
+    out = out.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
