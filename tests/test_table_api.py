@@ -1008,3 +1008,37 @@ def test_overlapping_upserts_preserve_segment_structure(spark, tmp_path):
     for b in range(1, 5):
         lo = b * 100
         assert all(rows[k] == b for k in range(lo - 10, lo))
+
+
+def test_pre_cache_manifest_backfills_segment_rows_in_one_job(spark, tmp_path):
+    """r12: a manifest written before the segment_rows cache existed
+    backfills row counts for ALL candidate segments in ONE zero-column
+    count job (pre-fix risk: one serial footer job per segment — a
+    10k-segment legacy table's first mutation would run 10k jobs),
+    and the backfilled counts commit back to the manifest."""
+    t = _cow_fixture_table(
+        spark, tmp_path / "legacyrows", n_segments=8, rows_per=10, step=100
+    )
+    # simulate a pre-r12 manifest: drop the caches
+    meta = t._load_meta()
+    meta.pop("segment_rows", None)
+    meta.pop("segment_bytes", None)
+    t._save_meta(meta)
+
+    sc = spark.sparkContext
+    group = "rows-backfill-pin"
+    sc.setJobGroup(group, "backfill job-count pin")
+    try:
+        res = t.delete(primary_keys=[s * 100 + 5 for s in range(3)])
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert res["deleted"] == 3
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs <= 10, f"backfill ran {jobs} jobs for 8 segments"
+    meta2 = t._load_meta()
+    # counts cached back for the candidates (the 3 rewritten cow dirs
+    # get fresh counts; non-candidate segments are rightly untouched)
+    cows = [f for f in meta2["files"] if f.startswith("cow_")]
+    assert len(cows) == 3
+    assert all(meta2["segment_rows"][f] == 9 for f in cows)
+    assert t.df().count() == 77

@@ -1580,13 +1580,45 @@ class Table:
         self, meta: dict, candidates: list[str]
     ) -> dict[str, int]:
         """Per-candidate row counts from the manifest (recorded at
-        segment-write time); pre-cache manifests fall back to one
-        footer-count job per missing segment, cached back so the cost
-        is paid once per upgraded table."""
+        segment-write time). Pre-cache manifests fall back to ONE
+        zero-column count job over all missing segments grouped by
+        parent dir (not a footer job per segment — an upgraded
+        10k-segment table must not pay 10k serial jobs on its first
+        mutation), cached back so the cost is paid once per table.
+        Partitioned tables keep the per-segment count (their segment
+        counts are compaction-bounded and parent dirs are partition
+        values, not segment names)."""
         rows_map = meta.setdefault("segment_rows", {})
-        for f in candidates:
-            if f not in rows_map:
+        missing = [f for f in candidates if f not in rows_map]
+        if not missing:
+            return rows_map
+        if self.partition_by or len(missing) == 1:
+            for f in missing:
                 rows_map[f] = self._dir_count(f)
+            return rows_map
+        paths = [os.path.join(self.path, f) for f in missing]
+        counted: dict[str, int] = {}
+        for r in (
+            self.spark.read.parquet(*paths)
+            .groupBy(
+                F.regexp_extract(
+                    F.input_file_name(), r"/([^/]+)/[^/]*$", 1
+                ).alias("_seg")
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        ):
+            counted[r["_seg"]] = int(r["_n"])
+        expected = set(missing)
+        for seg, n in counted.items():
+            if seg not in expected:
+                raise VectorDBError(
+                    "INTERNAL",
+                    f"row-count backfill saw unknown segment {seg!r}",
+                )
+            rows_map[seg] = n
+        for f in missing:  # fully written empty dirs
+            rows_map.setdefault(f, 0)
         return rows_map
 
     # COW upsert gives up (legacy consolidating rewrite) above this
