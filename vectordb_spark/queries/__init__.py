@@ -328,6 +328,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     every mutation rides the r12 string-PK COW path (exact
 #     write-time string stats); changes(v1) hash-matched against a
 #     raw-parquet oracle.
+#   text_index_refresh_search — the Lucene segment-commit discipline
+#     hash-checked: build → tail → refresh_text_index (delta postings
+#     + atomic (N, Σdl) extension) → second live tail → BM25 search vs
+#     the raw-corpus oracle.
 #
 # Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
@@ -338,6 +342,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     (G r6–; the lexical path keeps text_index_bm25_search +
 #     bm25_multiquery_batch in-window; the positional-adjacency twin
 #     stays pytest-pinned in test_text_index.py)
+#   text_index_refresh_search       ← bm25_multiquery_batch
+#     (G r6–; the refresh gate is the strictly richer lexical-index
+#     lifecycle — the batch-retrieval shape stays covered by
+#     text_index_bm25_search's compile path + tests/test_text_index.py)
 #
 # Executed round-12 rotation (both evictions confirmed green in
 # CORRECTNESS_r11.json before the swap):
@@ -559,6 +567,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         # r12 additions (round-13 queue), dual-SF selfcheck-green r12
         "table_sparse_index_lifecycle",
         "cdc_string_pk_changefeed",
+        "text_index_refresh_search",
     }
 )
 

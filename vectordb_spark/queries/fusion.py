@@ -819,3 +819,80 @@ def bm25_multiquery_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _BATCH_K)
         .orderBy("qid", "rnk")
     )
+
+
+# -------------------------------------- text index DELTA-REFRESH gate
+#
+# Round-13 queue (r12): the Lucene segment-commit discipline as a
+# hash-checked row. text_index_bm25_search certifies build + live
+# tail; this gate inserts a REFRESH in the middle — 60% build → 20%
+# tail → refresh_text_index (tail postings land in an immutable delta
+# dir and the manifest's (N, Σdl) corpus stats EXTEND atomically) →
+# another 20% live tail → search. The oracle recomputes BM25 from the
+# raw corpus, so a hash match proves delta postings + extended stats +
+# the remaining live-tail merge reproduce a corpus scan exactly.
+_TREF_TERMS = ("merge", "window", "scan")
+_TREF_K = 10
+
+_TREF_ORACLE = f"""
+WITH {{cte}}
+SELECT doc_id, bm25_q, n_terms FROM bm25
+ORDER BY bm25_q DESC, doc_id LIMIT {_TREF_K}
+"""
+
+
+@query(
+    "text_index_refresh_search",
+    oracle=_TREF_ORACLE.format(cte=_bm25_cte(_TREF_TERMS)),
+)
+def text_index_refresh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental text-index refresh lifecycle (module comment above):
+    the searched corpus spans the main postings dir, one refresh DELTA
+    dir (refresh_text_index, the Lucene segment-commit discipline),
+    and an unindexed live tail — with the manifest's (N, Σdl) BM25
+    stats extended by the refresh and again by the tail aggregate.
+    Cited parity: the reference re-serves queries during/after index
+    rebuilds (db_server.cpp QueryDenseVectorDuringRebuild); this is
+    the incremental-commit analog on the lexical surface."""
+    import os
+    import shutil
+    import tempfile
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "Emb", F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>")
+    )
+    table_schema = TableSchema(
+        name="tref_docs",
+        fields=[
+            FieldSchema(name="doc_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="text", field_type=FieldType.STRING),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = tempfile.mkdtemp(prefix="vdb_tref_gate_")
+    t = Table(spark, table_schema, os.path.join(work, "tref_docs"))
+    t._init_storage()
+    five = F.col("doc_id") % 5
+    t.insert_df(docs.where(five.isin(0, 1, 2)))      # 60% bulk
+    t.rebuild_text_index("text", buckets=16)
+    t.insert_df(docs.where(five == 3))               # 20% tail
+    t.refresh_text_index("text")                     # -> delta dir
+    t.insert_df(docs.where(five == 4))               # 20% live tail
+    hits = t.search_text_df(" ".join(_TREF_TERMS), limit=1 << 30).select(
+        "doc_id",
+        F.col("_score").alias("bm25_q"),
+        F.col("_terms").alias("n_terms"),
+    )
+    out = (
+        hits.orderBy(F.col("bm25_q").desc(), F.col("doc_id"))
+        .limit(_TREF_K)
+        .localCheckpoint()
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
