@@ -686,9 +686,24 @@ class Table:
         if pk_field is not None and existing_pks and upsert:
             # replaced PKs leave via the segment-granular COW path
             # (only their segments rewrite); the batch lands as one
-            # add segment in the same atomic commit
+            # add segment in the same atomic commit. The key list is
+            # already in hand, so the size and range hints cost zero
+            # extra Spark jobs.
             self._bump_mutation_seq(meta)
-            self._cow_upsert(new_df, meta, pk_field, next_row_id)
+            vals = list(seen_pks)
+            pk_rng = None
+            if vals and (
+                all(
+                    isinstance(k, int) and not isinstance(k, bool)
+                    for k in vals
+                )
+                or all(isinstance(k, str) for k in vals)
+            ):
+                pk_rng = (min(vals), max(vals))
+            self._cow_upsert(
+                new_df, meta, pk_field, next_row_id,
+                batch_rows=len(rows), pk_range=pk_rng,
+            )
         else:
             self._append(new_df, meta, next_row_id)
         return {"inserted": len(rows), "skipped": skipped}
@@ -735,15 +750,27 @@ class Table:
         new_df = new_df.withColumn("_mono", F.monotonically_increasing_id())
         pid = F.shiftrightunsigned(F.col("_mono"), 33)
         pos = F.col("_mono").bitwiseAND(F.lit((1 << 33) - 1))
-        pcounts = sorted(
-            (
-                (int(r["_pid"]), int(r["c"]))
-                for r in new_df.select(pid.alias("_pid"))
-                .groupBy("_pid")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            )
+        # the same partition-counts action also carries the batch's PK
+        # range (r12): min/max over the PRE-dedup batch equals the
+        # post-dedup range — dedup only drops duplicate keys — so the
+        # conflict-check pruning bounds below cost zero extra jobs
+        pk_field = self.schema.primary_key
+        range_pk = pk_field is not None and (
+            pk_field.field_type.is_int or pk_field.field_type.is_string
         )
+        sel = [pid.alias("_pid")]
+        pagg = [F.count(F.lit(1)).alias("c")]
+        if range_pk:
+            sel.append(F.col(pk_field.name).alias("_pkv"))
+            pagg += [F.min("_pkv").alias("_lo"), F.max("_pkv").alias("_hi")]
+        prows = new_df.select(*sel).groupBy("_pid").agg(*pagg).collect()
+        pcounts = sorted((int(r["_pid"]), int(r["c"])) for r in prows)
+        pk_lo = pk_hi = None
+        if range_pk:
+            los = [r["_lo"] for r in prows if r["_lo"] is not None]
+            his = [r["_hi"] for r in prows if r["_hi"] is not None]
+            if los:
+                pk_lo, pk_hi = min(los), max(his)
         offsets, acc = [], 0
         for p, c in pcounts:
             offsets.append((p, acc))
@@ -763,7 +790,6 @@ class Table:
             )
             .drop("_mono", "_pid", "_pos", "_off")
         )
-        pk_field = self.schema.primary_key
         inserted_df = new_df
         if pk_field is not None:
             keep = (
@@ -782,7 +808,14 @@ class Table:
                         inserted_df = self._embed_index_field(inserted_df, fld)
                 inserted_df = self._apply_ingest_transforms(inserted_df)
                 self._bump_mutation_seq(meta)
-                n = self._cow_upsert(inserted_df, meta, pk_field, start + total)
+                # hints from the partition-counts action: the
+                # pre-dedup total is a safe SUPERSET for the broadcast
+                # size gate, and the PK range survives dedup verbatim
+                n = self._cow_upsert(
+                    inserted_df, meta, pk_field, start + total,
+                    batch_rows=total,
+                    pk_range=(pk_lo, pk_hi) if range_pk else None,
+                )
                 return {"inserted": n, "skipped": 0}
             # PK-conflict check against a RANGE-PRUNED snapshot, not
             # the whole table (r11): only segments whose manifest
@@ -797,20 +830,19 @@ class Table:
             # segment (scan_df's conservative rule). String PKs prune
             # on the exact manifest string stats (r12); other PK types
             # fall back to the full PK-column scan.
-            if pk_field.field_type.is_int or pk_field.field_type.is_string:
-                rng = inserted_df.agg(
-                    F.min(pk_field.name), F.max(pk_field.name)
-                ).first()
-                lo, hi = rng[0], rng[1]
-                if lo is None:
+            if range_pk:
+                # bounds came free with the partition-counts action
+                if pk_lo is None:
                     existing = self.df().select(pk_field.name).limit(0)
                 elif pk_field.field_type.is_string:
                     existing = self.scan_df(
-                        extra_bounds={pk_field.name: (lo, hi)}
+                        extra_bounds={pk_field.name: (pk_lo, pk_hi)}
                     ).select(pk_field.name)
                 else:
                     existing = self.scan_df(
-                        extra_bounds={pk_field.name: (float(lo), float(hi))}
+                        extra_bounds={
+                            pk_field.name: (float(pk_lo), float(pk_hi))
+                        }
                     ).select(pk_field.name)
             else:
                 existing = self.df().select(pk_field.name)
@@ -819,8 +851,9 @@ class Table:
             if fld.is_index_field:
                 inserted_df = self._embed_index_field(inserted_df, fld)
         inserted_df = self._apply_ingest_transforms(inserted_df)
-        n = inserted_df.count()
-        self._append(inserted_df, meta, start + total)
+        # the write's own Observation counts the inserted rows — no
+        # separate count action re-running the dedup + anti-join (r12)
+        n = self._append(inserted_df, meta, start + total)
         return {"inserted": n, "skipped": 0}
 
     def _embed_index_field(self, df: DataFrame, fld: FieldSchema) -> DataFrame:
@@ -955,30 +988,25 @@ class Table:
             return pk.name
         return None
 
-    def _segment_stats_count(self, name: str) -> tuple[dict[str, list], int]:
-        """Pruning stats AND row count of a just-written segment in
-        ONE aggregate (r12: the commit path used to run a count job
-        plus a stats job per new segment — two of the fixed per-commit
-        jobs behind the measured ~0.45 commits/s floor). Integer
-        min/max and the count come from parquet FOOTER metadata
-        (aggregatePushdown); when the table has a STRING primary key
-        its exact min/max joins the same aggregate, which then runs as
-        a column-pruned scan instead (string footer stats truncate, so
-        pushdown is off the table for them by design)."""
-        self.spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        df = self.spark.read.parquet(os.path.join(self.path, name))
+    def _stat_agg_exprs(self, columns) -> tuple[list[str], str | None, list]:
+        """(int stat columns, string-PK column, aggregate expressions)
+        for the per-segment stats contract — shared by the footer
+        read-back, the COW staging batch pass, and the observed-write
+        path so the three can never drift."""
         cols = [
             f.name
             for f in self.schema.fields
-            if f.field_type.is_int and f.name in df.columns
+            if f.field_type.is_int and f.name in columns
         ]
-        spk = self._string_stat_pk(df.columns)
+        spk = self._string_stat_pk(columns)
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
         if spk:
             aggs += [F.min(spk).alias("_slo"), F.max(spk).alias("_shi")]
-        row = df.agg(*aggs).first()
+        return cols, spk, aggs
+
+    def _stats_from_row(self, row, cols: list[str], spk: str | None) -> dict:
         stats = {
             c: [int(row[f"lo_{c}"]), int(row[f"hi_{c}"])]
             for c in cols
@@ -991,20 +1019,65 @@ class Table:
             and len(row["_shi"]) <= self.STRING_STAT_MAX_LEN
         ):
             stats[spk] = [row["_slo"], row["_shi"]]
-        return stats, int(row["_n"])
+        return stats
 
-    def _append(self, new_df: DataFrame, meta: dict, next_row_id: int) -> None:
+    def _segment_stats_count(self, name: str) -> tuple[dict[str, list], int]:
+        """Pruning stats AND row count of an already-written segment in
+        ONE aggregate (r12: the commit path used to run a count job
+        plus a stats job per new segment — two of the fixed per-commit
+        jobs behind the measured ~0.45 commits/s floor). Integer
+        min/max and the count come from parquet FOOTER metadata
+        (aggregatePushdown); when the table has a STRING primary key
+        its exact min/max joins the same aggregate, which then runs as
+        a column-pruned scan instead (string footer stats truncate, so
+        pushdown is off the table for them by design). Fresh writes
+        avoid even this job — see _write_segment_observed."""
+        self.spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = self.spark.read.parquet(os.path.join(self.path, name))
+        cols, spk, aggs = self._stat_agg_exprs(df.columns)
+        row = df.agg(*aggs).first()
+        return self._stats_from_row(row, cols, spk), int(row["_n"])
+
+    def _write_segment_observed(
+        self, df: DataFrame, name: str
+    ) -> tuple[dict[str, list], int]:
+        """``_write_segment`` with the pruning stats and row count
+        captured DURING the write action (Observation metrics ride the
+        write job and are exact for successful queries), so a commit
+        pays ONE Spark job for write+stats instead of a write job plus
+        a read-back aggregate — another slice of the fixed per-commit
+        floor (r12)."""
+        from pyspark.sql import Observation
+
+        if self.partition_by == "_cluster" and "_cluster" not in df.columns:
+            df = self._assign_cluster(df)
+        cols, spk, aggs = self._stat_agg_exprs(df.columns)
+        obs = Observation(f"segstats_{name}")
+        writer = df.observe(obs, *aggs).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(os.path.join(self.path, name))
+        m = obs.get
+        return self._stats_from_row(m, cols, spk), int(m["_n"])
+
+    def _append(self, new_df: DataFrame, meta: dict, next_row_id: int) -> int:
+        """Append commit; returns the number of rows written (from the
+        write job's own Observation — callers must not run a separate
+        count action over the ingest pipeline)."""
         before = self._count(meta)  # resolve before files change (legacy fallback)
         self._record_history(meta)
         version = meta["version"] + 1
         name = f"add_{version}"
-        self._write_segment(new_df, name)
+        st, n = self._write_segment_observed(new_df, name)
         meta["files"].append(name)
         meta["version"] = version
         meta["next_row_id"] = next_row_id
-        meta["row_count"] = before + self._register_segment_meta(meta, name)
+        meta["row_count"] = before + self._register_segment_meta(
+            meta, name, stats=st, rows=n
+        )
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
+        return n
 
     @staticmethod
     def _bump_mutation_seq(meta: dict) -> None:
@@ -1020,11 +1093,13 @@ class Table:
         self._record_history(meta)
         version = meta["version"] + 1
         name = f"base_{version}"
-        self._write_segment(df, name)
+        st, n = self._write_segment_observed(df, name)
         meta["files"] = [name]
         meta["version"] = version
         meta["next_row_id"] = next_row_id
-        meta["row_count"] = self._register_segment_meta(meta, name)
+        meta["row_count"] = self._register_segment_meta(
+            meta, name, stats=st, rows=n
+        )
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
 
@@ -1443,35 +1518,13 @@ class Table:
         of a footer job per new dir."""
         tag = self._COW_TAG
         df = self.spark.read.parquet(staging)
-        cols = [
-            f.name
-            for f in self.schema.fields
-            if f.field_type.is_int and f.name in df.columns
-        ]
-        spk = self._string_stat_pk(df.columns)
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        for c in cols:
-            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
-        if spk:
-            aggs += [F.min(spk).alias("_slo"), F.max(spk).alias("_shi")]
+        cols, spk, aggs = self._stat_agg_exprs(df.columns)
         stats: dict[str, dict] = {}
         counts: dict[str, int] = {}
         for row in df.groupBy(tag).agg(*aggs).collect():
             src = row[tag]
             counts[src] = int(row["_n"])
-            st = {
-                c: [int(row[f"lo_{c}"]), int(row[f"hi_{c}"])]
-                for c in cols
-                if row[f"lo_{c}"] is not None
-            }
-            if (
-                spk
-                and row["_slo"] is not None
-                and len(row["_slo"]) <= self.STRING_STAT_MAX_LEN
-                and len(row["_shi"]) <= self.STRING_STAT_MAX_LEN
-            ):
-                st[spk] = [row["_slo"], row["_shi"]]
-            stats[src] = st
+            stats[src] = self._stats_from_row(row, cols, spk)
         return stats, counts
 
     def _cow_rewrite(
@@ -1627,7 +1680,14 @@ class Table:
     COW_UPSERT_MAX_BATCH = 1_000_000
 
     def _cow_upsert(
-        self, batch_df: DataFrame, meta: dict, pk_field, next_row_id: int
+        self,
+        batch_df: DataFrame,
+        meta: dict,
+        pk_field,
+        next_row_id: int,
+        *,
+        batch_rows: int | None = None,
+        pk_range: tuple | None = None,
     ) -> int:
         """Segment-granular copy-on-write upsert (r11, one-pass r12):
         the legacy path rewrote the ENTIRE live base (anti-join ∪
@@ -1651,7 +1711,10 @@ class Table:
         segment structure prunable)."""
         pk = pk_field.name
         batch_df = batch_df.localCheckpoint()
-        n = batch_df.count()
+        # both hints ride actions the callers already ran (the ingest
+        # partition-counts job / the row-path key list), so the common
+        # path adds NO count or min/max job here (r12)
+        n = batch_rows if batch_rows is not None else batch_df.count()
         before = self._count(meta)
         files = list(meta["files"])
         stats = meta.get("segment_stats") or {}
@@ -1662,7 +1725,10 @@ class Table:
             )
             full = base.unionByName(batch_df)
             self._write_base(full, meta, next_row_id)
-            return n
+            # batch_df is already PK-deduped by every caller, so its
+            # count IS the inserted-rows figure (rare path: one job
+            # over the checkpointed batch)
+            return batch_df.count()
 
         str_pk = pk_field.field_type.is_string
         if (
@@ -1672,16 +1738,14 @@ class Table:
             or not any((stats.get(f) or {}).get(pk) for f in files)
         ):
             return _legacy()
-        rng = batch_df.agg(F.min(pk), F.max(pk)).first()
-        if rng[0] is None:
+        if pk_range is not None:
+            lo, hi = pk_range
+        else:
+            rng = batch_df.agg(F.min(pk), F.max(pk)).first()
+            lo, hi = rng[0], rng[1]
+        if lo is None:
             return _legacy()
-        bounds = {
-            pk: (
-                (rng[0], rng[1])
-                if str_pk
-                else (float(rng[0]), float(rng[1]))
-            )
-        }
+        bounds = {pk: ((lo, hi) if str_pk else (float(lo), float(hi)))}
         from vectordb_spark.expr.prune import segment_overlaps
 
         candidates = [
@@ -1706,16 +1770,16 @@ class Table:
         removed = sum(matched.values())
         new_files = [f for f in files if f not in matched] + new_names
         add_name = f"add_{version}"
-        self._write_segment(batch_df, add_name)
+        add_st, add_n = self._write_segment_observed(batch_df, add_name)
         new_files.append(add_name)
-        self._register_segment_meta(meta, add_name)
+        self._register_segment_meta(meta, add_name, stats=add_st, rows=add_n)
         meta["files"] = new_files
         meta["version"] = version
         meta["next_row_id"] = next_row_id
-        meta["row_count"] = before - removed + n
+        meta["row_count"] = before - removed + add_n
         meta["index_sources"] = self.index_sources
         self._save_meta(meta)
-        return n
+        return add_n
 
     def _cow_delete(self, cond, meta: dict, bounds: dict) -> int:
         """Segment-granular copy-on-write delete (r11, one-pass r12).
