@@ -1052,7 +1052,10 @@ class Table:
         if self.partition_by == "_cluster" and "_cluster" not in df.columns:
             df = self._assign_cluster(df)
         cols, spk, aggs = self._stat_agg_exprs(df.columns)
-        obs = Observation(f"segstats_{name}")
+        # unnamed Observation -> UUID name: two tables writing
+        # same-named segments concurrently (streaming tests) must not
+        # share a metrics key
+        obs = Observation()
         writer = df.observe(obs, *aggs).write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
