@@ -217,6 +217,7 @@ def test_round13_queue_registered_with_oracles():
         "table_sparse_index_lifecycle",
         "cdc_string_pk_changefeed",
         "text_index_refresh_search",
+        "table_ivf_refresh_search",
     ):
         assert name in qs, name
         assert name in os_, f"{name} must be oracle-gated"

@@ -332,6 +332,12 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     hash-checked: build → tail → refresh_text_index (delta postings
 #     + atomic (N, Σdl) extension) → second live tail → BM25 search vs
 #     the raw-corpus oracle.
+#   table_ivf_refresh_search — the vector twin completing the
+#     refresh-discipline trilogy: trained-IVF build → tail →
+#     refresh_index (tail argmin-assigned to the PERSISTED centroids,
+#     cluster-partitioned delta dir) → fresh-reader probe-pruned
+#     search over main + delta; the oracle replays Lloyd on the
+#     pre-tail corpus + full argmin assignment from raw parquet.
 #
 # Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
@@ -346,6 +352,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     (G r6–; the refresh gate is the strictly richer lexical-index
 #     lifecycle — the batch-retrieval shape stays covered by
 #     text_index_bm25_search's compile path + tests/test_text_index.py)
+#   table_ivf_refresh_search        ← sketch_hdr_quantiles
+#     (G r7–; the sketch family keeps sketch_bloom_prune_join
+#     in-window; HDR machinery stays pytest-covered in
+#     tests/test_sketch.py)
 #
 # Executed round-12 rotation (both evictions confirmed green in
 # CORRECTNESS_r11.json before the swap):
@@ -568,6 +578,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "table_sparse_index_lifecycle",
         "cdc_string_pk_changefeed",
         "text_index_refresh_search",
+        "table_ivf_refresh_search",
     }
 )
 

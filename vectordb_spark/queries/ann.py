@@ -1584,3 +1584,144 @@ def ann_gist960_adc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "adc_dist", "distance")
     )
+
+
+# ----------------------------- trained IVF + DELTA REFRESH via the table
+#
+# Round-13 queue (r12): the vector twin of text_index_refresh_search
+# and table_sparse_index_lifecycle's refresh step, completing the
+# refresh-discipline trilogy. table_ivf_trained_search certifies
+# trainer + manifest round-trip + serving; this gate inserts a TAIL
+# after the build and routes it through ``refresh_index`` — tail rows
+# self-assign to the STORED centroids (no refit) and land in an
+# immutable cluster-partitioned DELTA dir; probe-pruned search then
+# serves main + delta dirs with no live-tail scan. The oracle replays
+# the whole story from raw parquet: Lloyd on the PRE-TAIL corpus only
+# (what the engine trained on), final argmin assignment of EVERY row
+# (build rows at rebuild time, tail rows at refresh time — same stored
+# centroids, same rule), probe choice, exact probed search.
+
+def _trained_ivf_refresh_oracle() -> str:
+    rounds = "".join(
+        "," + _lloyd_round_sql(f"c{i}", f"c{i + 1}", i + 1, corpus="train")
+        for i in range(_TRN_ROUNDS)
+    )
+    cf = f"c{_TRN_ROUNDS}"
+    d_assign = O.duck_l2_sq("e.embedding", "s.cent")
+    d_probe = O.duck_l2_sq("q.qv", "s.cent")
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, label, embedding FROM embeddings
+),
+train AS (
+    SELECT vec_id, embedding FROM corpus WHERE vec_id % 5 <> 4
+),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+    FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT {_TRN_K})
+){rounds},
+q AS (SELECT embedding AS qv FROM corpus WHERE vec_id = 0),
+probes AS (
+    SELECT cluster FROM (
+        SELECT s.cluster, {d_probe} AS d FROM {cf} s CROSS JOIN q
+    ) ORDER BY d, cluster LIMIT {_TRN_NPROBE}
+),
+final_asg AS (
+    SELECT vec_id, label, embedding, cluster FROM (
+        SELECT e.vec_id, e.label, e.embedding, s.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id ORDER BY {d_assign}, s.cluster
+               ) AS rn
+        FROM corpus e CROSS JOIN {cf} s
+    ) WHERE rn = 1
+)
+SELECT a.vec_id, a.label, a.cluster,
+       {O.duck_l2_sq("a.embedding", "q.qv")} AS distance
+FROM final_asg a CROSS JOIN q
+WHERE a.cluster IN (SELECT cluster FROM probes)
+ORDER BY distance, a.vec_id
+LIMIT 10
+"""
+
+
+@query("table_ivf_refresh_search", oracle=_trained_ivf_refresh_oracle())
+def table_ivf_refresh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF DELTA-REFRESH lifecycle (module comment above):
+    80% bulk insert → rebuild(train="lloyd") → 20% tail insert →
+    ``refresh_index`` (tail argmin-assigned to the persisted
+    centroids, delta dir partitioned by _cluster, cluster sizes and
+    indexed_up_to extended in one CAS commit) → a FRESH Table serves
+    the probe-pruned search from main + delta postings with no
+    live-tail scan. One hash match certifies the trainer, the refresh
+    assignment rule, and the multi-dir serving path together — the
+    reference rebuilds from scratch each cycle
+    (table_mvp.cpp:94-203); this is the incremental-commit
+    re-imagination, same answers."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vectordb_spark.queries.vector import _query_vector
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    schema = TableSchema(
+        name="ivf_refresh_emb",
+        fields=[
+            FieldSchema(name="vec_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="label", field_type=FieldType.STRING),
+            FieldSchema(
+                name="embedding",
+                field_type=FieldType.VECTOR_FLOAT,
+                dimension=len(qv),
+                metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = _tempfile.mkdtemp(prefix="vdb_ivf_refresh_")
+    try:
+        t = Table(spark, schema, _os.path.join(work, "ivf_refresh_emb"))
+        t._init_storage()
+        five = F.col("vec_id") % 5
+        # single ordered partition → _row_id order == vec_id order, so
+        # the trainer's "k smallest _row_id" seeds are the oracle's
+        # first-k-by-vec_id rows of the training subset
+        t.insert_df(emb.where(five != 4).orderBy("vec_id").coalesce(1))
+        t.rebuild(
+            "embedding", index_type="IVF", k=_TRN_K, train="lloyd",
+            rounds=_TRN_ROUNDS,
+        )
+        t.insert_df(emb.where(five == 4).orderBy("vec_id").coalesce(1))
+        res_refresh = t.refresh_index("embedding")
+        assert res_refresh["appendedRecords"] > 0
+        # fresh Table: centroids, delta dirs, and cluster sizes must
+        # round-trip through the persisted manifest
+        t2 = Table(spark, schema, _os.path.join(work, "ivf_refresh_emb"))
+        info = t2._load_meta()["indexes"]["embedding"]
+        assert info.get("deltas"), "refresh did not produce a delta dir"
+        res = t2.search_indexed_df(qv, limit=10, nprobe=_TRN_NPROBE)
+        from vectordb_spark.functions.distance import l2_squared, vector_literal
+
+        dists = F.array(
+            *[
+                l2_squared(F.col("embedding"), vector_literal(c))
+                for c in info["centroids"]
+            ]
+        )
+        out = (
+            res.withColumn(
+                "cluster",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"),
+            )
+            .select(
+                "vec_id", "label", "cluster",
+                F.col("_distance").alias("distance"),
+            )
+            .localCheckpoint()
+        )
+        return out
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
