@@ -385,3 +385,43 @@ def test_ivfpq_prunes_before_adc(spark, qs):
     prj = next(i for i, l in enumerate(lines) if "Project" in l)
     assert fil > prj, plan[:2000]
     assert any("FileScan" in l for l in lines[fil:]), plan[:2000]
+
+
+def test_cow_rewrite_scan_has_no_shuffle(spark, tmp_path):
+    """r12 COW: the single rewrite pass tags kept rows with their
+    source segment and writes via partitionBy — the tag derives from
+    input_file_name, so each scan task already holds one source
+    segment's rows and the plan must contain NO Exchange (the write
+    job is scan → filter → sort-within-partition → write; a shuffle
+    here would re-introduce the all-to-all cost COW exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="cowplan",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "cowplan"))
+    t._init_storage()
+    for s in range(4):
+        t.insert(
+            [
+                {"id": s * 100 + i, "v": [0.0, 0.0]}
+                for i in range(20)
+            ]
+        )
+    tagged = t._df_for_files(list(t._load_meta()["files"])).withColumn(
+        t._COW_TAG,
+        F.regexp_extract(F.input_file_name(), r"/([^/]+)/[^/]*$", 1),
+    )
+    kept = tagged.where(~F.col("id").isin(5, 105))
+    plan = plan_of(kept)
+    assert "Exchange" not in plan, plan[:2000]
