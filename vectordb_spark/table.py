@@ -1519,8 +1519,24 @@ class Table:
         rewritten segment from ONE column-pruned scan of the staging
         root (int columns only — the _segment_stats contract), instead
         of a footer job per new dir."""
+        from pyspark.sql.types import IntegerType, StringType, StructField
+
         tag = self._COW_TAG
-        df = self.spark.read.parquet(staging)
+        # explicit schema: the staging layout is table schema + _row_id
+        # under (tag[, partition]) dirs — skipping footer schema
+        # inference saves a listing job per mutation, and a DECLARED
+        # string partition field parses losslessly instead of through
+        # hive type inference
+        base = self.schema.to_spark_schema(with_row_id=True)
+        fields = list(base.fields)
+        names = {f.name for f in fields}
+        if self.partition_by and self.partition_by not in names:
+            # engine-written cluster key (always int)
+            fields.append(StructField(self.partition_by, IntegerType()))
+        fields.append(StructField(tag, StringType()))
+        df = self.spark.read.schema(
+            type(base)(fields)
+        ).parquet(staging)
         cols, spk, aggs = self._stat_agg_exprs(df.columns)
         stats: dict[str, dict] = {}
         counts: dict[str, int] = {}
