@@ -1042,3 +1042,19 @@ def test_pre_cache_manifest_backfills_segment_rows_in_one_job(spark, tmp_path):
     assert len(cows) == 3
     assert all(meta2["segment_rows"][f] == 9 for f in cows)
     assert t.df().count() == 77
+
+
+def test_vacuum_reclaims_orphaned_cow_staging(spark, tmp_path):
+    """r12: a COW mutation that crashes between the staging write and
+    the rename leaves a cowstage_ dir no manifest references; vacuum
+    treats it like any other unreferenced engine dir."""
+    import os
+
+    t = _cow_fixture_table(spark, tmp_path / "stale", n_segments=2)
+    orphan = os.path.join(t.path, "cowstage_99")
+    os.makedirs(os.path.join(orphan, "_cow_src=add_1"), exist_ok=True)
+    with open(os.path.join(orphan, "_cow_src=add_1", "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    t.vacuum(grace_seconds=0)
+    assert not os.path.exists(orphan)
+    assert t.df().count() == 20  # table untouched
