@@ -218,6 +218,7 @@ def test_round13_queue_registered_with_oracles():
         "cdc_string_pk_changefeed",
         "text_index_refresh_search",
         "table_ivf_refresh_search",
+        "text_bm25f_multifield",
     ):
         assert name in qs, name
         assert name in os_, f"{name} must be oracle-gated"

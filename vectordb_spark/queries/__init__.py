@@ -338,6 +338,10 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     cluster-partitioned delta dir) → fresh-reader probe-pruned
 #     search over main + delta; the oracle replays Lloyd on the
 #     pre-tail corpus + full argmin assignment from raw parquet.
+#   text_bm25f_multifield — search_text_multi_df (BM25F: per-field
+#     quantized BM25 with integer query-time weights, each field its
+#     own dl/df/corpus stats) hash-checked against two independent
+#     raw-corpus BM25 chains.
 #
 # Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
@@ -356,6 +360,9 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     (G r7–; the sketch family keeps sketch_bloom_prune_join
 #     in-window; HDR machinery stays pytest-covered in
 #     tests/test_sketch.py)
+#   text_bm25f_multifield           ← tpch_q19_disjunctive_revenue
+#     (G r8–; the battery keeps q2/q8/q9/q11/q12/q16/q20/q21/q22
+#     in-window — disjunctive pushdown also lives in q16's residual)
 #
 # Executed round-12 rotation (both evictions confirmed green in
 # CORRECTNESS_r11.json before the swap):
@@ -579,6 +586,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "cdc_string_pk_changefeed",
         "text_index_refresh_search",
         "table_ivf_refresh_search",
+        "text_bm25f_multifield",
     }
 )
 

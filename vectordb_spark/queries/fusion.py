@@ -234,42 +234,50 @@ _BM25_TERMS = ("spark", "merge", "window")
 _BM25_K = 10
 
 
-def _bm25_cte(terms: tuple[str, ...]) -> str:
+def _bm25_cte(
+    terms: tuple[str, ...],
+    *,
+    toks_sql: str = "string_split(text, ' ')",
+    prefix: str = "",
+) -> str:
     """Corpus-scan BM25 as a DuckDB CTE chain, parameterized on the
     query terms — shared by the bm25_topk oracle and the persisted
-    text-index gate (whose indexed path must reproduce these exact
-    quantized scores)."""
+    text-index gates (whose indexed paths must reproduce these exact
+    quantized scores). ``toks_sql``/``prefix`` let the BM25F gate
+    instantiate the chain once per FIELD (each keeping its own doc
+    lengths, corpus stats, and document frequencies)."""
     terms_sql = ", ".join(f"'{t}'" for t in terms)
+    p = prefix
     return f"""
-toks AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+{p}toks AS (
+    SELECT doc_id, unnest({toks_sql}) AS w FROM documents
 ),
-dl AS (
-    SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+{p}dl AS (
+    SELECT doc_id, len({toks_sql}) AS dl FROM documents
 ),
-stats AS (
-    SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM dl
+{p}stats AS (
+    SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS s FROM {p}dl
 ),
-tf AS (
-    SELECT doc_id, w, COUNT(*) AS tf FROM toks
+{p}tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM {p}toks
     WHERE w IN ({terms_sql}) GROUP BY doc_id, w
 ),
-dfreq AS (
-    SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks
+{p}dfreq AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM {p}toks
     WHERE w IN ({terms_sql}) GROUP BY w
 ),
-contrib AS (
-    SELECT tf.doc_id,
-           {_bm25_sq_expr("tf.tf", "dfreq.df", "dl.dl", "stats.n", "stats.s")} AS sq
-    FROM tf
-    JOIN dfreq USING (w)
-    JOIN dl ON tf.doc_id = dl.doc_id
-    CROSS JOIN stats
+{p}contrib AS (
+    SELECT {p}tf.doc_id,
+           {_bm25_sq_expr(f"{p}tf.tf", f"{p}dfreq.df", f"{p}dl.dl", f"{p}stats.n", f"{p}stats.s")} AS sq
+    FROM {p}tf
+    JOIN {p}dfreq USING (w)
+    JOIN {p}dl ON {p}tf.doc_id = {p}dl.doc_id
+    CROSS JOIN {p}stats
 ),
-bm25 AS (
+{p}bm25 AS (
     SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS bm25_q,
            COUNT(*) AS n_terms
-    FROM contrib GROUP BY doc_id
+    FROM {p}contrib GROUP BY doc_id
 )
 """
 
@@ -895,4 +903,89 @@ def text_index_refresh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ----------------------------------------------- multi-field BM25F gate
+#
+# Round-13 queue (r12): search_text_multi_df — per-field quantized
+# BM25 combined with INTEGER weights (each field keeps its own length
+# normalization, corpus stats, and document frequencies; the Lucene
+# query-time field-boost shape) — was pytest-only. This gate makes it
+# hash-checked: Title = the first 8 whitespace tokens of each doc
+# (both engines slice identically), Body = the full text, both
+# text-indexed, score = 3·bm25_title + 1·bm25_body over docs matching
+# in ≥ 1 field. Top-k re-cut on (score, doc_id) because the engine
+# tie-breaks on _row_id, an ingest artifact the oracle can't see.
+_BMF_TERMS = ("scan", "merge")
+_BMF_K = 12
+_BMF_TITLE_TOKS = "list_slice(string_split(text, ' '), 1, 8)"
+
+_BMF_ORACLE = f"""
+WITH {_bm25_cte(_BMF_TERMS, toks_sql=_BMF_TITLE_TOKS, prefix="t_")},
+{_bm25_cte(_BMF_TERMS, prefix="b_")}
+SELECT COALESCE(t.doc_id, b.doc_id) AS doc_id,
+       3 * COALESCE(t.bm25_q, 0) + COALESCE(b.bm25_q, 0) AS score,
+       COALESCE(t.n_terms, 0) + COALESCE(b.n_terms, 0) AS n_terms
+FROM t_bm25 t FULL OUTER JOIN b_bm25 b ON t.doc_id = b.doc_id
+ORDER BY score DESC, doc_id LIMIT {_BMF_K}
+"""
+
+
+@query("text_bm25f_multifield", oracle=_BMF_ORACLE)
+def text_bm25f_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-field lexical search (module comment above)
+    through the engine's persisted per-field text indexes
+    (Table.search_text_multi_df): integer weights scale the quantized
+    per-field scores, so the combination stays exact BIGINT
+    arithmetic and the oracle replays it from the raw corpus with two
+    independent BM25 chains. One hash match certifies per-field
+    stats isolation (Title's 8-token dl vs Body's full dl), the
+    ≥1-field candidate rule, and the weighted combine."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.col("text"), " ", -1), 1, 8), " "
+        ).alias("Title"),
+        F.col("text").alias("Body"),
+        F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("Emb"),
+    )
+    table_schema = TableSchema(
+        name="bmf_docs",
+        fields=[
+            FieldSchema(name="doc_id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="Title", field_type=FieldType.STRING),
+            FieldSchema(name="Body", field_type=FieldType.STRING),
+            FieldSchema(
+                name="Emb", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    work = _tempfile.mkdtemp(prefix="vdb_bmf_gate_")
+    t = Table(spark, table_schema, _os.path.join(work, "bmf_docs"))
+    t._init_storage()
+    t.insert_df(docs)
+    t.rebuild_text_index("Title", buckets=16)
+    t.rebuild_text_index("Body", buckets=16)
+    hits = t.search_text_multi_df(
+        " ".join(_BMF_TERMS), {"Title": 3, "Body": 1}, limit=1 << 30
+    ).select(
+        "doc_id",
+        F.col("_score").alias("score"),
+        F.col("_terms").alias("n_terms"),
+    )
+    out = (
+        hits.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_BMF_K)
+        .localCheckpoint()
+    )
+    _shutil.rmtree(work, ignore_errors=True)
     return out
