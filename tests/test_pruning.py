@@ -134,3 +134,46 @@ def test_pruning_on_partitioned_table(spark, tmp_path):
     df = t.scan_df("id >= 15")
     assert len(_seg_files(t, df)) == 1
     assert sorted(r["id"] for r in df.collect()) == list(range(15, 20))
+
+
+def test_refresh_tail_scan_prunes_pre_build_segments(spark, tmp_path):
+    """r12: every index refresh derives its tail via _tail_df, which
+    prunes segments wholly below the indexed_up_to watermark using the
+    manifest's _row_id min/max (recorded at write time) — a refresh
+    reads the TAIL, not the table."""
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="tailprune",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="text", field_type=FieldType.STRING),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "tailprune"))
+    t._init_storage()
+    for s in range(3):
+        t.insert(
+            [
+                {"id": s * 100 + i, "text": f"w{i} w{i+1}", "v": [0.0, 0.0]}
+                for i in range(10)
+            ]
+        )
+    meta = t._load_meta()
+    # _row_id ranges recorded per segment
+    assert all("_row_id" in meta["segment_stats"][f] for f in meta["files"])
+    t.rebuild_text_index("text", buckets=4)
+    pre_build = set(meta["files"])
+    t.insert([{"id": 900 + i, "text": f"w{i}", "v": [0.0, 0.0]} for i in range(5)])
+    up_to = int(t._load_meta()["text_indexes"]["text"]["indexed_up_to"])
+    tail = t._tail_df(up_to)
+    segs = _seg_files(t, tail)
+    assert segs.isdisjoint(pre_build), segs
+    assert tail.count() == 5
+    # and the refresh built on it stays exact
+    assert t.refresh_text_index("text")["appendedRecords"] == 5

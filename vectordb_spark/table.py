@@ -998,6 +998,13 @@ class Table:
             for f in self.schema.fields
             if f.field_type.is_int and f.name in columns
         ]
+        if "_row_id" in columns:
+            # engine-assigned, monotone with ingest order: its range
+            # lets every index REFRESH prune the tail scan to the
+            # segments written after the last build (r12) — at scale
+            # the difference between reading the tail and re-reading
+            # the table per refresh
+            cols.append("_row_id")
         spk = self._string_stat_pk(columns)
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
@@ -2309,6 +2316,23 @@ class Table:
         ).first()
         return int(n_checked or 0) > 0 and int(n_equal or 0) == int(n_checked)
 
+    def _tail_df(self, up_to: int) -> "DataFrame":
+        """Rows inserted since ``up_to`` with SEGMENT PRUNING from the
+        manifest's ``_row_id`` min/max (recorded at write time, r12):
+        segments wholly below the watermark never enter the plan, so a
+        refresh reads the TAIL, not the table — the property the
+        delta-refresh discipline exists for. Conservative: missing
+        stats keep the segment, and the watermark filter is always
+        applied to the surviving rows."""
+        from vectordb_spark.expr.prune import segment_overlaps
+
+        meta = self._load_meta()
+        files = list(meta["files"])
+        stats = meta.get("segment_stats") or {}
+        bounds = {"_row_id": (float(up_to), None)}
+        keep = [f for f in files if segment_overlaps(stats.get(f), bounds)]
+        return self._df_for_files(keep).where(F.col("_row_id") >= up_to)
+
     def refresh_index(self, field: str) -> dict:
         """Incremental ANN-index refresh: rows inserted since the last
         build/refresh self-assign to the STORED centroids (codegen
@@ -2335,7 +2359,7 @@ class Table:
         up_to = int(info["indexed_up_to"])
         if up_to >= int(meta["next_row_id"]):
             return {"field": field, "version": info["version"], "appendedRecords": 0}
-        tail = self.df().where(F.col("_row_id") >= up_to).select("_row_id", field)
+        tail = self._tail_df(up_to).select("_row_id", field)
         dists = F.array(
             *[
                 l2_squared(F.col(field), vector_literal(c))
@@ -2775,7 +2799,7 @@ class Table:
         up_to = int(info["indexed_up_to"])
         if up_to >= int(meta["next_row_id"]):
             return {"field": field, "version": info["version"], "appendedRecords": 0}
-        tail = self.df().where(F.col("_row_id") >= up_to)
+        tail = self._tail_df(up_to)
         deltas = list(info.get("deltas", []))
         name = f"{info['dir']}_delta{len(deltas) + 1}"
         n_docs, sum_dl = self._write_text_postings(
@@ -3089,7 +3113,7 @@ class Table:
                 "version": info["version"],
                 "appendedRecords": 0,
             }
-        tail = self.df().where(F.col("_row_id") >= up_to)
+        tail = self._tail_df(up_to)
         deltas = list(info.get("deltas", []))
         name = f"{info['dir']}_delta{len(deltas) + 1}"
         self._write_sparse_postings(tail, field, int(info["buckets"]), name)
