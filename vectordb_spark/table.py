@@ -2617,8 +2617,9 @@ class Table:
         cand_ids = probed.select("_row_id")
         candidates = base.join(cand_ids, "_row_id", "left_semi")
         if int(info["indexed_up_to"]) < int(meta["next_row_id"]):
+            # segment-pruned tail (r12): only post-build segments scan
             candidates = candidates.unionByName(
-                base.where(F.col("_row_id") >= info["indexed_up_to"])  # tail
+                self._tail_df(int(info["indexed_up_to"]))
             ).dropDuplicates(["_row_id"])
         ast = parse_filter(filter, self.field_map())
         qcol = F.array(*[F.lit(float(x)) for x in q])
@@ -2926,7 +2927,8 @@ class Table:
             idx = idx.join(base.select("_row_id"), "_row_id", "left_semi")
         postings = idx
         if has_tail:
-            tail = base.where(F.col("_row_id") >= up_to)
+            # segment-pruned tail (r12): only post-build segments scan
+            tail = self._tail_df(up_to)
             tail_postings = self._text_postings(tail, field, terms)
             if not phrase:
                 tail_postings = tail_postings.drop("_pos")
@@ -3237,7 +3239,8 @@ class Table:
         if has_tail:
             from vectordb_spark.functions.distance import sparse_norm_sq
 
-            tail = base.where(F.col("_row_id") >= up_to)
+            # segment-pruned tail (r12): only post-build segments scan
+            tail = self._tail_df(up_to)
             v = F.col(f.name)
             tail_ids = tail.select(
                 "_row_id", F.explode(v.getField("indices")).alias("_dim")
