@@ -2316,17 +2316,21 @@ class Table:
         ).first()
         return int(n_checked or 0) > 0 and int(n_equal or 0) == int(n_checked)
 
-    def _tail_df(self, up_to: int) -> "DataFrame":
+    def _tail_df(self, up_to: int, meta: dict | None = None) -> "DataFrame":
         """Rows inserted since ``up_to`` with SEGMENT PRUNING from the
         manifest's ``_row_id`` min/max (recorded at write time, r12):
         segments wholly below the watermark never enter the plan, so a
         refresh reads the TAIL, not the table — the property the
         delta-refresh discipline exists for. Conservative: missing
         stats keep the segment, and the watermark filter is always
-        applied to the surviving rows."""
+        applied to the surviving rows. Callers that already hold a
+        manifest snapshot pass it so the tail and the rest of their
+        plan read the SAME version (no re-load, no snapshot drift
+        under concurrent writers)."""
         from vectordb_spark.expr.prune import segment_overlaps
 
-        meta = self._load_meta()
+        if meta is None:
+            meta = self._load_meta()
         files = list(meta["files"])
         stats = meta.get("segment_stats") or {}
         bounds = {"_row_id": (float(up_to), None)}
@@ -2359,7 +2363,7 @@ class Table:
         up_to = int(info["indexed_up_to"])
         if up_to >= int(meta["next_row_id"]):
             return {"field": field, "version": info["version"], "appendedRecords": 0}
-        tail = self._tail_df(up_to).select("_row_id", field)
+        tail = self._tail_df(up_to, meta).select("_row_id", field)
         dists = F.array(
             *[
                 l2_squared(F.col(field), vector_literal(c))
@@ -2619,7 +2623,7 @@ class Table:
         if int(info["indexed_up_to"]) < int(meta["next_row_id"]):
             # segment-pruned tail (r12): only post-build segments scan
             candidates = candidates.unionByName(
-                self._tail_df(int(info["indexed_up_to"]))
+                self._tail_df(int(info["indexed_up_to"]), meta)
             ).dropDuplicates(["_row_id"])
         ast = parse_filter(filter, self.field_map())
         qcol = F.array(*[F.lit(float(x)) for x in q])
@@ -2800,7 +2804,7 @@ class Table:
         up_to = int(info["indexed_up_to"])
         if up_to >= int(meta["next_row_id"]):
             return {"field": field, "version": info["version"], "appendedRecords": 0}
-        tail = self._tail_df(up_to)
+        tail = self._tail_df(up_to, meta)
         deltas = list(info.get("deltas", []))
         name = f"{info['dir']}_delta{len(deltas) + 1}"
         n_docs, sum_dl = self._write_text_postings(
@@ -2928,7 +2932,7 @@ class Table:
         postings = idx
         if has_tail:
             # segment-pruned tail (r12): only post-build segments scan
-            tail = self._tail_df(up_to)
+            tail = self._tail_df(up_to, meta)
             tail_postings = self._text_postings(tail, field, terms)
             if not phrase:
                 tail_postings = tail_postings.drop("_pos")
@@ -3115,7 +3119,7 @@ class Table:
                 "version": info["version"],
                 "appendedRecords": 0,
             }
-        tail = self._tail_df(up_to)
+        tail = self._tail_df(up_to, meta)
         deltas = list(info.get("deltas", []))
         name = f"{info['dir']}_delta{len(deltas) + 1}"
         self._write_sparse_postings(tail, field, int(info["buckets"]), name)
@@ -3240,7 +3244,7 @@ class Table:
             from vectordb_spark.functions.distance import sparse_norm_sq
 
             # segment-pruned tail (r12): only post-build segments scan
-            tail = self._tail_df(up_to)
+            tail = self._tail_df(up_to, meta)
             v = F.col(f.name)
             tail_ids = tail.select(
                 "_row_id", F.explode(v.getField("indices")).alias("_dim")
