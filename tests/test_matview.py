@@ -979,3 +979,289 @@ def test_join_view_stats_reset_on_fact_only_refresh(spark, tmp_path):
     fact.insert([{"oid": 900, "cid": 1, "amount": 7, "fv": [0.0, 0.0]}])
     mv.refresh(force_incremental=True)
     assert mv.last_refresh_stats is None
+
+
+# --------------------------------------------------- incremental TOP-K
+
+
+def _topk_truth(t, group_cols, order_col, pk_col, k):
+    """From-scratch per-group top-k of the CURRENT snapshot."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), F.col(pk_col).asc()
+    )
+    rows = (
+        t.df()
+        .where(F.col(order_col).isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*group_cols, pk_col, order_col, "rank")
+        .collect()
+    )
+    return {
+        tuple(r[c] for c in group_cols) + (r["rank"],): (r[pk_col], r[order_col])
+        for r in rows
+    }
+
+
+def _topk_rows(mv):
+    return {
+        tuple(r[c] for c in mv.group_cols) + (r["rank"],): (
+            r[mv.pk_col],
+            r[mv.order_col],
+        )
+        for r in mv.df().collect()
+    }
+
+
+@pytest.fixture
+def topk(t, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalTopKView
+
+    mv = IncrementalTopKView(
+        t, str(tmp_path / "mv_topk"), ["grp"], "val", k=2, slack=1
+    )
+    mv.full_build()
+    return t, mv
+
+
+def test_topk_full_build_matches_from_scratch(topk):
+    t, mv = topk
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 2)
+    # 5 rows per group, limit 3 -> state is cut and marked truncated
+    st = mv._state_df()
+    assert st.count() == 6
+    assert st.where(~F.col("_truncated")).count() == 0
+
+
+def test_topk_insert_only_refresh(topk, monkeypatch):
+    t, mv = topk
+    from vectordb_spark.table import Table
+
+    rescans = []
+    orig = Table.df
+
+    def _spy(self, version=None):
+        if version is not None:
+            rescans.append(version)
+        return orig(self, version)
+
+    monkeypatch.setattr(Table, "df", _spy)
+    # one new leader, one below-floor insert (cut, group stays truncated)
+    t.insert(
+        [
+            {"id": 100, "grp": "a", "val": 10_000, "v": [0.0, 0.0]},
+            {"id": 101, "grp": "b", "val": -5, "v": [0.0, 0.0]},
+        ]
+    )
+    mv.refresh(force_incremental=True)
+    assert not rescans, "insert-only refresh must never read the base"
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 2)
+
+
+def test_topk_delete_below_floor_is_free(topk, monkeypatch):
+    t, mv = topk
+    from vectordb_spark.table import Table
+
+    rescans = []
+    orig = Table.df
+
+    def _spy(self, version=None):
+        if version is not None:
+            rescans.append(version)
+        return orig(self, version)
+
+    monkeypatch.setattr(Table, "df", _spy)
+    # id=0 (val 0) and id=1 (val 10) are the group minima — far below
+    # the kept floor (state keeps vals {40,60,80} / {50,70,90})
+    t.delete(primary_keys=[0, 1])
+    mv.refresh(force_incremental=True)
+    assert not rescans
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 2)
+
+
+def test_topk_slack_absorbs_one_delete_then_rescans(topk, monkeypatch):
+    t, mv = topk
+    from vectordb_spark.table import Table
+
+    rescans = []
+    orig = Table.df
+
+    def _spy(self, version=None):
+        if version is not None:
+            rescans.append(version)
+        return orig(self, version)
+
+    monkeypatch.setattr(Table, "df", _spy)
+    # group a candidates: ids 8(80) 6(60) 4(40). Killing the leader
+    # leaves 2 >= k alive -> slack absorbs it, no base read.
+    t.delete(primary_keys=[8])
+    mv.refresh(force_incremental=True)
+    assert not rescans
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 2)
+    # killing two more drops survivors below k -> dirty -> one rescan
+    # that REFILLS from below-floor rows (ids 2, 0)
+    t.delete(primary_keys=[6, 4])
+    mv.refresh(force_incremental=True)
+    assert rescans, "under-k truncated group must rescan the base"
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 2)
+
+
+def test_topk_upsert_moves_row_across_groups(topk):
+    t, mv = topk
+    # id=9 was group b's leader (val 90); it moves to group a with a
+    # mid value — b must refill, a must re-rank
+    t.insert(
+        [{"id": 9, "grp": "a", "val": 55, "v": [0.0, 0.0]}], upsert=True
+    )
+    mv.refresh(force_incremental=True)
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 2)
+
+
+def test_topk_group_dropout_and_noop_refresh(topk):
+    t, mv = topk
+    t.delete(primary_keys=[1, 3, 5, 7, 9])  # all of group b
+    mv.refresh(force_incremental=True)
+    got = _topk_rows(mv)
+    assert got == _topk_truth(t, ["grp"], "val", "id", 2)
+    assert {k[0] for k in got} == {"a"}
+    v = mv.version()
+    assert mv.refresh(force_incremental=True) == v  # no-op
+
+
+def test_topk_refresh_chain_matches_rebuild(t, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalTopKView
+
+    mv = IncrementalTopKView(
+        t, str(tmp_path / "mv_topk_chain"), ["grp"], "val", k=3, slack=2
+    )
+    mv.full_build()
+    t.insert(
+        [
+            {"id": 20 + i, "grp": "ab"[i % 2], "val": 35 + i, "v": [0.0, 0.0]}
+            for i in range(6)
+        ]
+    )
+    mv.refresh(force_incremental=True)
+    t.delete(primary_keys=[8, 9, 24])
+    mv.refresh(force_incremental=True)
+    t.insert([{"id": 4, "grp": "a", "val": -1, "v": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    truth = IncrementalTopKView(
+        t, str(tmp_path / "mv_topk_truth"), ["grp"], "val", k=3, slack=2
+    )
+    truth.full_build()
+    assert _topk_rows(mv) == _topk_rows(truth)
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 3)
+
+
+def test_topk_null_order_and_null_group(spark, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalTopKView
+
+    schema = TableSchema(
+        name="mv_topk_nulls",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "mv_topk_nulls"))
+    t._init_storage()
+    # NULLs enter via the distributed ingest path (the JSON insert
+    # validator rejects nulls by reference parity)
+    t.insert_df(
+        spark.createDataFrame(
+            [
+                (0, None, 5, [0.0, 0.0]),
+                (1, None, 7, [0.0, 0.0]),
+                (2, "a", None, [0.0, 0.0]),
+                (3, "a", 1, [0.0, 0.0]),
+            ],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    mv = IncrementalTopKView(
+        t, str(tmp_path / "mv_topk_nulls_v"), ["grp"], "val", k=1, slack=0
+    )
+    mv.full_build()
+    got = _topk_rows(mv)
+    # NULL group is a real group (leader id=1); NULL val never ranks
+    assert got == {(None, 1): (1, 7), ("a", 1): (3, 1)}
+    # NULL-val row deleted + NULL-group leader deleted: both handled
+    t.delete(primary_keys=[1, 2])
+    mv.refresh(force_incremental=True)
+    assert _topk_rows(mv) == {(None, 1): (0, 5), ("a", 1): (3, 1)}
+
+
+def test_topk_rejects_bad_construction(t, tmp_path):
+    from vectordb_spark.operators.matview import (
+        IncrementalTopKView,
+        JoinViewSchemaError,
+    )
+
+    with pytest.raises(ValueError):
+        IncrementalTopKView(t, str(tmp_path / "x1"), ["grp"], "val", k=0)
+    with pytest.raises(JoinViewSchemaError):
+        IncrementalTopKView(t, str(tmp_path / "x2"), ["grp"], "id", k=2)
+
+
+def test_topk_crossover_delegates_to_full_build(topk, monkeypatch):
+    from vectordb_spark.operators.matview import IncrementalTopKView
+
+    t, mv = topk
+    calls = []
+    orig = IncrementalTopKView.full_build
+
+    def _spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(IncrementalTopKView, "full_build", _spy)
+    # fixture-sized delta vs fixture-sized base -> ratio over threshold
+    t.insert(
+        [
+            {"id": 200 + i, "grp": "ab"[i % 2], "val": i, "v": [0.0, 0.0]}
+            for i in range(10)
+        ]
+    )
+    mv.refresh()
+    assert calls, "large delta must delegate to full_build"
+    assert _topk_rows(mv) == _topk_truth(t, ["grp"], "val", "id", 2)
+
+
+def test_topk_lowering_upsert_below_floor_rescans(topk, monkeypatch):
+    """The floor-tracking regression (found building the operator): a
+    value-LOWERING upsert re-admits its post-image below the cut-time
+    floor. With k=2/slack=1 the group still has k alive candidates, so
+    a survivor-count dirty test would serve the lowered row — but the
+    state-absent row id=2 (val 20) outranks it. The floor-aware test
+    must flag the group dirty and refill from base."""
+    t, mv = topk
+    from vectordb_spark.table import Table
+
+    rescans = []
+    orig = Table.df
+
+    def _spy(self, version=None):
+        if version is not None:
+            rescans.append(version)
+        return orig(self, version)
+
+    monkeypatch.setattr(Table, "df", _spy)
+    # group a candidates: ids 8(80) 6(60) 4(40), floor = (40, pk 4).
+    # kill the leader (slack absorbs), then lower id=6 below the floor
+    t.delete(primary_keys=[8])
+    mv.refresh(force_incremental=True)
+    assert not rescans
+    t.insert([{"id": 6, "grp": "a", "val": 5, "v": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    assert rescans, "below-floor survivors must not satisfy the k quota"
+    got = _topk_rows(mv)
+    assert got == _topk_truth(t, ["grp"], "val", "id", 2)
+    assert got[("a", 2)] == (2, 20), "absent row must refill rank 2"

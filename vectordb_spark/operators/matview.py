@@ -812,3 +812,362 @@ class IncrementalDistinctCountView:
                 F.sum("n_rows").alias("n_rows"),
             )
         )
+
+
+class IncrementalTopKView:
+    """Per-group TOP-K rows by ``order_col`` (descending, primary key
+    ascending as the deterministic tiebreak), incrementally maintained
+    under inserts AND deletes with BOUNDED state — the Materialize /
+    ksqlDB "TopK" operator class, which none of the aggregate views
+    above can express (top-k is not a scalar aggregate; naively it
+    needs the whole group ordered).
+
+    State is the candidate multiset: up to ``k + slack`` rows per group
+    (columns: group cols, the table's primary key, ``order_col``) plus
+    two denormalized per-group markers — ``_truncated`` (True iff some
+    cut has discarded rows the state no longer sees) and the cut-time
+    FLOOR ``(_floor_val, _floor_pk)``, the rank key of the worst row
+    kept by the most recent cut. Maintenance per refresh:
+
+    * retractions (delete / update_pre) mark their candidate row dead
+      by primary key; retractions of rows BELOW the floor miss the
+      state entirely and are correctly free.
+    * additions (insert / update_post) always enter the candidate set;
+      each group is then re-ranked and re-cut to ``k + slack`` in one
+      window over STATE ∪ DELTA — never over the base table. Spark
+      3.5+'s ``InferWindowGroupLimit`` turns the rank-filter into a
+      map-side per-group limit, so even this small shuffle is partial-
+      aggregated. A cut lowers the recorded floor to the worst kept
+      row when that row ranks below the old floor.
+    * a group is DIRTY iff it is truncated AND fewer than ``k`` alive
+      candidates rank at-or-above its floor — only then can rows the
+      state discarded belong to the true top-k. Dirty groups are
+      re-read with ONE broadcast semi-join against the PINNED base
+      snapshot (group-prunable when the base is clustered on the
+      group key), exactly the MIN/MAX dirty-rescan discipline. Groups
+      that empty out drop from state via the same rescan (empty
+      rescan output = correct dropout).
+
+    Safety argument (why a non-dirty group's served top-k is exact),
+    in the strict total order (order_col desc, pk asc): the invariant
+    is that every live base row ABSENT from a truncated group's state
+    ranks strictly below the group's recorded floor. Cuts establish
+    it (discards rank below the kept worst row, and the floor drops
+    to whichever is lower) and nothing else moves it: deletes remove
+    rows from the base (never into absence), and every addition —
+    including a value-moving upsert's post-image — enters the
+    candidate set. When ≥ k alive candidates rank at-or-above the
+    floor, the k best candidates each outrank every absent row, so
+    they ARE the true top-k. Candidates BELOW the floor (post-images
+    re-admitted with lowered values, below-floor inserts not yet cut)
+    are order-ambiguous against absent rows — which is exactly why
+    the dirty test counts only the at-or-above-floor candidates, not
+    mere survivors.
+
+    Rows with a NULL ``order_col`` never rank (filtered at build,
+    delta, and rescan) — the SQL ``ORDER BY v DESC NULLS LAST`` tail a
+    top-k view exists to avoid; NULL GROUP keys are ordinary groups
+    (window partitioning and the null-safe rescan join both treat NULL
+    as a value).
+
+    100 TB shape: state is |groups| × (k + slack) rows; a refresh
+    reads the changefeed + the state, shuffles only the state-sized
+    merge, and touches the base solely for dirtied groups under a
+    broadcast semi-join. ``slack`` (default = k) buys deletes-without-
+    rescan: a group rescans only after slack candidates die without
+    replacement.
+
+    Reference parity: none — the reference has no derived views; this
+    extends the matview family (module docstring) with the ORDER BY /
+    LIMIT dashboard shape (leaderboards, freshest-n-per-entity)."""
+
+    REBUILD_THRESHOLD = IncrementalAggView.REBUILD_THRESHOLD
+    KEEP_HISTORY = IncrementalAggView.KEEP_HISTORY
+
+    def __init__(
+        self,
+        table: Table,
+        path: str,
+        group_cols: list[str],
+        order_col: str,
+        k: int,
+        slack: int | None = None,
+    ) -> None:
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        pk_field = table.schema.primary_key
+        if pk_field is None:
+            raise UnsupportedAggregateError(
+                "top-k maintenance retracts candidate rows by primary "
+                f"key; table {table.schema.name!r} declares none"
+            )
+        if pk_field.name == order_col or pk_field.name in group_cols:
+            raise JoinViewSchemaError(
+                f"primary key {pk_field.name!r} cannot double as the "
+                "order or group column (it is the retraction key)"
+            )
+        self.table = table
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.order_col = order_col
+        self.k = int(k)
+        self.slack = self.k if slack is None else int(slack)
+        self.pk_col = pk_field.name
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    @property
+    def _state_file(self) -> str:
+        return os.path.join(self.path, "_mv_state.json")
+
+    def version(self) -> int | None:
+        if not os.path.exists(self._state_file):
+            return None
+        with open(self._state_file) as fh:
+            return int(json.load(fh)["source_version"])
+
+    def _commit(self, df: DataFrame, version: int) -> None:
+        import shutil
+
+        data_dir = os.path.join(self.path, f"v{version}")
+        df.write.mode("overwrite").parquet(data_dir)
+        tmp = self._state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"source_version": version, "dir": f"v{version}"}, fh)
+        os.replace(tmp, self._state_file)
+        old = sorted(
+            int(d[1:])
+            for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < version
+        )
+        for v in old[: max(0, len(old) - self.KEEP_HISTORY)]:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+
+    def _state_df(self) -> DataFrame:
+        with open(self._state_file) as fh:
+            st = json.load(fh)
+        return self.table.spark.read.parquet(
+            os.path.join(self.path, st["dir"])
+        )
+
+    def df(self) -> DataFrame:
+        """The served view: exactly the per-group top-k (rank 1..k) of
+        the maintained candidates — columns: group cols, primary key,
+        ``order_col``, ``rank``."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.col(self.order_col).desc(), F.col(self.pk_col).asc()
+        )
+        return (
+            self._state_df()
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= self.k)
+            .drop("_truncated", "_floor_val", "_floor_pk")
+        )
+
+    # ------------------------------------------------------------ build
+
+    def _cut(self, src: DataFrame) -> DataFrame:
+        """Rank ``src`` per group and keep the best ``k + slack`` rows,
+        stamping ``_truncated`` = this group was cut and the cut-time
+        floor = the kept worst row's (order value, pk) — NULL when
+        nothing was discarded. One window over ``src`` — full_build
+        passes the base (the rare, rebuild-shaped path, and the
+        rank-filter compiles to a WindowGroupLimit partial limit);
+        refresh passes only state ∪ delta."""
+        from pyspark.sql.window import Window
+
+        limit = self.k + self.slack
+        wp = Window.partitionBy(*self.group_cols)
+        w = wp.orderBy(
+            F.col(self.order_col).desc(), F.col(self.pk_col).asc()
+        )
+        cut = F.col("_n") > limit
+        at_limit = F.col("_rn") == limit
+        return (
+            src.select(*self.group_cols, self.pk_col, self.order_col)
+            .where(F.col(self.order_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wp))
+            .withColumn(
+                "_floor_val",
+                F.max(F.when(at_limit, F.col(self.order_col))).over(wp),
+            )
+            .withColumn(
+                "_floor_pk",
+                F.max(F.when(at_limit, F.col(self.pk_col))).over(wp),
+            )
+            .where(F.col("_rn") <= limit)
+            .withColumn("_truncated", cut)
+            .withColumn(
+                "_floor_val", F.when(cut, F.col("_floor_val"))
+            )
+            .withColumn("_floor_pk", F.when(cut, F.col("_floor_pk")))
+            .drop("_rn", "_n")
+        )
+
+    def full_build(self) -> int:
+        # pin the file list once — a commit landing between
+        # _load_meta() and the scan must not leak post-v rows
+        meta = self.table._load_meta()
+        v = int(meta["version"])
+        self._commit(self._cut(self.table._df_for_files(meta["files"])), v)
+        return v
+
+    # ---------------------------------------------------------- refresh
+
+    def refresh(self, *, force_incremental: bool = False) -> int:
+        """Advance the candidate state to the source's current version
+        from the changefeed; see class docstring for the algebra. The
+        same measured bytes crossover as the aggregate views delegates
+        to :meth:`full_build` when the delta approaches the base."""
+        v0 = self.version()
+        if v0 is None:
+            return self.full_build()
+        meta = self.table._load_meta()
+        v1 = int(meta["version"])
+        if v1 == v0:
+            return v0
+        if not force_incremental:
+            hist = {h["version"]: h["files"] for h in meta.get("history", [])}
+            hist[v1] = meta["files"]
+            old_set = set(hist.get(v0, ()))
+            new_set = set(hist.get(v1, ()))
+            sz = meta.get("segment_bytes") or {}
+            delta_bytes = IncrementalAggView._files_bytes(
+                self.table.path, sorted(old_set ^ new_set), sz
+            )
+            base_bytes = IncrementalAggView._files_bytes(
+                self.table.path, sorted(new_set), sz
+            )
+            if base_bytes and delta_bytes >= self.REBUILD_THRESHOLD * base_bytes:
+                return self.full_build()
+        from pyspark.sql.window import Window
+
+        ch = self.table.changes(v0, v1, update_preimages=True)
+        state = self._state_df()
+        adds = (
+            ch.where(F.col("_change_type").isin("insert", "update_post"))
+            .select(*self.group_cols, self.pk_col, self.order_col)
+            .where(F.col(self.order_col).isNotNull())
+            .withColumn("_alive", F.lit(True))
+            .withColumn("_truncated", F.lit(False))
+            .withColumn(
+                "_floor_val",
+                F.lit(None).cast(state.schema["_floor_val"].dataType),
+            )
+            .withColumn(
+                "_floor_pk",
+                F.lit(None).cast(state.schema["_floor_pk"].dataType),
+            )
+        )
+        rms = (
+            ch.where(F.col("_change_type").isin("delete", "update_pre"))
+            .select(F.col(self.pk_col).alias("_rm_pk"))
+            .distinct()
+        )
+        # mark-dead instead of anti-join: a group whose every candidate
+        # died must still flow through the window so its dirtiness is
+        # SEEN — an anti-join would drop the group before the test and
+        # strand its base rows forever.
+        marked = (
+            state.join(
+                F.broadcast(rms),
+                state[self.pk_col].eqNullSafe(F.col("_rm_pk")),
+                "left_outer",
+            )
+            .withColumn("_alive", F.col("_rm_pk").isNull())
+            .drop("_rm_pk")
+        )
+        merged = marked.unionByName(adds)
+        limit = self.k + self.slack
+        val, pk = F.col(self.order_col), F.col(self.pk_col)
+        wp = Window.partitionBy(*self.group_cols)
+        # dead rows sort after every live row, so _rn restricted to the
+        # live prefix is the live-only rank
+        w = wp.orderBy(F.col("_alive").desc(), val.desc(), pk.asc())
+        # group floor: state rows carry it denormalized (identical
+        # within a group), adds carry NULL — max() recovers it
+        fv, fpk = F.max("_floor_val").over(wp), F.max("_floor_pk").over(wp)
+        # ranks at-or-above the recorded floor in (val desc, pk asc)
+        # order — the candidates provably unbeaten by any absent row
+        above_floor = (val > fv) | ((val == fv) & (pk <= fpk))
+        at_limit = F.col("_alive") & (F.col("_rn") == limit)
+        scored = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n_alive", F.sum(F.col("_alive").cast("int")).over(wp))
+            .withColumn(
+                "_was_trunc", F.max(F.col("_truncated").cast("int")).over(wp)
+            )
+            .withColumn("_fv", fv)
+            .withColumn("_fpk", fpk)
+            .withColumn(
+                "_n_above",
+                F.sum(
+                    (F.col("_alive") & F.coalesce(above_floor, F.lit(False)))
+                    .cast("int")
+                ).over(wp),
+            )
+            # the limit-th ALIVE row's rank key — the new floor if this
+            # refresh cuts the group
+            .withColumn("_cut_val", F.max(F.when(at_limit, val)).over(wp))
+            .withColumn("_cut_pk", F.max(F.when(at_limit, pk)).over(wp))
+            # freeze before the overwrite: the plan reads the CURRENT
+            # view dir, which stays in place until _commit swaps state
+            .localCheckpoint()
+        )
+        dirty = (F.col("_was_trunc") == 1) & (F.col("_n_above") < self.k)
+        cut_now = F.col("_n_alive") > limit
+        # floor after a cut = the LOWER-ranking of (old floor, kept
+        # worst): discards rank below the kept worst but not
+        # necessarily below the old floor, and vice versa
+        old_floor_lower = F.col("_fv").isNotNull() & (
+            (F.col("_fv") < F.col("_cut_val"))
+            | (
+                (F.col("_fv") == F.col("_cut_val"))
+                & (F.col("_fpk") > F.col("_cut_pk"))
+            )
+        )
+        new_fv = F.when(
+            cut_now,
+            F.when(old_floor_lower, F.col("_fv")).otherwise(F.col("_cut_val")),
+        ).otherwise(F.col("_fv"))
+        new_fpk = F.when(
+            cut_now,
+            F.when(old_floor_lower, F.col("_fpk")).otherwise(F.col("_cut_pk")),
+        ).otherwise(F.col("_fpk"))
+        clean_kept = (
+            scored.where(~dirty & F.col("_alive") & (F.col("_rn") <= limit))
+            .withColumn("_truncated", (F.col("_was_trunc") == 1) | cut_now)
+            .withColumn("_floor_val", new_fv)
+            .withColumn("_floor_pk", new_fpk)
+            .select(
+                *self.group_cols,
+                self.pk_col,
+                self.order_col,
+                "_truncated",
+                "_floor_val",
+                "_floor_pk",
+            )
+        )
+        dirty_keys = (
+            scored.where(dirty).select(*self.group_cols).distinct()
+        )
+        final = clean_kept
+        if dirty_keys.limit(1).count() > 0:
+            # group-scoped rescan of the PINNED snapshot v1 — the
+            # version this commit claims to reflect (a later snapshot
+            # would leak rows the next refresh's changefeed re-adds)
+            base = self.table.df(version=v1)
+            cond = reduce(
+                lambda a, b: a & b,
+                [base[c].eqNullSafe(dirty_keys[c]) for c in self.group_cols],
+            )
+            rescan = self._cut(
+                base.join(F.broadcast(dirty_keys), cond, "left_semi")
+            )
+            final = clean_kept.unionByName(rescan)
+        self._commit(final, v1)
+        return v1
