@@ -342,6 +342,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     quantized BM25 with integer query-time weights, each field its
 #     own dl/df/corpus stats) hash-checked against two independent
 #     raw-corpus BM25 chains.
+#   mv_topk_refresh — incremental TOP-K view maintenance (the ORDER
+#     BY/LIMIT view class, bounded k+slack candidate state + cut-time
+#     floor): full cdc lifecycle + a leader LOWERED below the floor
+#     (the floor-regression shape a survivor count would serve wrong),
+#     oracle re-ranked from scratch on raw parquet.
 #
 # Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
@@ -363,6 +368,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #   text_bm25f_multifield           ← tpch_q19_disjunctive_revenue
 #     (G r8–; the battery keeps q2/q8/q9/q11/q12/q16/q20/q21/q22
 #     in-window — disjunctive pushdown also lives in q16's residual)
+#   mv_topk_refresh                 ← mv_incremental_refresh
+#     (G r9–; the COUNT/SUM delta algebra it certifies stays in-window
+#     through mv_distinct_refresh, which delegates to the same
+#     IncrementalAggView merge, plus mv_minmax_refresh and
+#     mv_join_refresh; the topk gate adds the ORDER BY/LIMIT class)
 #
 # Executed round-12 rotation (both evictions confirmed green in
 # CORRECTNESS_r11.json before the swap):
@@ -587,6 +597,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "text_index_refresh_search",
         "table_ivf_refresh_search",
         "text_bm25f_multifield",
+        "mv_topk_refresh",
     }
 )
 

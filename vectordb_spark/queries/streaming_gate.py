@@ -1278,6 +1278,114 @@ def mv_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------- incremental TOP-K view
+
+_MV_TOPK_ORACLE = """
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3),
+state1 AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM upds)
+                THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dels)
+),
+lowered AS (
+    SELECT doc_id FROM state1 ORDER BY n_chars DESC, doc_id ASC LIMIT 1
+),
+final AS (
+    SELECT doc_id, lang,
+           CASE WHEN doc_id IN (SELECT doc_id FROM lowered)
+                THEN -1 ELSE n_chars END AS n_chars
+    FROM state1
+),
+ranked AS (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+           ) AS rnk
+    FROM final
+)
+SELECT lang, CAST(rnk AS BIGINT) AS rank, doc_id, n_chars
+FROM ranked WHERE rnk <= 3 ORDER BY lang, rank
+"""
+
+
+@query("mv_topk_refresh", oracle=_MV_TOPK_ORACLE)
+def mv_topk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TOP-K view maintenance — the ORDER BY/LIMIT view
+    class (leaderboards, freshest-n-per-entity) no scalar-aggregate
+    view can express, maintained with BOUNDED state
+    (operators/matview.py IncrementalTopKView): per-language top-3
+    docs by n_chars, k+slack candidates per group plus a cut-time
+    floor marker. Lifecycle: view built at the table's first version;
+    the full cdc mutation plan runs (bulk append, 3 deletes, 3
+    value-raising upserts) and ONE refresh merges the changefeed into
+    the candidate state; then the GLOBAL LEADER is upserted down to
+    n_chars=-1 — the floor-regression shape: the post-image re-enters
+    below the group's cut-time floor, where a naive survivor count
+    would serve it while a state-absent row outranks it — and a second
+    refresh must notice (fewer than k at-or-above-floor candidates)
+    and refill via the group-scoped rescan. The oracle replays the
+    whole plan from raw parquet and ranks from scratch, so a hash
+    match proves cut, floor algebra, retraction, and rescan in one
+    row. 100 TB shape: refresh shuffles only state ∪ delta
+    (|groups|×(k+slack) rows); the base is touched solely for dirtied
+    groups under a broadcast semi-join, prunable when the base is
+    clustered on the group key."""
+    from vectordb_spark.operators.matview import IncrementalTopKView
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_topk_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    mv = IncrementalTopKView(
+        t, os.path.join(work, "mv"), ["lang"], "n_chars", k=3, slack=2
+    )
+    # build the candidate state AT v1 through the table's history, then
+    # advance the rest of the lifecycle with one incremental merge
+    mv._commit(mv._cut(t.df(version=v1)), v1)
+    mv.refresh(force_incremental=True)
+    # lower the global leader below every group's floor (deterministic
+    # in both engines: max n_chars, doc_id ascending tiebreak)
+    top = (
+        t.df()
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("doc_id", "lang")
+        .first()
+    )
+    t.insert(
+        [
+            {
+                "doc_id": top["doc_id"],
+                "lang": top["lang"],
+                "n_chars": -1,
+                "Emb": [0.0, 0.0],
+            }
+        ],
+        upsert=True,
+    )
+    mv.refresh(force_incremental=True)
+    out = (
+        mv.df()
+        .select(
+            "lang",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "n_chars",
+        )
+        .orderBy("lang", "rank")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # --------------------- streaming JOIN-view maintenance (fact stream)
 
 _SJV_ORACLE = f"""
