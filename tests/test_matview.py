@@ -1265,3 +1265,16 @@ def test_topk_lowering_upsert_below_floor_rescans(topk, monkeypatch):
     got = _topk_rows(mv)
     assert got == _topk_truth(t, ["grp"], "val", "id", 2)
     assert got[("a", 2)] == (2, 20), "absent row must refill rank 2"
+
+
+def test_topk_cut_plans_map_side_group_limit(topk):
+    """full_build's ranking pass must plan WindowGroupLimit BEFORE the
+    exchange (map-side partial top-(limit+1)) — the property that
+    keeps the rebuild path linear at 100 TB. A count() in the same
+    window would silence the rule; the two-stage _cut exists to keep
+    it firing."""
+    t, mv = topk
+    plan = mv._cut(t.df())._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exch = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    assert any("WindowGroupLimit" in l for l in lines[exch:]), plan

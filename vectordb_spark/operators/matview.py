@@ -980,17 +980,28 @@ class IncrementalTopKView:
         from pyspark.sql.window import Window
 
         limit = self.k + self.slack
-        wp = Window.partitionBy(*self.group_cols)
-        w = wp.orderBy(
+        w = Window.partitionBy(*self.group_cols).orderBy(
             F.col(self.order_col).desc(), F.col(self.pk_col).asc()
         )
-        cut = F.col("_n") > limit
-        at_limit = F.col("_rn") == limit
-        return (
+        # Two-stage on purpose: the first window carries ONLY a
+        # row_number + rank filter, the exact shape Spark's
+        # InferWindowGroupLimit turns into a map-side per-group
+        # top-(limit+1) (plan-asserted in tests/test_plans.py) — a
+        # count() over the same partition would force the full window.
+        # Keeping limit+1 rows is what lets stage two decide truncation
+        # (a limit+1-th survivor ⇒ the group was cut) from limit+1
+        # rows per group instead of the whole base.
+        ranked = (
             src.select(*self.group_cols, self.pk_col, self.order_col)
             .where(F.col(self.order_col).isNotNull())
             .withColumn("_rn", F.row_number().over(w))
-            .withColumn("_n", F.count(F.lit(1)).over(wp))
+            .where(F.col("_rn") <= limit + 1)
+        )
+        wp = Window.partitionBy(*self.group_cols)
+        cut = F.col("_n") > limit
+        at_limit = F.col("_rn") == limit
+        return (
+            ranked.withColumn("_n", F.count(F.lit(1)).over(wp))
             .withColumn(
                 "_floor_val",
                 F.max(F.when(at_limit, F.col(self.order_col))).over(wp),
@@ -1001,9 +1012,7 @@ class IncrementalTopKView:
             )
             .where(F.col("_rn") <= limit)
             .withColumn("_truncated", cut)
-            .withColumn(
-                "_floor_val", F.when(cut, F.col("_floor_val"))
-            )
+            .withColumn("_floor_val", F.when(cut, F.col("_floor_val")))
             .withColumn("_floor_pk", F.when(cut, F.col("_floor_pk")))
             .drop("_rn", "_n")
         )
