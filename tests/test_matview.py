@@ -1278,3 +1278,152 @@ def test_topk_cut_plans_map_side_group_limit(topk):
     lines = plan.splitlines()
     exch = next(i for i, l in enumerate(lines) if "Exchange" in l)
     assert any("WindowGroupLimit" in l for l in lines[exch:]), plan
+
+
+# ------------------------------------------------ incremental quantiles
+
+
+def _q_truth_py(pairs, quantiles):
+    """Nearest-rank HDR-grid quantiles computed in pure Python from
+    (grp, val) pairs — the absolute semantics the view must serve."""
+    import math
+    from collections import defaultdict
+
+    from vectordb_spark.operators.sketch import hdr_bucket_lb_py
+
+    by_grp = defaultdict(list)
+    for g, v in pairs:
+        if v is not None and 0 <= v < (1 << 53):
+            by_grp[g].append(hdr_bucket_lb_py(int(v))[1])
+    out = {}
+    for g, lbs in by_grp.items():
+        lbs.sort()
+        n = len(lbs)
+        row = {"n": n}
+        for q in quantiles:
+            name = "est_p" + ("%g" % (q * 100)).replace(".", "_")
+            row[name] = lbs[math.ceil(q * n) - 1]
+        out[g] = row
+    return out
+
+
+def _q_rows(qv):
+    return {
+        r["grp"]: {k: r[k] for k in r.asDict() if k != "grp"}
+        for r in qv.df().collect()
+    }
+
+
+def test_quantile_view_full_build_matches_python_truth(t, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalQuantileView
+
+    qv = IncrementalQuantileView(
+        t, str(tmp_path / "qv"), ["grp"], "val", quantiles=(0.5, 0.99)
+    )
+    qv.full_build()
+    pairs = [(r["grp"], r["val"]) for r in t.df().select("grp", "val").collect()]
+    assert _q_rows(qv) == _q_truth_py(pairs, (0.5, 0.99))
+
+
+def test_quantile_view_lifecycle_refresh_matches_rebuild(t, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalQuantileView
+
+    qv = IncrementalQuantileView(
+        t, str(tmp_path / "qv"), ["grp"], "val", quantiles=(0.5, 0.9, 0.99)
+    )
+    qv.full_build()
+    t.insert(
+        [
+            {"id": 50 + i, "grp": "ab"[i % 2], "val": 7 * i, "v": [0.0, 0.0]}
+            for i in range(20)
+        ]
+    )
+    t.delete(primary_keys=[0, 2, 51])
+    t.insert([{"id": 4, "grp": "a", "val": 123456, "v": [0.0, 0.0]}], upsert=True)
+    qv.refresh(force_incremental=True)
+    twin = IncrementalQuantileView(
+        t, str(tmp_path / "qv2"), ["grp"], "val", quantiles=(0.5, 0.9, 0.99)
+    )
+    twin.full_build()
+    assert _q_rows(qv) == _q_rows(twin)
+    pairs = [(r["grp"], r["val"]) for r in t.df().select("grp", "val").collect()]
+    assert _q_rows(qv) == _q_truth_py(pairs, (0.5, 0.9, 0.99))
+
+
+def test_quantile_view_retraction_empties_bucket(t, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalQuantileView
+
+    qv = IncrementalQuantileView(t, str(tmp_path / "qv"), ["grp"], "val")
+    qv.full_build()
+    # delete ALL of group b: the group must drop from the served view
+    t.delete(primary_keys=[1, 3, 5, 7, 9])
+    qv.refresh(force_incremental=True)
+    got = _q_rows(qv)
+    assert set(got) == {"a"}
+    # and the surviving group's ranks re-read exactly
+    pairs = [(r["grp"], r["val"]) for r in t.df().select("grp", "val").collect()]
+    assert got == _q_truth_py(pairs, (0.5, 0.99))
+
+
+def test_quantile_view_out_of_domain_values(spark, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalQuantileView
+
+    schema = TableSchema(
+        name="qv_dom",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "qv_dom"))
+    t._init_storage()
+    t.insert_df(
+        spark.createDataFrame(
+            [
+                (0, "a", -5, [0.0, 0.0]),   # negative: excluded
+                (1, "a", None, [0.0, 0.0]),  # NULL: excluded
+                (2, "a", 100, [0.0, 0.0]),
+                (3, "a", 200, [0.0, 0.0]),
+            ],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    qv = IncrementalQuantileView(t, str(tmp_path / "qv"), ["grp"], "val")
+    qv.full_build()
+    got = _q_rows(qv)
+    assert got["a"]["n"] == 2  # ranks over the valid domain only
+    # retracting an out-of-domain row must stay balanced (NULL-bucket
+    # state pair retracts; served ranks unchanged)
+    t.delete(primary_keys=[0])
+    qv.refresh(force_incremental=True)
+    assert _q_rows(qv) == got
+
+
+def test_quantile_view_state_is_bounded(t, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalQuantileView
+
+    qv = IncrementalQuantileView(t, str(tmp_path / "qv"), ["grp"], "val")
+    qv.full_build()
+    # 10 rows, vals 0..90 -> well under the ~790-bucket ceiling, and
+    # never more than one state row per live (group, bucket) pair
+    st = qv._inner.df()
+    assert st.count() == st.select("grp", "_hdr_bucket").distinct().count()
+    assert qv.version() == qv._inner.version()
+
+
+def test_quantile_view_rejects_bad_quantiles(t, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalQuantileView
+
+    with pytest.raises(ValueError):
+        IncrementalQuantileView(
+            t, str(tmp_path / "x"), ["grp"], "val", quantiles=(0.0,)
+        )
+    with pytest.raises(ValueError):
+        IncrementalQuantileView(
+            t, str(tmp_path / "y"), ["grp"], "val", quantiles=()
+        )

@@ -145,6 +145,16 @@ class IncrementalAggView:
 
     # ------------------------------------------------------------ build
 
+    def _prepare(self, src: DataFrame) -> DataFrame:
+        """Hook for DERIVED group keys: subclasses project source
+        frames (full-build scan, changefeed, dirty rescan) through a
+        deterministic derivation before the group algebra sees them —
+        e.g. :class:`IncrementalQuantileView` stamps the HDR bucket id.
+        Must be a pure per-row projection that preserves existing
+        columns (the changefeed's ``_change_type`` rides through).
+        Identity by default."""
+        return src
+
     def _agg(self, src: DataFrame) -> DataFrame:
         exprs = [F.count(F.lit(1)).alias("n_rows")]
         if "sum" in self.aggs:
@@ -164,7 +174,10 @@ class IncrementalAggView:
         # leak post-v rows into a view stamped v (ADVICE r9).
         meta = self.table._load_meta()
         v = int(meta["version"])
-        self._commit(self._agg(self.table._df_for_files(meta["files"])), v)
+        self._commit(
+            self._agg(self._prepare(self.table._df_for_files(meta["files"]))),
+            v,
+        )
         return v
 
     # ---------------------------------------------------------- refresh
@@ -240,7 +253,7 @@ class IncrementalAggView:
             )
             if base_bytes and delta_bytes >= self.REBUILD_THRESHOLD * base_bytes:
                 return self.full_build()
-        ch = self.table.changes(v0, v1, update_preimages=True)
+        ch = self._prepare(self.table.changes(v0, v1, update_preimages=True))
         sign: Column = F.when(
             F.col("_change_type").isin("insert", "update_post"), F.lit(1)
         ).otherwise(F.lit(-1))
@@ -345,7 +358,7 @@ class IncrementalAggView:
             # would let a concurrent commit leak post-v1 rows into the
             # dirty groups, which the next refresh's (v1,v2] changefeed
             # then double-counts (ADVICE r9, medium).
-            base = self.table.df(version=v1)
+            base = self._prepare(self.table.df(version=v1))
             base_cond = reduce(
                 lambda a, b: a & b,
                 [base[c].eqNullSafe(dirty_keys[c]) for c in self.group_cols],
@@ -1180,3 +1193,123 @@ class IncrementalTopKView:
             final = clean_kept.unionByName(rescan)
         self._commit(final, v1)
         return v1
+
+
+class IncrementalQuantileView:
+    """Per-group quantile estimates (HDR-histogram grid, ≤ 1/16
+    relative error by construction), incrementally maintained under
+    inserts AND deletes — the percentile dashboard the sketch query
+    (queries/sketch.py sketch_hdr_quantiles) serves from a full scan,
+    here kept fresh from the changefeed.
+
+    The trick is that HDR bucket COUNTS are plain linear aggregates:
+    unlike a t-digest (whose float centroids cannot retract a value),
+    the (group, bucket) count multiset is exactly invertible, so the
+    whole maintenance problem reduces to the already-gate-certified
+    COUNT merge of :class:`IncrementalAggView`, keyed by the group
+    columns plus a DERIVED ``_hdr_bucket`` column stamped via the
+    ``_prepare`` hook (the same cross-engine integer ladder as the
+    sketch — operators/sketch.py ``hdr_bucket_lb_sql``). Quantiles are
+    read off the state at serve time: cumulative bucket counts per
+    group, nearest-rank position, bucket lower bound.
+
+    Value domain: the HDR grid covers non-negative integers < 2^53.
+    NULL / negative / oversize values map to a NULL bucket — tracked
+    in state (so their retractions balance) but EXCLUDED from ranks,
+    exactly like SQL ``PERCENTILE`` ignores NULLs.
+
+    100 TB shape: state is ≤ ~790 live buckets per group regardless of
+    row count; a refresh reads the changefeed and merges by the
+    (group, bucket) pairs it touches — never the base (COUNT is
+    invertible, so the dirty-rescan machinery never engages); the
+    serve-time cumulative window runs over state, not data."""
+
+    def __init__(
+        self,
+        table: Table,
+        path: str,
+        group_cols: list[str],
+        value_col: str,
+        quantiles: tuple[float, ...] = (0.5, 0.99),
+    ) -> None:
+        if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
+            raise ValueError(
+                f"quantiles must be in (0, 1], got {quantiles!r}"
+            )
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.quantiles = tuple(quantiles)
+        self._inner = _HdrBucketedAggView(table, path, group_cols, value_col)
+
+    def full_build(self) -> int:
+        return self._inner.full_build()
+
+    def refresh(self, *, force_incremental: bool = False) -> int:
+        return self._inner.refresh(force_incremental=force_incremental)
+
+    def version(self) -> int | None:
+        return self._inner.version()
+
+    def df(self) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        b = F.col("_hdr_bucket")
+        # invert bucket id -> bucket lower bound: sub-bucket index is
+        # in [16, 32) for exponent e = b div 16 + 3, so
+        # lb = (b % 16 + 16) * 2^(b div 16 - 1); exact in doubles
+        # (factors < 2^53) and cast back to BIGINT
+        lb = F.when(b < 16, b).otherwise(
+            ((b % 16 + 16) * F.pow(F.lit(2.0), F.floor(b / 16) - 1))
+            .cast("bigint")
+        )
+        w_cum = (
+            Window.partitionBy(*self.group_cols)
+            .orderBy("_hdr_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*self.group_cols)
+        cum = (
+            self._inner.df()
+            .where(b.isNotNull())
+            .withColumn("_lb", lb)
+            .withColumn("_cum", F.sum("n_rows").over(w_cum))
+            .withColumn("_n", F.sum("n_rows").over(w_all))
+        )
+        aggs = [F.max("_n").alias("n")]
+        for q in self.quantiles:
+            name = "est_p" + ("%g" % (q * 100)).replace(".", "_")
+            aggs.append(
+                F.min(
+                    F.when(
+                        F.col("_cum")
+                        >= F.ceil(F.lit(q) * F.col("_n")).cast("bigint"),
+                        F.col("_lb"),
+                    )
+                ).alias(name)
+            )
+        return cum.groupBy(*self.group_cols).agg(*aggs)
+
+
+class _HdrBucketedAggView(IncrementalAggView):
+    """COUNT view keyed by group cols + the derived HDR bucket id —
+    the state engine behind :class:`IncrementalQuantileView`."""
+
+    def __init__(
+        self, table: Table, path: str, group_cols: list[str], value_col: str
+    ) -> None:
+        super().__init__(
+            table, path, [*group_cols, "_hdr_bucket"], value_col,
+            aggs=("count",),
+        )
+        self._value_src = value_col
+
+    def _prepare(self, src: DataFrame) -> DataFrame:
+        from vectordb_spark.operators.sketch import hdr_bucket_lb_sql
+
+        bucket_sql, _ = hdr_bucket_lb_sql("_hdr_x")
+        x = F.col(self._value_src).cast("bigint")
+        return (
+            src.withColumn("_hdr_x", F.when(x >= 0, x))
+            .withColumn("_hdr_bucket", F.expr(bucket_sql))
+            .drop("_hdr_x")
+        )
