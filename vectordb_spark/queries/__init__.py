@@ -347,6 +347,14 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     floor): full cdc lifecycle + a leader LOWERED below the floor
 #     (the floor-regression shape a survivor count would serve wrong),
 #     oracle re-ranked from scratch on raw parquet.
+#   mv_quantile_refresh — incremental QUANTILE view maintenance
+#     (IncrementalQuantileView: HDR bucket counts are linear
+#     aggregates, so percentile maintenance reduces to the certified
+#     COUNT merge keyed by (group, derived bucket)): full cdc
+#     lifecycle + one survivor pushed OUT of the HDR domain (NULL
+#     bucket retraction-balance, rank-excluded); oracle recomputes
+#     nearest-rank bucket lower bounds through the SAME integer
+#     ladder from raw parquet.
 #
 # Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
@@ -361,10 +369,16 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     (G r6–; the refresh gate is the strictly richer lexical-index
 #     lifecycle — the batch-retrieval shape stays covered by
 #     text_index_bm25_search's compile path + tests/test_text_index.py)
-#   table_ivf_refresh_search        ← sketch_hdr_quantiles
-#     (G r7–; the sketch family keeps sketch_bloom_prune_join
-#     in-window; HDR machinery stays pytest-covered in
-#     tests/test_sketch.py)
+#   table_ivf_refresh_search        ← tpch_q22_dormant_customers
+#     (G r8–; the anti-join + scalar-subquery shape stays in-window
+#     via q21's NOT-EXISTS and the battery keeps
+#     q2/q8/q9/q11/q12/q16/q19/q20/q21)
+#   mv_quantile_refresh             ← sketch_hdr_quantiles
+#     (G r7–; the quantile gate is the strict superset — the SAME
+#     hdr_bucket_lb_sql ladder + nearest-rank serve, plus retractable
+#     maintenance; the ≤1/16 accuracy bound and half-merge
+#     associativity stay pytest-pinned in tests/test_sketch.py, and
+#     the sketch family keeps sketch_bloom_prune_join in-window)
 #   text_bm25f_multifield           ← tpch_q19_disjunctive_revenue
 #     (G r8–; the battery keeps q2/q8/q9/q11/q12/q16/q20/q21/q22
 #     in-window — disjunctive pushdown also lives in q16's residual)
@@ -598,6 +612,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "table_ivf_refresh_search",
         "text_bm25f_multifield",
         "mv_topk_refresh",
+        "mv_quantile_refresh",
     }
 )
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vectordb_spark.functions.agg import dec_sum
+from vectordb_spark.operators.sketch import hdr_bucket_lb_sql as _hdr_sql
 from vectordb_spark.plans import oracle as O
 from vectordb_spark.queries import query
 
@@ -1378,6 +1379,145 @@ def mv_topk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
         .orderBy("lang", "rank")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# ------------------------------------ incremental QUANTILE view
+
+# The engine's HDR bucket/lower-bound ladder, shared verbatim with the
+# oracle (operators/sketch.py hdr_bucket_lb_sql — pure integer
+# compares + exact dyadic floor-division, identical in Spark SQL and
+# DuckDB).
+_MVQ_B, _MVQ_LB = _hdr_sql("x")
+
+_MV_QUANTILE_ORACLE = f"""
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3),
+neg AS (SELECT MIN(doc_id) AS d FROM upds),
+final AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id = (SELECT d FROM neg) THEN -7
+                WHEN d.doc_id IN (SELECT doc_id FROM upds)
+                THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dels)
+),
+iv AS (
+    SELECT lang, CAST(n_chars AS BIGINT) AS x FROM final WHERE n_chars >= 0
+),
+b AS (
+    SELECT lang, {_MVQ_B} AS bucket, MIN({_MVQ_LB}) AS lb, COUNT(*) AS c
+    FROM iv GROUP BY lang, {_MVQ_B}
+),
+cum AS (
+    SELECT lang, bucket, lb, c,
+           SUM(c) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+           SUM(c) OVER (PARTITION BY lang) AS n
+    FROM b
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN lb END)
+           AS est_p50,
+       MIN(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN lb END)
+           AS est_p99
+FROM cum GROUP BY lang ORDER BY lang
+"""
+
+
+@query("mv_quantile_refresh", oracle=_MV_QUANTILE_ORACLE)
+def mv_quantile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental QUANTILE view maintenance — the percentile
+    dashboard kept fresh under inserts AND deletes with fixed state
+    (operators/matview.py IncrementalQuantileView): HDR-histogram
+    bucket counts are plain linear aggregates (unlike t-digest
+    centroids they retract exactly), so per-language p50/p99 of
+    n_chars reduces to the gate-certified COUNT merge keyed by
+    (lang, derived _hdr_bucket). Lifecycle: view built at the table's
+    first version; the full cdc mutation plan runs (bulk append, 3
+    deletes, 3 value-shifting upserts) and ONE refresh merges the
+    changefeed into the bucket state; then one survivor is upserted to
+    n_chars = -7 — OUT of the HDR domain — and a second refresh must
+    retract its old bucket and park the post-image in the NULL bucket
+    (tracked so retractions balance, EXCLUDED from ranks, exactly like
+    SQL percentiles ignore NULLs). The oracle replays the whole
+    mutation plan from raw parquet and recomputes the nearest-rank
+    bucket lower bounds through the SAME integer ladder
+    (operators/sketch.py hdr_bucket_lb_sql — shared verbatim), so the
+    hash match pins bucket algebra, retraction, domain handling, and
+    the serve-time cumulative read in one row. 100 TB shape: state is
+    ≤ ~790 live buckets per group FOREVER; a refresh reads the
+    changefeed and merges only the (group, bucket) pairs it touches —
+    COUNT is invertible, so the dirty-rescan machinery never engages;
+    the serve-time window runs over state, not data."""
+    from vectordb_spark.operators.matview import IncrementalQuantileView
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_q_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    mv = IncrementalQuantileView(
+        t, os.path.join(work, "mv"), ["lang"], "n_chars",
+        quantiles=(0.5, 0.99),
+    )
+    # build the bucket state AT v1 through the table's history, then
+    # advance the rest of the lifecycle with one incremental merge
+    inner = mv._inner
+    inner._commit(inner._agg(inner._prepare(t.df(version=v1))), v1)
+    mv.refresh(force_incremental=True)
+    # push one survivor OUT of the HDR domain (deterministic in both
+    # engines: the smallest UPSERTED doc_id, i.e. the 4th-smallest id
+    # in the first half — the same selection build_cdc_gate_table and
+    # the oracle's `upds` CTE make) — its +1000 bucket must retract
+    # and the post-image must ride state as the NULL bucket
+    from vectordb_spark.sources.readers import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    neg_id = [
+        r[0]
+        for r in d.where(F.col("doc_id") <= mid)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(6)
+        .collect()
+    ][3]
+    neg = (
+        t.df()
+        .where(F.col("doc_id") == neg_id)
+        .select("doc_id", "lang")
+        .first()
+    )
+    t.insert(
+        [
+            {
+                "doc_id": neg["doc_id"],
+                "lang": neg["lang"],
+                "n_chars": -7,
+                "Emb": [0.0, 0.0],
+            }
+        ],
+        upsert=True,
+    )
+    mv.refresh(force_incremental=True)
+    out = (
+        mv.df()
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            "est_p50",
+            "est_p99",
+        )
+        .orderBy("lang")
         .localCheckpoint()
     )
     import shutil
