@@ -1427,3 +1427,196 @@ def test_quantile_view_rejects_bad_quantiles(t, tmp_path):
         IncrementalQuantileView(
             t, str(tmp_path / "y"), ["grp"], "val", quantiles=()
         )
+
+
+# ------------------------ sumsq state → AVG/VAR/STDDEV serving (r12)
+
+
+def _sumsq_rows(mv):
+    f = lambda x: None if x is None else float(x)  # noqa: E731
+    return {
+        r["grp"]: (
+            r["n_rows"], r["_n_val"],
+            f(r["_sum_dec"]), f(r["_sumsq_dec"]),
+        )
+        for r in mv.df().collect()
+    }
+
+
+def test_sumsq_refresh_matches_full_rebuild(t, tmp_path):
+    """sumsq is linear/invertible like SUM: a mixed insert + delete +
+    upsert lifecycle merged from the changefeed must equal the
+    from-scratch twin exactly (decimal state, no float drift)."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val",
+        aggs=("count", "sum", "sumsq"),
+    )
+    mv.full_build()
+    assert _sumsq_rows(mv)["a"] == (
+        5, 5, 200.0, float(sum(v * v for v in (0, 20, 40, 60, 80))),
+    )
+    t.insert([{"id": 100, "grp": "a", "val": 7, "v": [0.0, 0.0]}])
+    t.delete(primary_keys=[1, 3])  # grp b, vals 10 + 30
+    t.insert([{"id": 5, "grp": "b", "val": 1000, "v": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    mv2 = IncrementalAggView(
+        t, str(tmp_path / "mv2"), ["grp"], "val",
+        aggs=("count", "sum", "sumsq"),
+    )
+    mv2.full_build()
+    assert _sumsq_rows(mv) == _sumsq_rows(mv2)
+    # vals now: a = {0,20,40,60,80,7}, b = {1000,70,90}
+    assert _sumsq_rows(mv)["b"] == (3, 3, 1160.0, 1000000.0 + 4900.0 + 8100.0)
+
+
+def test_stats_df_matches_sql_avg_var(t, tmp_path):
+    """stats_df serves AVG/VAR_POP/STDDEV_POP off the exact-decimal
+    state; Spark's own avg/var_pop over the live snapshot must agree
+    to fp tolerance (different summation orders, same math)."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val",
+        aggs=("count", "sum", "sumsq"),
+    )
+    mv.full_build()
+    t.delete(primary_keys=[2])
+    t.insert([{"id": 7, "grp": "b", "val": 123, "v": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    got = {
+        r["grp"]: (r["n_val"], r["avg"], r["var_pop"], r["stddev_pop"])
+        for r in mv.stats_df().collect()
+    }
+    truth = {
+        r["grp"]: (r["n"], r["avg"], r["var"], r["sd"])
+        for r in t.df()
+        .groupBy("grp")
+        .agg(
+            F.count("val").alias("n"),
+            F.avg("val").alias("avg"),
+            F.var_pop("val").alias("var"),
+            F.stddev_pop("val").alias("sd"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for g in got:
+        assert got[g][0] == truth[g][0]
+        for a, b in zip(got[g][1:], truth[g][1:]):
+            assert a == pytest.approx(b, rel=1e-9, abs=1e-9)
+
+
+def test_sumsq_null_values_follow_sql_semantics(spark, tmp_path):
+    """NULL values: sum/sumsq skip them, _n_val counts only non-NULL
+    (SQL AVG divides by COUNT(value), not COUNT(*)); retracting a
+    NULL-valued row must not decrement _n_val; an all-NULL group
+    serves NULL avg/var/stddev like SQL."""
+    schema = TableSchema(
+        name="mv_sq_nv",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "mv_sq_nv"))
+    t._init_storage()
+    t.insert_df(
+        spark.createDataFrame(
+            [
+                (0, "a", 4, [0.0, 0.0]),
+                (1, "a", None, [0.0, 0.0]),
+                (2, "a", 8, [0.0, 0.0]),
+                (3, "z", None, [0.0, 0.0]),  # all-NULL group
+            ],
+            "id long, grp string, val long, v array<float>",
+        )
+    )
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val",
+        aggs=("count", "sum", "sumsq"),
+    )
+    mv.full_build()
+    t.delete(primary_keys=[1])  # retract the NULL value inside 'a'
+    mv.refresh(force_incremental=True)
+    rows = {
+        r["grp"]: (r["n_rows"], r["n_val"], r["avg"], r["var_pop"])
+        for r in mv.stats_df().collect()
+    }
+    assert rows["a"] == (2, 2, 6.0, 4.0)
+    assert rows["z"] == (1, 0, None, None)
+    # twin check: merged state == from-scratch state
+    mv2 = IncrementalAggView(
+        t, str(tmp_path / "mv2"), ["grp"], "val",
+        aggs=("count", "sum", "sumsq"),
+    )
+    mv2.full_build()
+    assert _sumsq_rows(mv) == _sumsq_rows(mv2)
+
+
+def test_stats_df_requires_sumsq_state(t, tmp_path):
+    from vectordb_spark.operators.matview import UnsupportedAggregateError
+
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val", aggs=("count", "sum")
+    )
+    mv.full_build()
+    with pytest.raises(UnsupportedAggregateError, match="sumsq"):
+        mv.stats_df()
+
+
+def test_join_view_sumsq_both_sides_change(fact_dim, tmp_path):
+    """sumsq join-maintains by the same delta-join algebra as SUM:
+    fact delta + dim group migration in one refresh must equal the
+    from-scratch twin, and stats_df must match Spark's var_pop over
+    the live join."""
+    from vectordb_spark.operators.matview import IncrementalJoinAggView
+
+    fact, dim, _ = fact_dim
+    mv = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "jv_sq"),
+        fact_key="cid", dim_key="ckey",
+        group_cols=["region"], value_col="amount",
+        aggs=("count", "sum", "sumsq"),
+    )
+    mv.full_build()
+    fact.insert([{"oid": 60, "cid": 2, "amount": 500, "v": [0.0, 0.0]}])
+    fact.delete(primary_keys=[3])
+    dim.insert([{"ckey": 1, "region": "w", "v": [0.0, 0.0]}], upsert=True)
+    mv.refresh(force_incremental=True)
+    mv2 = IncrementalJoinAggView(
+        fact, dim, str(tmp_path / "jv_sq2"),
+        fact_key="cid", dim_key="ckey",
+        group_cols=["region"], value_col="amount",
+        aggs=("count", "sum", "sumsq"),
+    )
+    mv2.full_build()
+
+    def rows(m):
+        return {
+            r["region"]: (
+                r["n_rows"], r["_n_val"],
+                float(r["_sum_dec"]), float(r["_sumsq_dec"]),
+            )
+            for r in m.df().collect()
+        }
+
+    assert rows(mv) == rows(mv2)
+    f, d = fact.df(), dim.df()
+    j = f.join(d, f["cid"] == d["ckey"], "inner")
+    truth = {
+        r["region"]: (r["avg"], r["var"])
+        for r in j.groupBy("region")
+        .agg(F.avg("amount").alias("avg"), F.var_pop("amount").alias("var"))
+        .collect()
+    }
+    got = {
+        r["region"]: (r["avg"], r["var_pop"])
+        for r in mv.stats_df().collect()
+    }
+    assert set(got) == set(truth)
+    for g in got:
+        for a, b in zip(got[g], truth[g]):
+            assert a == pytest.approx(b, rel=1e-9)

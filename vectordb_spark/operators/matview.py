@@ -31,9 +31,17 @@ Aggregate classes, by maintenance strategy:
   multiset counts: :class:`IncrementalDistinctCountView` composes it
   from the COUNT machinery (r10).
 
-Anything else (AVG derivable as sum/count client-side, percentiles)
-raises :class:`UnsupportedAggregateError` at construction — a typed
-error, not a silent wrong answer.
+* SUM(expr²) ("sumsq") — linear and invertible exactly like SUM, kept
+  as an exact decimal so AVG / VAR_POP / STDDEV_POP are served off the
+  state deterministically (:meth:`IncrementalAggView.stats_df`): the
+  mean-of-squares identity Var = E[x²] − E[x]² is numerically safe
+  here because both moments are EXACT decimal sums cast to double once
+  at serve time, not float accumulations.
+
+Anything else (percentiles → :class:`IncrementalQuantileView`,
+ORDER BY/LIMIT → :class:`IncrementalTopKView`) raises
+:class:`UnsupportedAggregateError` at construction — a typed error,
+not a silent wrong answer.
 
 Reference parity: the reference has no derived views at all; its
 closest shape is the periodic full index rebuild (X3). This is the
@@ -52,7 +60,40 @@ from pyspark.sql import functions as F
 
 from vectordb_spark.table import Table
 
-SUPPORTED_AGGS = ("count", "sum", "min", "max")
+SUPPORTED_AGGS = ("count", "sum", "sumsq", "min", "max")
+
+# exact second-moment state: value cast to decimal(18,4), squared →
+# decimal(37,8), summed under this type — no float accumulation ever
+_SQ_DEC = "decimal(38,8)"
+
+
+def _sq_dec(col: Column) -> Column:
+    v = col.cast("decimal(18,4)")
+    return (v * v).cast(_SQ_DEC)
+
+
+def _derive_stats(view_df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """AVG / VAR_POP / STDDEV_POP off (n_val, sum, sumsq) state. The
+    mean-of-squares identity is numerically benign here: both moments
+    are EXACT decimal sums, cast to double exactly once at serve time,
+    so the result is deterministic (and `greatest(·, 0)` absorbs the
+    one representable-rounding case where E[x²] − E[x]² dips a ULP
+    below zero on a constant group). All-NULL groups serve NULL stats,
+    matching SQL AVG/VAR semantics."""
+    has = F.col("_n_val") > 0
+    nv = F.col("_n_val").cast("double")
+    s = F.col("_sum_dec").cast("double")
+    ss = F.col("_sumsq_dec").cast("double")
+    avg = F.when(has, s / nv)
+    var = F.when(has, F.greatest(ss / nv - (s / nv) * (s / nv), F.lit(0.0)))
+    return view_df.select(
+        *group_cols,
+        F.col("n_rows"),
+        F.col("_n_val").alias("n_val"),
+        avg.alias("avg"),
+        var.alias("var_pop"),
+        F.sqrt(var).alias("stddev_pop"),
+    )
 
 
 class UnsupportedAggregateError(ValueError):
@@ -87,9 +128,10 @@ class IncrementalAggView:
         if bad:
             raise UnsupportedAggregateError(
                 f"unsupported aggregate(s) {bad}: incremental maintenance "
-                f"is implemented for {list(SUPPORTED_AGGS)} only (AVG = "
-                "sum/count client-side; percentiles/distinct need sketch "
-                "state — use operators.sketch)"
+                f"is implemented for {list(SUPPORTED_AGGS)} only "
+                "(AVG/VAR/STDDEV are served from sum+sumsq via "
+                "stats_df(); percentiles → IncrementalQuantileView; "
+                "distinct → IncrementalDistinctCountView)"
             )
         self.table = table
         self.path = path
@@ -143,6 +185,16 @@ class IncrementalAggView:
             os.path.join(self.path, st["dir"])
         )
 
+    def stats_df(self) -> DataFrame:
+        """AVG / VAR_POP / STDDEV_POP per group, served off the state
+        (requires ``aggs`` to include both ``sum`` and ``sumsq``)."""
+        missing = {"sum", "sumsq"} - set(self.aggs)
+        if missing:
+            raise UnsupportedAggregateError(
+                f"stats_df needs sum+sumsq state; view lacks {sorted(missing)}"
+            )
+        return _derive_stats(self.df(), self.group_cols)
+
     # ------------------------------------------------------------ build
 
     def _prepare(self, src: DataFrame) -> DataFrame:
@@ -162,6 +214,13 @@ class IncrementalAggView:
                 F.sum(F.col(self.value_col).cast("decimal(28,4)"))
                 .alias("_sum_dec")
             )
+        if "sumsq" in self.aggs:
+            exprs.append(
+                F.sum(_sq_dec(F.col(self.value_col))).alias("_sumsq_dec")
+            )
+            # SQL AVG/VAR divide by the NON-NULL value count, not
+            # COUNT(*) — track it as its own linear aggregate
+            exprs.append(F.count(F.col(self.value_col)).alias("_n_val"))
         if "min" in self.aggs:
             exprs.append(F.min(self.value_col).alias("_min"))
         if "max" in self.aggs:
@@ -266,6 +325,17 @@ class IncrementalAggView:
                 F.sum(val.cast("decimal(28,4)") * F.col("_sign"))
                 .alias("d_sum")
             )
+        if "sumsq" in self.aggs:
+            agg_exprs.append(
+                F.sum(_sq_dec(val) * F.col("_sign")).alias("d_sumsq")
+            )
+            agg_exprs.append(
+                F.sum(
+                    F.when(val.isNotNull(), F.col("_sign")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("d_nval")
+            )
         ins = F.col("_sign") == 1
         if track_min:
             # extremes of the window's additions and retractions,
@@ -299,14 +369,34 @@ class IncrementalAggView:
                 + F.coalesce(F.col("d_rows"), F.lit(0))
             ).alias("n_rows")
         )
+        # with sumsq state the merged non-null value count is known, so
+        # sums can keep exact SQL semantics (all-NULL group ⇒ NULL, not
+        # 0 — what a from-scratch aggregate produces). A sum-only view
+        # cannot distinguish "no values" from "values summing to 0"
+        # after a merge; that documented coarseness is the price of the
+        # smaller state.
+        nval_col = None
+        if "sumsq" in self.aggs:
+            nval_col = F.coalesce(F.col("_n_val"), F.lit(0)) + F.coalesce(
+                F.col("d_nval"), F.lit(0)
+            )
         if "sum" in self.aggs:
             zero = F.lit(0).cast("decimal(28,4)")
-            out_cols.append(
-                (
-                    F.coalesce(F.col("_sum_dec"), zero)
-                    + F.coalesce(F.col("d_sum"), zero)
-                ).cast("decimal(28,4)").alias("_sum_dec")
-            )
+            s = (
+                F.coalesce(F.col("_sum_dec"), zero)
+                + F.coalesce(F.col("d_sum"), zero)
+            ).cast("decimal(28,4)")
+            if nval_col is not None:
+                s = F.when(nval_col > 0, s)
+            out_cols.append(s.alias("_sum_dec"))
+        if "sumsq" in self.aggs:
+            zsq = F.lit(0).cast(_SQ_DEC)
+            ss = (
+                F.coalesce(F.col("_sumsq_dec"), zsq)
+                + F.coalesce(F.col("d_sumsq"), zsq)
+            ).cast(_SQ_DEC)
+            out_cols.append(F.when(nval_col > 0, ss).alias("_sumsq_dec"))
+            out_cols.append(nval_col.alias("_n_val"))
         dirty = F.lit(False)
         if track_min:
             # candidate = extremum of (stored rows, window inserts);
@@ -432,14 +522,14 @@ class IncrementalJoinAggView:
         value_col: str,
         aggs: tuple[str, ...] = ("count", "sum"),
     ) -> None:
-        bad = [a for a in aggs if a not in ("count", "sum")]
+        bad = [a for a in aggs if a not in ("count", "sum", "sumsq")]
         if bad:
             raise UnsupportedAggregateError(
                 f"unsupported join-view aggregate(s) {bad}: only the "
-                "invertible COUNT/SUM are join-maintainable; MIN/MAX "
-                "would need a cross-join dirty rescan (use a single-"
-                "table IncrementalAggView over a denormalized column, "
-                "or full_build on a schedule)"
+                "invertible COUNT/SUM/SUMSQ are join-maintainable; "
+                "MIN/MAX would need a cross-join dirty rescan (use a "
+                "single-table IncrementalAggView over a denormalized "
+                "column, or full_build on a schedule)"
             )
         self.fact, self.dim, self.path = fact, dim, path
         self.fact_key, self.dim_key = fact_key, dim_key
@@ -577,7 +667,22 @@ class IncrementalJoinAggView:
                 F.sum(F.col(self.value_col).cast("decimal(28,4)"))
                 .alias("_sum_dec")
             )
+        if "sumsq" in self.aggs:
+            exprs.append(
+                F.sum(_sq_dec(F.col(self.value_col))).alias("_sumsq_dec")
+            )
+            exprs.append(F.count(F.col(self.value_col)).alias("_n_val"))
         return joined.groupBy(*self.group_cols).agg(*exprs)
+
+    def stats_df(self) -> DataFrame:
+        """AVG / VAR_POP / STDDEV_POP per group, served off the state
+        (requires ``aggs`` to include both ``sum`` and ``sumsq``)."""
+        missing = {"sum", "sumsq"} - set(self.aggs)
+        if missing:
+            raise UnsupportedAggregateError(
+                f"stats_df needs sum+sumsq state; view lacks {sorted(missing)}"
+            )
+        return _derive_stats(self.df(), self.group_cols)
 
     def full_build(self) -> tuple[int, int]:
         fmeta = self.fact._load_meta()
@@ -726,11 +831,22 @@ class IncrementalJoinAggView:
             )
         delta = reduce(DataFrame.unionByName, contribs)
         agg_exprs = [F.sum("_sign").alias("d_rows")]
+        val = F.col(self.value_col)
         if "sum" in self.aggs:
             agg_exprs.append(
+                F.sum(val.cast("decimal(28,4)") * F.col("_sign"))
+                .alias("d_sum")
+            )
+        if "sumsq" in self.aggs:
+            agg_exprs.append(
+                F.sum(_sq_dec(val) * F.col("_sign")).alias("d_sumsq")
+            )
+            agg_exprs.append(
                 F.sum(
-                    F.col(self.value_col).cast("decimal(28,4)") * F.col("_sign")
-                ).alias("d_sum")
+                    F.when(val.isNotNull(), F.col("_sign")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("d_nval")
             )
         delta = delta.groupBy(*self.group_cols).agg(*agg_exprs)
         cur = self.df()
@@ -747,14 +863,31 @@ class IncrementalJoinAggView:
                 + F.coalesce(F.col("d_rows"), F.lit(0))
             ).alias("n_rows")
         )
+        # NULL-semantics guard mirrors the single-table view: with
+        # sumsq state the merged sums go NULL when no non-null value
+        # survives, matching a from-scratch aggregate exactly.
+        nval_col = None
+        if "sumsq" in self.aggs:
+            nval_col = F.coalesce(F.col("_n_val"), F.lit(0)) + F.coalesce(
+                F.col("d_nval"), F.lit(0)
+            )
         if "sum" in self.aggs:
             zero = F.lit(0).cast("decimal(28,4)")
-            out_cols.append(
-                (
-                    F.coalesce(F.col("_sum_dec"), zero)
-                    + F.coalesce(F.col("d_sum"), zero)
-                ).cast("decimal(28,4)").alias("_sum_dec")
-            )
+            s = (
+                F.coalesce(F.col("_sum_dec"), zero)
+                + F.coalesce(F.col("d_sum"), zero)
+            ).cast("decimal(28,4)")
+            if nval_col is not None:
+                s = F.when(nval_col > 0, s)
+            out_cols.append(s.alias("_sum_dec"))
+        if "sumsq" in self.aggs:
+            zsq = F.lit(0).cast(_SQ_DEC)
+            ss = (
+                F.coalesce(F.col("_sumsq_dec"), zsq)
+                + F.coalesce(F.col("d_sumsq"), zsq)
+            ).cast(_SQ_DEC)
+            out_cols.append(F.when(nval_col > 0, ss).alias("_sumsq_dec"))
+            out_cols.append(nval_col.alias("_n_val"))
         merged = (
             cur.join(delta, cond, "full_outer")
             .select(*out_cols)
