@@ -405,3 +405,104 @@ def test_stream_stream_join_evicts_expired_click_state(spark, tmp_path):
     # the day-0 click GONE (a batch join would emit (1, 101))
     assert (2, 100) in got
     assert (1, 101) not in got
+
+
+def test_stream_topk_view_advances_per_batch(spark, tmp_path):
+    """Streaming LEADERBOARD maintenance: three micro-batches upsert
+    into an engine table while the SAME foreachBatch sink advances an
+    IncrementalTopKView per batch — including a mid-stream batch that
+    LOWERS a current group leader below its cut-time floor, the shape
+    that forces the group-scoped refill rescan. One view advance per
+    micro-batch, and the final state equals a from-scratch re-rank."""
+    from vectordb_spark.operators.matview import IncrementalTopKView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="st_topk",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "st_topk"))
+    t._init_storage()
+    mv = IncrementalTopKView(
+        t, str(tmp_path / "mv"), ["grp"], "val", k=2, slack=1
+    )
+    mv.full_build()  # leaderboard exists BEFORE any data lands
+
+    def rows(i):
+        return [
+            {"id": i, "grp": f"g{i % 3}", "val": i * 10, "v": [0.0, 0.0]}
+        ]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [r for i in range(10) for r in rows(i)],
+        [r for i in range(10, 20) for r in rows(i)],
+        # id 19 leads g1 with val 190 after batch 1; lower it below
+        # every floor (plus one fresh row so the batch also inserts)
+        [
+            {"id": 19, "grp": "g1", "val": -5, "v": [0.0, 0.0]},
+            {"id": 100, "grp": "g2", "val": 55, "v": [0.0, 0.0]},
+        ],
+    ]
+    for i, recs in enumerate(batches):
+        p = str(src / f"b{i}.json")
+        _write_batch(str(src), f"b{i}.json", recs)
+        os.utime(p, (1_000_000_000 + i * 100,) * 2)
+
+    read_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    versions: list[int] = []
+
+    def _sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        t.insert_df(batch_df, upsert=True)
+        versions.append(mv.refresh(force_incremental=True))
+
+    q = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(versions) == 3 and versions == sorted(set(versions)), versions
+    assert mv.version() == t._load_meta()["version"]
+
+    twin = IncrementalTopKView(
+        t, str(tmp_path / "twin"), ["grp"], "val", k=2, slack=1
+    )
+    twin.full_build()
+
+    def served(m):
+        return {
+            (r["grp"], r["rank"]): (r["id"], r["val"])
+            for r in m.df().collect()
+        }
+
+    got = served(mv)
+    assert got == served(twin)
+    # the lowered leader really left the board: g1's top-2 after the
+    # final batch is (16, 160), (13, 130) — id 19 demoted
+    assert got[("g1", 1)] == (16, 160)
+    assert got[("g1", 2)] == (13, 130)
