@@ -355,6 +355,13 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     bucket retraction-balance, rank-excluded); oracle recomputes
 #     nearest-rank bucket lower bounds through the SAME integer
 #     ladder from raw parquet.
+#   mv_stats_refresh — incremental AVG/VAR/STDDEV view maintenance
+#     (the second-moment class: exact-decimal (count, sum, sumsq)
+#     state, stats derived at serve time): full cdc lifecycle + one
+#     upserted survivor's value set to NULL (SQL semantics: n_rows
+#     counts it, n_val and both moments retract); oracle recomputes
+#     the moments as exact BIGINT sums and applies the identical
+#     IEEE double arithmetic, so the match is bit-for-bit.
 #
 # Proposed 1:1 rotation for round 13 (confirm each eviction's round-12
 # driver row is green before executing):
@@ -387,6 +394,11 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     through mv_distinct_refresh, which delegates to the same
 #     IncrementalAggView merge, plus mv_minmax_refresh and
 #     mv_join_refresh; the topk gate adds the ORDER BY/LIMIT class)
+#   mv_stats_refresh                ← tpch_q21_sole_late_supplier
+#     (G r8–, the eviction tier's last listed candidate; the
+#     quantifier-collapse class keeps tpch_q20's twice-correlated
+#     EXISTS in-window, and q21's literal-quantifier oracle proof
+#     stays vetted + selfcheckable on demand)
 #
 # Executed round-12 rotation (both evictions confirmed green in
 # CORRECTNESS_r11.json before the swap):
@@ -613,6 +625,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "text_bm25f_multifield",
         "mv_topk_refresh",
         "mv_quantile_refresh",
+        "mv_stats_refresh",
     }
 )
 

@@ -1526,6 +1526,139 @@ def mv_quantile_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------------------ incremental AVG/VAR/STDDEV view
+
+_MV_STATS_ORACLE = """
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3),
+nv AS (SELECT MIN(doc_id) AS d FROM upds),
+final AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id = (SELECT d FROM nv) THEN NULL
+                WHEN d.doc_id IN (SELECT doc_id FROM upds)
+                THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dels)
+),
+s AS (
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           COUNT(n_chars) AS n_val,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) AS s,
+           CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                AS DOUBLE) AS ss
+    FROM final GROUP BY lang
+),
+v AS (
+    SELECT lang, n_rows, n_val, s,
+           CASE WHEN n_val > 0
+                THEN GREATEST(ss / CAST(n_val AS DOUBLE)
+                              - (s / CAST(n_val AS DOUBLE))
+                                * (s / CAST(n_val AS DOUBLE)), 0.0)
+           END AS var_pop
+    FROM s
+)
+SELECT lang,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_val AS BIGINT) AS n_val,
+       CASE WHEN n_val > 0 THEN s / CAST(n_val AS DOUBLE) END AS avg,
+       var_pop,
+       SQRT(var_pop) AS stddev_pop
+FROM v ORDER BY lang
+"""
+
+
+@query("mv_stats_refresh", oracle=_MV_STATS_ORACLE)
+def mv_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AVG/VAR/STDDEV view maintenance — the second-moment
+    dashboard class (operators/matview.py sumsq state + _derive_stats):
+    per-language mean/variance/stddev of n_chars kept fresh under the
+    full cdc mutation plan with (count, sum, sumsq) state only. Both
+    moments accumulate as EXACT decimals (value → decimal(18,4),
+    square → decimal(38,8)) so retraction is exact and the serve-time
+    doubles are deterministic: the oracle recomputes the same moments
+    as exact BIGINT sums and applies the identical double arithmetic
+    (s/n, greatest(ss/n − (s/n)², 0), sqrt — every operand an exact
+    integer < 2^53, every op IEEE-deterministic), so the hash match is
+    bit-for-bit. Lifecycle: view built at the table's first version;
+    the mutation plan runs (bulk append, 3 deletes, 3 value-shifting
+    upserts) and ONE refresh merges the changefeed; then one upserted
+    survivor's value is set to NULL — the SQL-semantics shape: the
+    update_pre retracts its +1000 value from both moments, the
+    post-image raises n_rows but NOT n_val (AVG divides by
+    COUNT(value), not COUNT(*)) — and a second refresh must leave the
+    group's n_rows ≠ n_val with the value fully retracted. 100 TB
+    shape: state is one row per group forever; refresh shuffles only
+    the changefeed delta (the signed merge is pure linear algebra —
+    no rescan machinery exists to engage); serve derives stats off
+    state, not data. Reference: stats surface parity with S11
+    (table_mvp.cpp statistics endpoint) lifted to maintained views."""
+    from vectordb_spark.operators.matview import IncrementalAggView
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_stats_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    mv = IncrementalAggView(
+        t, os.path.join(work, "mv"), ["lang"], "n_chars",
+        aggs=("count", "sum", "sumsq"),
+    )
+    # build the moment state AT v1 through the table's history, then
+    # advance the rest of the lifecycle with one incremental merge
+    mv._commit(mv._agg(mv._prepare(t.df(version=v1))), v1)
+    mv.refresh(force_incremental=True)
+    # NULL out the smallest UPSERTED doc's value (deterministic in
+    # both engines: the 4th-smallest id in the first half — the same
+    # selection build_cdc_gate_table and the oracle's `upds` CTE make);
+    # its +1000 moments must retract while n_rows keeps counting it
+    from vectordb_spark.sources.readers import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    null_id = [
+        r[0]
+        for r in d.where(F.col("doc_id") <= mid)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(6)
+        .collect()
+    ][3]
+    lang = (
+        t.df().where(F.col("doc_id") == null_id).select("lang").first()[0]
+    )
+    # insert() enforces the reference's every-field-required JSON rule,
+    # so the NULL value rides the DataFrame ingest path
+    t.insert_df(
+        spark.createDataFrame(
+            [(null_id, lang, None, [0.0, 0.0])],
+            "doc_id long, lang string, n_chars long, Emb array<float>",
+        ),
+        upsert=True,
+    )
+    mv.refresh(force_incremental=True)
+    out = (
+        mv.stats_df()
+        .select(
+            "lang",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_val").cast("long").alias("n_val"),
+            "avg",
+            "var_pop",
+            "stddev_pop",
+        )
+        .orderBy("lang")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # --------------------- streaming JOIN-view maintenance (fact stream)
 
 _SJV_ORACLE = f"""
