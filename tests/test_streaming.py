@@ -506,3 +506,134 @@ def test_stream_topk_view_advances_per_batch(spark, tmp_path):
     # final batch is (16, 160), (13, 130) — id 19 demoted
     assert got[("g1", 1)] == (16, 160)
     assert got[("g1", 2)] == (13, 130)
+
+
+def test_stream_quantile_and_stats_views_advance_per_batch(spark, tmp_path):
+    """Streaming percentile + mean/variance dashboards: three
+    micro-batches upsert into an engine table while ONE foreachBatch
+    sink advances an IncrementalQuantileView AND a second-moment
+    IncrementalAggView per batch — including a final batch that pushes
+    one value OUT of the HDR domain (negative → NULL bucket) and NULLs
+    another (n_rows keeps counting it, n_val and both moments
+    retract). Final state must equal from-scratch twins, bitwise."""
+    from vectordb_spark.operators.matview import (
+        IncrementalAggView,
+        IncrementalQuantileView,
+    )
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="st_qs",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="grp", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "st_qs"))
+    t._init_storage()
+    qv = IncrementalQuantileView(
+        t, str(tmp_path / "qv"), ["grp"], "val", quantiles=(0.5, 0.9)
+    )
+    qv.full_build()
+    sv = IncrementalAggView(
+        t, str(tmp_path / "sv"), ["grp"], "val",
+        aggs=("count", "sum", "sumsq"),
+    )
+    sv.full_build()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [
+            {"id": i, "grp": f"g{i % 2}", "val": 100 + 7 * i, "v": [0.0, 0.0]}
+            for i in range(12)
+        ],
+        [
+            {"id": i, "grp": f"g{i % 2}", "val": 5000 + i, "v": [0.0, 0.0]}
+            for i in range(12, 20)
+        ],
+        # id 0 leaves the HDR domain (NULL bucket, rank-excluded);
+        # id 1's value becomes NULL (moments retract, n_rows stays)
+        [
+            {"id": 0, "grp": "g0", "val": -3, "v": [0.0, 0.0]},
+            {"id": 1, "grp": "g1", "val": None, "v": [0.0, 0.0]},
+        ],
+    ]
+    for i, recs in enumerate(batches):
+        p = str(src / f"b{i}.json")
+        _write_batch(str(src), f"b{i}.json", recs)
+        os.utime(p, (1_000_000_000 + i * 100,) * 2)
+
+    read_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    advances: list[tuple] = []
+
+    def _sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        t.insert_df(batch_df, upsert=True)
+        advances.append(
+            (qv.refresh(force_incremental=True),
+             sv.refresh(force_incremental=True))
+        )
+
+    q = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(advances) == 3 and advances == sorted(set(advances)), advances
+    live = t._load_meta()["version"]
+    assert qv.version() == live and sv.version() == live
+
+    qtwin = IncrementalQuantileView(
+        t, str(tmp_path / "qtwin"), ["grp"], "val", quantiles=(0.5, 0.9)
+    )
+    qtwin.full_build()
+    stwin = IncrementalAggView(
+        t, str(tmp_path / "stwin"), ["grp"], "val",
+        aggs=("count", "sum", "sumsq"),
+    )
+    stwin.full_build()
+
+    def qserved(m):
+        return {
+            r["grp"]: (r["n"], r["est_p50"], r["est_p90"])
+            for r in m.df().collect()
+        }
+
+    def sserved(m):
+        return {
+            r["grp"]: (
+                r["n_rows"], r["n_val"], r["avg"],
+                r["var_pop"], r["stddev_pop"],
+            )
+            for r in m.stats_df().collect()
+        }
+
+    assert qserved(qv) == qserved(qtwin)
+    got = sserved(sv)
+    assert got == sserved(stwin)
+    # g1 still counts id 1's row (10 rows) but only 9 live values
+    assert got["g1"][0] == 10 and got["g1"][1] == 9
+    # ranks exclude id 0's out-of-domain value but its row is counted
+    qg0 = qserved(qv)["g0"]
+    assert qg0[0] == 9
