@@ -1620,3 +1620,142 @@ def test_join_view_sumsq_both_sides_change(fact_dim, tmp_path):
     for g in got:
         for a, b in zip(got[g], truth[g]):
             assert a == pytest.approx(b, rel=1e-9)
+
+
+# ------------------------------------------ time-bucketed rollup view
+
+
+@pytest.fixture
+def rt(spark, tmp_path):
+    """Events-shaped table: PK + epoch-ns timestamp + type + value."""
+    schema = TableSchema(
+        name="rollup_src",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="ts", field_type=FieldType.INT8),
+            FieldSchema(name="typ", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "rollup_src"))
+    t._init_storage()
+    # epoch-ns-scale timestamps (≫ 2^53: float bucket math would
+    # break), hour-aligned so the fixture's bucket keys are literal
+    hour = 3_600_000_000_000
+    base = 500_000 * hour  # 1.8e18 ns
+    t.insert(
+        [
+            {
+                "id": i,
+                "ts": base + (i % 3) * hour + i,  # 3 live hour buckets
+                "typ": "xy"[i % 2],
+                "val": 10 * i,
+                "v": [0.0, 0.0],
+            }
+            for i in range(12)
+        ]
+    )
+    return t, base, hour
+
+
+def _rollup_rows(mv):
+    return {
+        (r["_bucket_start_ns"], r["typ"]): (r["n_rows"], float(r["_sum_dec"]))
+        for r in mv.df().collect()
+    }
+
+
+def test_rollup_view_timestamp_move_migrates_buckets(rt, tmp_path):
+    """The late-data-correction shape: an upsert that MOVES an event's
+    timestamp must retract from the old bucket's group and land in the
+    new one via the signed merge alone (the bucket is stamped on pre-
+    and post-images alike). Exact integer bucketing at epoch-ns scale."""
+    from vectordb_spark.operators.matview import IncrementalRollupView
+
+    t, base, hour = rt
+    mv = IncrementalRollupView(
+        t, str(tmp_path / "mv"), "ts", hour, ["typ"], "val"
+    )
+    mv.full_build()
+    before = _rollup_rows(mv)
+    assert before[(base, "x")] == (2, 60.0)  # ids 0 (val 0) and 6 (60)
+    # move id 0 two hours forward AND change its value
+    t.insert(
+        [
+            {
+                "id": 0,
+                "ts": base + 2 * hour,
+                "typ": "x",
+                "val": 5,
+                "v": [0.0, 0.0],
+            }
+        ],
+        upsert=True,
+    )
+    # plus a late arrival into the OLDEST bucket
+    t.insert(
+        [
+            {
+                "id": 100,
+                "ts": base + 50,
+                "typ": "y",
+                "val": 3,
+                "v": [0.0, 0.0],
+            }
+        ]
+    )
+    mv.refresh(force_incremental=True)
+    got = _rollup_rows(mv)
+    mv2 = IncrementalRollupView(
+        t, str(tmp_path / "mv2"), "ts", hour, ["typ"], "val"
+    )
+    mv2.full_build()
+    assert got == _rollup_rows(mv2)
+    assert got[(base, "x")] == (1, 60.0)  # id 0 left its old bucket
+    assert got[(base + 2 * hour, "x")][0] == 3  # ids 2, 8 + moved id 0
+    assert got[(base, "y")] == (3, 3.0 + 30 + 90)  # late id 100 joined
+
+
+def test_rollup_view_minmax_rescan_is_bucket_scoped(rt, tmp_path):
+    """MIN/MAX rollups rescan dirtied (bucket, group) keys through
+    _prepare, so deleting a bucket's max rescans THAT bucket only and
+    still matches the from-scratch twin."""
+    from vectordb_spark.operators.matview import IncrementalRollupView
+
+    t, base, hour = rt
+    mv = IncrementalRollupView(
+        t, str(tmp_path / "mv"), "ts", hour, ["typ"], "val",
+        aggs=("count", "sum", "min", "max"),
+    )
+    mv.full_build()
+    # id 6 is bucket-0 x's max (val 60): non-invertible retraction
+    t.delete(primary_keys=[6])
+    mv.refresh(force_incremental=True)
+    mv2 = IncrementalRollupView(
+        t, str(tmp_path / "mv2"), "ts", hour, ["typ"], "val",
+        aggs=("count", "sum", "min", "max"),
+    )
+    mv2.full_build()
+
+    def full(m):
+        return {
+            (r["_bucket_start_ns"], r["typ"]): (
+                r["n_rows"], float(r["_sum_dec"]), r["_min"], r["_max"]
+            )
+            for r in m.df().collect()
+        }
+
+    assert full(mv) == full(mv2)
+    assert full(mv)[(base, "x")][3] == 0  # new max is id 0's val
+
+
+def test_rollup_view_rejects_bad_bucket(rt, tmp_path):
+    from vectordb_spark.operators.matview import IncrementalRollupView
+
+    t, _, _ = rt
+    with pytest.raises(ValueError, match="bucket_ns"):
+        IncrementalRollupView(t, str(tmp_path / "mv"), "ts", 0, ["typ"], "val")

@@ -1446,3 +1446,56 @@ class _HdrBucketedAggView(IncrementalAggView):
             .withColumn("_hdr_bucket", F.expr(bucket_sql))
             .drop("_hdr_x")
         )
+
+
+class IncrementalRollupView(IncrementalAggView):
+    """Time-bucketed continuous aggregate — the TimescaleDB
+    continuous-aggregate / "hypertable rollup" class: per
+    (time bucket, *group_cols) COUNT/SUM/MIN/MAX kept fresh from the
+    table's changefeed, where the bucket is DERIVED from an epoch-ns
+    time column via the same ``_prepare`` hook the quantile view uses
+    for HDR buckets (``_bucket_start_ns = t − (t mod bucket_ns)``,
+    pure integer arithmetic — epoch-ns values exceed 2^53, so float
+    division would corrupt the bucket; ``pmod`` keeps the floor
+    semantics for any sign).
+
+    Late data needs no special machinery: a late row is just an insert
+    into an old bucket's group, and a CORRECTION that moves an event's
+    timestamp is an upsert whose pre-image retracts from the old
+    bucket while the post-image lands in the new one — the signed
+    changefeed merge handles both because the bucket is stamped on
+    every changefeed row, pre- and post-images alike.
+
+    100 TB shape: state is |live buckets × groups| rows regardless of
+    event count; a refresh shuffles only the changefeed delta keyed by
+    the (bucket, group) pairs it touches (COUNT/SUM are invertible —
+    no rescan; MIN/MAX dirty groups rescan bucket-scoped). Serving a
+    dashboard reads state, never events. The streaming twin is the
+    same view advanced per micro-batch from a foreachBatch sink
+    (tests/test_streaming.py)."""
+
+    BUCKET_COL = "_bucket_start_ns"
+
+    def __init__(
+        self,
+        table: Table,
+        path: str,
+        time_col: str,
+        bucket_ns: int,
+        group_cols: list[str],
+        value_col: str,
+        aggs: tuple[str, ...] = ("count", "sum"),
+    ) -> None:
+        if int(bucket_ns) <= 0:
+            raise ValueError(f"bucket_ns must be positive, got {bucket_ns!r}")
+        self.time_col = time_col
+        self.bucket_ns = int(bucket_ns)
+        super().__init__(
+            table, path, [self.BUCKET_COL, *group_cols], value_col, aggs=aggs
+        )
+
+    def _prepare(self, src: DataFrame) -> DataFrame:
+        t = F.col(self.time_col).cast("bigint")
+        return src.withColumn(
+            self.BUCKET_COL, t - F.pmod(t, F.lit(self.bucket_ns))
+        )

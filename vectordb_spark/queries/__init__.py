@@ -355,6 +355,16 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     bucket retraction-balance, rank-excluded); oracle recomputes
 #     nearest-rank bucket lower bounds through the SAME integer
 #     ladder from raw parquet.
+#   mv_rollup_refresh — incremental TIME-BUCKETED rollup maintenance
+#     (IncrementalRollupView: the TimescaleDB continuous-aggregate /
+#     hypertable-rollup class; day bucket derived from the epoch-ns
+#     time column by exact integer floor math via the _prepare hook):
+#     full mutation lifecycle on an events-shaped engine table + one
+#     upserted event's TIMESTAMP moved across a bucket boundary (the
+#     late-data-correction shape: pre-image retracts from the old
+#     bucket, post-image lands in the new one, free under the signed
+#     merge because buckets are stamped on every changefeed row);
+#     oracle re-buckets the whole replayed plan from raw parquet.
 #   mv_stats_refresh — incremental AVG/VAR/STDDEV view maintenance
 #     (the second-moment class: exact-decimal (count, sum, sumsq)
 #     state, stats derived at serve time): full cdc lifecycle + one
@@ -399,6 +409,14 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     quantifier-collapse class keeps tpch_q20's twice-correlated
 #     EXISTS in-window, and q21's literal-quantifier oracle proof
 #     stays vetted + selfcheckable on demand)
+#   mv_rollup_refresh               ← stream_late_window_upsert
+#     (G r5–, the window's longest-green streaming row; watermark +
+#     out-of-order machinery stays in-window via
+#     stream_stream_join_attribution and the foreachBatch→Table path
+#     via stream_matview_maintenance + stream_join_matview_maintenance,
+#     with late-window eviction pytest-pinned in tests/test_streaming.py
+#     — and the rollup gate carries the late-data story forward as the
+#     batch continuous-aggregate twin)
 #
 # Executed round-12 rotation (both evictions confirmed green in
 # CORRECTNESS_r11.json before the swap):
@@ -626,6 +644,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "mv_topk_refresh",
         "mv_quantile_refresh",
         "mv_stats_refresh",
+        "mv_rollup_refresh",
     }
 )
 

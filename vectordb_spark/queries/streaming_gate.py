@@ -1659,6 +1659,166 @@ def mv_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------- incremental time-bucketed rollup (hypertable)
+
+_DAY_NS = 86_400_000_000_000
+
+_MV_ROLLUP_ORACLE = f"""
+WITH mid AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m FROM events),
+ordered AS (
+    SELECT event_id FROM events, mid WHERE event_id <= m
+    ORDER BY event_id LIMIT 6
+),
+dels AS (SELECT event_id FROM ordered ORDER BY event_id LIMIT 3),
+upds AS (SELECT event_id FROM ordered ORDER BY event_id LIMIT 3 OFFSET 3),
+mvd AS (SELECT MIN(event_id) AS d FROM upds),
+final AS (
+    SELECT e.event_id, e.event_type,
+           epoch_ns(e.ts)
+             + CASE WHEN e.event_id = (SELECT d FROM mvd)
+                    THEN {_DAY_NS} ELSE 0 END AS tns,
+           CASE WHEN e.event_id IN (SELECT event_id FROM upds)
+                THEN e.value + 100 ELSE e.value END AS value
+    FROM events e
+    WHERE e.event_id NOT IN (SELECT event_id FROM dels)
+)
+SELECT (tns // {_DAY_NS}) * {_DAY_NS} AS bucket_start_ns,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+FROM final GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("mv_rollup_refresh", oracle=_MV_ROLLUP_ORACLE)
+def mv_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TIME-BUCKETED rollup maintenance — the TimescaleDB
+    continuous-aggregate / hypertable-rollup class
+    (operators/matview.py IncrementalRollupView): per (day bucket,
+    event_type) COUNT + exact-decimal SUM(value) kept fresh from the
+    changefeed, the bucket DERIVED from the epoch-ns time column by
+    pure integer floor arithmetic (epoch-ns exceeds 2^53 — float
+    bucket math would corrupt it; both engines run the same t − t mod
+    D ladder). Lifecycle: view built at the table's first version; the
+    mutation plan runs (bulk append, 3 deletes, 3 value-shifting
+    upserts) and ONE refresh merges the changefeed; then one upserted
+    event's TIMESTAMP moves forward a day — the late-data-correction
+    shape: the pre-image must retract from the OLD bucket's group and
+    the post-image must land in the NEW one, which the signed merge
+    gets for free because the bucket is stamped on every changefeed
+    row, pre- and post-images alike — and a second refresh advances
+    the view. The oracle replays the whole plan from raw parquet and
+    re-buckets from scratch, so the hash pins bucket derivation,
+    cross-bucket migration, and the retraction algebra in one row.
+    100 TB shape: state is |live buckets × types| rows regardless of
+    event count; refresh shuffles only the changefeed delta; serving
+    reads state, never events."""
+    from vectordb_spark.operators.matview import IncrementalRollupView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.sources.readers import load_table as _lt
+    from vectordb_spark.table import Table
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_rollup_")
+    e = _lt(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    first = e.where(F.col("event_id") <= mid)
+    ids = [
+        r[0]
+        for r in first.select("event_id").orderBy("event_id").limit(6).collect()
+    ]
+    dels, upds = ids[:3], ids[3:6]
+    table_schema = TableSchema(
+        name="rollup_events",
+        fields=[
+            FieldSchema(
+                name="event_id", field_type=FieldType.INT8, primary_key=True
+            ),
+            FieldSchema(name="ts", field_type=FieldType.INT8),
+            FieldSchema(name="event_type", field_type=FieldType.STRING),
+            FieldSchema(name="value", field_type=FieldType.DOUBLE),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, table_schema, os.path.join(work, "rollup_events"))
+    t._init_storage()
+
+    def _proj(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("v"),
+        )
+
+    t.insert_df(_proj(first))
+    v1 = t.versions()[-1]
+    t.insert_df(_proj(e.where(F.col("event_id") > mid)))
+    t.delete(primary_keys=dels)
+    upd_rows = (
+        e.where(F.col("event_id").isin(upds))
+        .select("event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    t.insert(
+        [
+            {
+                "event_id": r["event_id"],
+                "ts": r["ts"],
+                "event_type": r["event_type"],
+                "value": r["value"] + 100,
+                "v": [0.0, 0.0],
+            }
+            for r in upd_rows
+        ],
+        upsert=True,
+    )
+    mv = IncrementalRollupView(
+        t, os.path.join(work, "mv"), "ts", _DAY_NS, ["event_type"], "value"
+    )
+    # build the bucket state AT v1 through the table's history, then
+    # advance the rest of the lifecycle with one incremental merge
+    mv._commit(mv._agg(mv._prepare(t.df(version=v1))), v1)
+    mv.refresh(force_incremental=True)
+    # the late-data correction: move the smallest UPSERTED event one
+    # day forward (value keeps its +100) — old bucket retracts, new
+    # bucket gains, across the bucket boundary by construction
+    moved = min(r["event_id"] for r in upd_rows)
+    mrow = next(r for r in upd_rows if r["event_id"] == moved)
+    t.insert(
+        [
+            {
+                "event_id": moved,
+                "ts": mrow["ts"] + _DAY_NS,
+                "event_type": mrow["event_type"],
+                "value": mrow["value"] + 100,
+                "v": [0.0, 0.0],
+            }
+        ],
+        upsert=True,
+    )
+    mv.refresh(force_incremental=True)
+    out = (
+        mv.df()
+        .select(
+            F.col("_bucket_start_ns").alias("bucket_start_ns"),
+            "event_type",
+            F.col("n_rows").alias("n_events"),
+            F.col("_sum_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket_start_ns", "event_type")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # --------------------- streaming JOIN-view maintenance (fact stream)
 
 _SJV_ORACLE = f"""
