@@ -637,3 +637,109 @@ def test_stream_quantile_and_stats_views_advance_per_batch(spark, tmp_path):
     # ranks exclude id 0's out-of-domain value but its row is counted
     qg0 = qserved(qv)["g0"]
     assert qg0[0] == 9
+
+
+def test_stream_rollup_view_advances_per_batch(spark, tmp_path):
+    """Streaming continuous aggregate: micro-batches upsert into an
+    engine table while the foreachBatch sink advances an
+    IncrementalRollupView per batch — batch 2 is LATE DATA into an old
+    bucket, batch 3 is a timestamp CORRECTION that moves an event
+    across a bucket boundary. Final state equals a from-scratch twin."""
+    from vectordb_spark.operators.matview import IncrementalRollupView
+    from vectordb_spark.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_spark.table import Table
+
+    schema = TableSchema(
+        name="st_rollup",
+        fields=[
+            FieldSchema(name="id", field_type=FieldType.INT8, primary_key=True),
+            FieldSchema(name="ts", field_type=FieldType.INT8),
+            FieldSchema(name="typ", field_type=FieldType.STRING),
+            FieldSchema(name="val", field_type=FieldType.INT8),
+            FieldSchema(
+                name="v", field_type=FieldType.VECTOR_FLOAT,
+                dimension=2, metric="EUCLIDEAN",
+            ),
+        ],
+    )
+    t = Table(spark, schema, str(tmp_path / "st_rollup"))
+    t._init_storage()
+    hour = 3_600_000_000_000
+    base = 500_000 * hour  # 1.8e18 ns, hour-aligned
+    mv = IncrementalRollupView(
+        t, str(tmp_path / "mv"), "ts", hour, ["typ"], "val"
+    )
+    mv.full_build()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [
+            {"id": i, "ts": base + (i % 2) * hour + i, "typ": "a",
+             "val": i, "v": [0.0, 0.0]}
+            for i in range(8)
+        ],
+        # late data: lands in the FIRST bucket long after batch 0
+        [
+            {"id": 100, "ts": base + 99, "typ": "a", "val": 50,
+             "v": [0.0, 0.0]}
+        ],
+        # correction: id 0 moves up two buckets (pre-image retracts)
+        [
+            {"id": 0, "ts": base + 2 * hour, "typ": "a", "val": 7,
+             "v": [0.0, 0.0]}
+        ],
+    ]
+    for i, recs in enumerate(batches):
+        p = str(src / f"b{i}.json")
+        _write_batch(str(src), f"b{i}.json", recs)
+        os.utime(p, (1_000_000_000 + i * 100,) * 2)
+
+    read_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("typ", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    versions: list[int] = []
+
+    def _sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        t.insert_df(batch_df, upsert=True)
+        versions.append(mv.refresh(force_incremental=True))
+
+    q = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(versions) == 3 and versions == sorted(set(versions)), versions
+    assert mv.version() == t._load_meta()["version"]
+
+    twin = IncrementalRollupView(
+        t, str(tmp_path / "twin"), "ts", hour, ["typ"], "val"
+    )
+    twin.full_build()
+
+    def served(m):
+        return {
+            r["_bucket_start_ns"]: (r["n_rows"], float(r["_sum_dec"]))
+            for r in m.df().collect()
+        }
+
+    got = served(mv)
+    assert got == served(twin)
+    # bucket 0: ids 2,4,6 + late id 100 (id 0 moved away)
+    assert got[base] == (4, 2.0 + 4 + 6 + 50)
+    # bucket 2 exists only through the correction
+    assert got[base + 2 * hour] == (1, 7.0)
