@@ -1759,3 +1759,61 @@ def test_rollup_view_rejects_bad_bucket(rt, tmp_path):
     t, _, _ = rt
     with pytest.raises(ValueError, match="bucket_ns"):
         IncrementalRollupView(t, str(tmp_path / "mv"), "ts", 0, ["typ"], "val")
+
+
+def test_invertible_refresh_never_scans_base(t, tmp_path, monkeypatch):
+    """The COUNT/SUM (and rollup) refresh contract is 'changefeed +
+    state, never the base': pin it by making every base-snapshot read
+    explode after the build. Only the MIN/MAX dirty rescan is allowed
+    to touch the base — verified by the companion test below."""
+    mv = IncrementalAggView(t, str(tmp_path / "mv"), ["grp"], "val")
+    mv.full_build()
+    t.insert([{"id": 50, "grp": "a", "val": 5, "v": [0.0, 0.0]}])
+    t.delete(primary_keys=[1])
+    t.insert([{"id": 2, "grp": "a", "val": 999, "v": [0.0, 0.0]}], upsert=True)
+
+    def boom(*a, **k):
+        raise AssertionError("invertible refresh must not scan the base")
+
+    monkeypatch.setattr(t, "df", boom)
+    mv.refresh(force_incremental=True)
+    got = _rows(mv)
+    monkeypatch.undo()
+    mv2 = IncrementalAggView(t, str(tmp_path / "mv2"), ["grp"], "val")
+    mv2.full_build()
+    assert got == _rows(mv2)
+
+
+def test_minmax_refresh_scans_base_only_when_dirtied(t, tmp_path, monkeypatch):
+    """MIN/MAX refresh touches the base ONLY for dirtied groups: an
+    insert that cannot lower/raise any extremum (new max arriving) must
+    merge without a rescan; deleting a group's max must rescan."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val", aggs=("count", "max")
+    )
+    mv.full_build()
+    # a new global max: monotone merge, no rescan needed
+    t.insert([{"id": 50, "grp": "a", "val": 10_000, "v": [0.0, 0.0]}])
+
+    def boom(*a, **k):
+        raise AssertionError("monotone MAX merge must not rescan the base")
+
+    monkeypatch.setattr(t, "df", boom)
+    mv.refresh(force_incremental=True)
+    monkeypatch.undo()
+    rows = {r["grp"]: r["_max"] for r in mv.df().collect()}
+    assert rows["a"] == 10_000
+    # now delete it: the group is dirtied and MUST rescan
+    t.delete(primary_keys=[50])
+    called = {}
+    real_df = t.df
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real_df(*a, **k)
+
+    monkeypatch.setattr(t, "df", spy)
+    mv.refresh(force_incremental=True)
+    assert called.get("yes"), "deleting the max must trigger the rescan"
+    rows = {r["grp"]: r["_max"] for r in mv.df().collect()}
+    assert rows["a"] == 80  # ids 0..9 grp a: vals 0,20,...,80

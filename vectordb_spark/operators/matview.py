@@ -437,6 +437,13 @@ class IncrementalAggView:
         final = clean
         if track_min or track_max:
             dirty_keys = merged.where(F.col("_dirty")).select(*self.group_cols)
+            if dirty_keys.isEmpty():
+                # monotone merge (no retraction tied-or-beat a candidate
+                # extremum): attaching the rescan branch anyway would
+                # still SCAN the base to match an empty key set — the
+                # common append-heavy refresh must stay O(state + delta)
+                dirty_keys = None
+        if (track_min or track_max) and dirty_keys is not None:
             # Group-scoped rescan: |dirty_keys| <= |delta groups|, so
             # broadcast it and semi-join the base snapshot — the only
             # base read, prunable by group-key clustering. Re-aggregate
