@@ -1817,3 +1817,96 @@ def test_minmax_refresh_scans_base_only_when_dirtied(t, tmp_path, monkeypatch):
     assert called.get("yes"), "deleting the max must trigger the rescan"
     rows = {r["grp"]: r["_max"] for r in mv.df().collect()}
     assert rows["a"] == 80  # ids 0..9 grp a: vals 0,20,...,80
+
+
+def test_rollup_view_coarsen_serves_day_grain_off_state(rt, tmp_path):
+    """Hierarchical continuous aggregates: coarsen(day) re-aggregated
+    from HOUR state must equal a from-scratch day-grain view, and it
+    must be a pure state query (base reads explode after the build)."""
+    from vectordb_spark.operators.matview import IncrementalRollupView
+
+    t, base, hour = rt
+    day = 24 * hour
+    mv = IncrementalRollupView(
+        t, str(tmp_path / "mv"), "ts", hour, ["typ"], "val",
+        aggs=("count", "sum", "min", "max"),
+    )
+    mv.full_build()
+    day_twin = IncrementalRollupView(
+        t, str(tmp_path / "day"), "ts", day, ["typ"], "val",
+        aggs=("count", "sum", "min", "max"),
+    )
+    day_twin.full_build()
+
+    def rows(df):
+        return {
+            (r["_bucket_start_ns"], r["typ"]): (
+                r["n_rows"], float(r["_sum_dec"]), r["_min"], r["_max"]
+            )
+            for r in df.collect()
+        }
+
+    import pytest as _pytest
+
+    real_df = t.df
+    t.df = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("coarsen must serve off state")
+    )
+    try:
+        got = rows(mv.coarsen(day))
+    finally:
+        t.df = real_df
+    assert got == rows(day_twin.df())
+    with _pytest.raises(ValueError, match="multiple"):
+        mv.coarsen(hour + 1)
+
+
+def test_rollup_view_retention_bounds_state(rt, tmp_path):
+    """retention_ns expires buckets trailing the view's max bucket at
+    every commit — physically, so state is bounded on an unbounded
+    horizon — while buckets inside the window keep maintaining
+    exactly (watermark semantics)."""
+    from vectordb_spark.operators.matview import IncrementalRollupView
+
+    t, base, hour = rt
+    mv = IncrementalRollupView(
+        t, str(tmp_path / "mv"), "ts", hour, ["typ"], "val",
+        retention_ns=2 * hour,
+    )
+    mv.full_build()
+    # fixture spans buckets 0,1,2; retention 2h from max (bucket 2)
+    # keeps buckets 1 and 2 only
+    buckets = {r["_bucket_start_ns"] for r in mv.df().collect()}
+    assert buckets == {base + hour, base + 2 * hour}
+    # an in-window mutation maintains exactly: move id 1 (bucket 1)
+    # value 10 -> 77
+    t.insert(
+        [
+            {
+                "id": 1, "ts": base + hour + 1, "typ": "y", "val": 77,
+                "v": [0.0, 0.0],
+            }
+        ],
+        upsert=True,
+    )
+    # and a new max bucket advances the horizon, expiring bucket 1
+    t.insert(
+        [
+            {
+                "id": 200, "ts": base + 3 * hour, "typ": "x", "val": 1,
+                "v": [0.0, 0.0],
+            }
+        ]
+    )
+    mv.refresh(force_incremental=True)
+    got = {
+        (r["_bucket_start_ns"], r["typ"]): (r["n_rows"], float(r["_sum_dec"]))
+        for r in mv.df().collect()
+    }
+    assert {b for b, _ in got} == {base + 2 * hour, base + 3 * hour}
+    assert got[(base + 3 * hour, "x")] == (1, 1.0)
+    with pytest.raises(ValueError, match="retention_ns"):
+        IncrementalRollupView(
+            t, str(tmp_path / "bad"), "ts", hour, ["typ"], "val",
+            retention_ns=hour // 2,
+        )

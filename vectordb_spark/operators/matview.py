@@ -1492,11 +1492,18 @@ class IncrementalRollupView(IncrementalAggView):
         group_cols: list[str],
         value_col: str,
         aggs: tuple[str, ...] = ("count", "sum"),
+        retention_ns: int | None = None,
     ) -> None:
         if int(bucket_ns) <= 0:
             raise ValueError(f"bucket_ns must be positive, got {bucket_ns!r}")
+        if retention_ns is not None and int(retention_ns) < int(bucket_ns):
+            raise ValueError(
+                f"retention_ns ({retention_ns!r}) must cover at least one "
+                f"bucket ({bucket_ns!r})"
+            )
         self.time_col = time_col
         self.bucket_ns = int(bucket_ns)
+        self.retention_ns = None if retention_ns is None else int(retention_ns)
         super().__init__(
             table, path, [self.BUCKET_COL, *group_cols], value_col, aggs=aggs
         )
@@ -1506,3 +1513,63 @@ class IncrementalRollupView(IncrementalAggView):
         return src.withColumn(
             self.BUCKET_COL, t - F.pmod(t, F.lit(self.bucket_ns))
         )
+
+    def _commit(self, df: DataFrame, version: int) -> None:
+        if self.retention_ns is not None:
+            # Retention = the watermark story for an infinite stream:
+            # without it, live buckets grow with TIME even though each
+            # is constant-size, so state is unbounded on an unbounded
+            # horizon. Expire buckets trailing the view's own maximum
+            # by more than retention_ns at every commit — physically,
+            # so the bound holds on disk, not just at serve. Same
+            # semantics as Spark's streaming watermark state drop: a
+            # straggler older than retention re-creates its bucket
+            # with only the post-expiry rows (document, don't mask).
+            # The global window runs over STATE (live buckets ×
+            # groups), never data — the frame is about to be written
+            # in full anyway.
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy()
+            df = (
+                df.withColumn("_maxb", F.max(self.BUCKET_COL).over(w))
+                .where(
+                    F.col(self.BUCKET_COL)
+                    > F.col("_maxb") - F.lit(self.retention_ns)
+                )
+                .drop("_maxb")
+            )
+        super()._commit(df, version)
+
+    def coarsen(self, bucket_ns: int) -> DataFrame:
+        """Serve a COARSER grain off this view's state — hierarchical
+        continuous aggregates (hour → day → month) without a second
+        maintained view: every stored aggregate re-aggregates exactly
+        (count/sum/sumsq by addition, min/max by min/max), so the
+        coarse rollup is a pure O(state) query over live buckets ×
+        groups that never touches the base table. ``bucket_ns`` must
+        be a multiple of the fine grain (buckets must nest)."""
+        b = int(bucket_ns)
+        if b <= 0 or b % self.bucket_ns:
+            raise ValueError(
+                f"coarsen bucket_ns {bucket_ns!r} must be a positive "
+                f"multiple of the view grain {self.bucket_ns}"
+            )
+        fine = F.col(self.BUCKET_COL)
+        coarse = (fine - F.pmod(fine, F.lit(b))).alias(self.BUCKET_COL)
+        keys = [c for c in self.group_cols if c != self.BUCKET_COL]
+        exprs = [F.sum("n_rows").alias("n_rows")]
+        if "sum" in self.aggs:
+            exprs.append(
+                F.sum("_sum_dec").cast("decimal(28,4)").alias("_sum_dec")
+            )
+        if "sumsq" in self.aggs:
+            exprs.append(
+                F.sum("_sumsq_dec").cast(_SQ_DEC).alias("_sumsq_dec")
+            )
+            exprs.append(F.sum("_n_val").alias("_n_val"))
+        if "min" in self.aggs:
+            exprs.append(F.min("_min").alias("_min"))
+        if "max" in self.aggs:
+            exprs.append(F.max("_max").alias("_max"))
+        return self.df().groupBy(coarse, *keys).agg(*exprs)
