@@ -1525,6 +1525,12 @@ class IncrementalRollupView(IncrementalAggView):
             # semantics as Spark's streaming watermark state drop: a
             # straggler older than retention re-creates its bucket
             # with only the post-expiry rows (document, don't mask).
+            # NULL-time rows (their bucket is NULL) fail the filter
+            # and are likewise expired: a retention-bounded rollup has
+            # no place on the time axis for them — and a later
+            # retraction against the vanished row merges to a
+            # negative-count state row the n_rows > 0 cut drops, so
+            # nothing corrupts.
             # The global window runs over STATE (live buckets ×
             # groups), never data — the frame is about to be written
             # in full anyway.
