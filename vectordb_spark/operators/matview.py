@@ -163,7 +163,13 @@ class IncrementalAggView:
         import shutil
 
         data_dir = os.path.join(self.path, f"v{version}")
-        df.write.mode("overwrite").parquet(data_dir)
+        # state is |groups|-sized by design (the whole point of a
+        # maintained view), but the merge plan arrives at shuffle
+        # parallelism — written as-is that is 32 near-empty files whose
+        # open/footer cost taxes EVERY subsequent refresh and serve.
+        # Coalesce narrows only the post-shuffle write (merge frames
+        # are localCheckpointed upstream, so no recompute widens).
+        df.coalesce(8).write.mode("overwrite").parquet(data_dir)
         tmp = self._state_file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"source_version": version, "dir": f"v{version}"}, fh)
@@ -610,7 +616,8 @@ class IncrementalJoinAggView:
 
         tag = f"v{vf}_{vd}"
         data_dir = os.path.join(self.path, tag)
-        df.write.mode("overwrite").parquet(data_dir)
+        # |groups|-sized state: see IncrementalAggView._commit
+        df.coalesce(8).write.mode("overwrite").parquet(data_dir)
         tmp = self._state_file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
@@ -1084,7 +1091,13 @@ class IncrementalTopKView:
         import shutil
 
         data_dir = os.path.join(self.path, f"v{version}")
-        df.write.mode("overwrite").parquet(data_dir)
+        # state is |groups|-sized by design (the whole point of a
+        # maintained view), but the merge plan arrives at shuffle
+        # parallelism — written as-is that is 32 near-empty files whose
+        # open/footer cost taxes EVERY subsequent refresh and serve.
+        # Coalesce narrows only the post-shuffle write (merge frames
+        # are localCheckpointed upstream, so no recompute widens).
+        df.coalesce(8).write.mode("overwrite").parquet(data_dir)
         tmp = self._state_file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"source_version": version, "dir": f"v{version}"}, fh)
