@@ -1910,3 +1910,87 @@ def test_rollup_view_retention_bounds_state(rt, tmp_path):
             t, str(tmp_path / "bad"), "ts", hour, ["typ"], "val",
             retention_ns=hour // 2,
         )
+
+
+# --------------------------------------------- partial (filtered) views
+
+
+def test_filtered_view_boundary_crossing_upserts(t, tmp_path):
+    """Partial view: the filter is the table's own expression language,
+    applied to every frame the algebra sees. The hard shape is an
+    upsert CROSSING the boundary — entering rows add-only, leaving
+    rows retract-only — which must fall out of filtering the signed
+    changefeed with no special casing."""
+    mv = IncrementalAggView(
+        t, str(tmp_path / "mv"), ["grp"], "val", filter="val >= 40"
+    )
+    mv.full_build()
+    assert _rows(mv) == {"a": (3, 180.0), "b": (3, 210.0)}
+    # id 1 (grp b, val 10) ENTERS the view; id 4 (grp a, val 40) LEAVES;
+    # id 6 (grp a, val 60) moves WITHIN; id 8 (grp a, val 80) deleted
+    t.insert([{"id": 1, "grp": "b", "val": 500, "v": [0.0, 0.0]}], upsert=True)
+    t.insert([{"id": 4, "grp": "a", "val": 5, "v": [0.0, 0.0]}], upsert=True)
+    t.insert([{"id": 6, "grp": "a", "val": 61, "v": [0.0, 0.0]}], upsert=True)
+    t.delete(primary_keys=[8])
+    mv.refresh(force_incremental=True)
+    got = _rows(mv)
+    mv2 = IncrementalAggView(
+        t, str(tmp_path / "mv2"), ["grp"], "val", filter="val >= 40"
+    )
+    mv2.full_build()
+    assert got == _rows(mv2)
+    assert got == {"a": (1, 61.0), "b": (4, 710.0)}
+
+
+def test_filtered_rollup_and_quantile_compose(rt, tmp_path):
+    """Filter and derived-key hooks compose through super()._prepare:
+    a filtered rollup and a filtered quantile view must both equal
+    their from-scratch twins after mutations."""
+    from vectordb_spark.operators.matview import (
+        IncrementalQuantileView,
+        IncrementalRollupView,
+    )
+
+    t, base, hour = rt
+    flt = "typ = 'x'"
+    rv = IncrementalRollupView(
+        t, str(tmp_path / "rv"), "ts", hour, ["typ"], "val", filter=flt
+    )
+    rv.full_build()
+    qv = IncrementalQuantileView(
+        t, str(tmp_path / "qv"), ["typ"], "val",
+        quantiles=(0.5,), filter=flt,
+    )
+    qv.full_build()
+    # only x rows in state
+    assert {r["typ"] for r in rv.df().collect()} == {"x"}
+    # a y row enters x (crosses the filter), an x row leaves to y
+    t.insert([{"id": 1, "ts": base + 1, "typ": "x", "val": 11,
+               "v": [0.0, 0.0]}], upsert=True)
+    t.insert([{"id": 2, "ts": base + 2 * hour + 2, "typ": "y", "val": 20,
+               "v": [0.0, 0.0]}], upsert=True)
+    rv.refresh(force_incremental=True)
+    qv.refresh(force_incremental=True)
+    rv2 = IncrementalRollupView(
+        t, str(tmp_path / "rv2"), "ts", hour, ["typ"], "val", filter=flt
+    )
+    rv2.full_build()
+    qv2 = IncrementalQuantileView(
+        t, str(tmp_path / "qv2"), ["typ"], "val",
+        quantiles=(0.5,), filter=flt,
+    )
+    qv2.full_build()
+    assert _rollup_rows(rv) == _rollup_rows(rv2)
+    qrows = {r["typ"]: (r["n"], r["est_p50"]) for r in qv.df().collect()}
+    assert qrows == {
+        r["typ"]: (r["n"], r["est_p50"]) for r in qv2.df().collect()
+    }
+    assert set(qrows) == {"x"}
+
+
+def test_filtered_view_rejects_distance(t, tmp_path):
+    with pytest.raises(ValueError, match="@distance"):
+        IncrementalAggView(
+            t, str(tmp_path / "mv"), ["grp"], "val",
+            filter="@distance < 0.5",
+        )

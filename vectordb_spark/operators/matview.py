@@ -123,6 +123,7 @@ class IncrementalAggView:
         group_cols: list[str],
         value_col: str,
         aggs: tuple[str, ...] = ("count", "sum"),
+        filter: str | None = None,
     ) -> None:
         bad = [a for a in aggs if a not in SUPPORTED_AGGS]
         if bad:
@@ -140,6 +141,32 @@ class IncrementalAggView:
         # COUNT is always maintained — group drop-out (count reaching
         # zero) is what keeps deleted groups from lingering forever.
         self.aggs = tuple(dict.fromkeys(("count", *aggs)))
+        # PARTIAL views: a filter in the table's own expression
+        # language (expr/ — the reference grammar), applied uniformly
+        # to every frame the algebra sees (full-build scan, signed
+        # changefeed, dirty rescan). Selection commutes with the
+        # signed-multiset semantics, so maintenance stays exact —
+        # including an upsert that moves a row ACROSS the boundary:
+        # its in-filter image contributes, its out-of-filter image
+        # simply doesn't (retract-only / add-only), with no special
+        # casing. @distance is meaningless without a search and is
+        # rejected at construction.
+        self.filter = filter
+        self._filter_col = None
+        if filter is not None:
+            from vectordb_spark.expr.compile import (
+                references_distance,
+                to_spark_column,
+            )
+            from vectordb_spark.expr.parser import parse_filter
+
+            ast = parse_filter(filter, table.field_map())
+            if references_distance(ast):
+                raise ValueError(
+                    "view filters cannot reference @distance "
+                    "(no search context in a maintained view)"
+                )
+            self._filter_col = to_spark_column(ast)
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -210,7 +237,11 @@ class IncrementalAggView:
         e.g. :class:`IncrementalQuantileView` stamps the HDR bucket id.
         Must be a pure per-row projection that preserves existing
         columns (the changefeed's ``_change_type`` rides through).
-        Identity by default."""
+        Applies the partial-view filter (if any); otherwise identity.
+        Subclasses with derived keys call ``super()._prepare`` first so
+        filter and derivation compose."""
+        if self._filter_col is not None:
+            src = src.where(self._filter_col)
         return src
 
     def _agg(self, src: DataFrame) -> DataFrame:
@@ -943,11 +974,13 @@ class IncrementalDistinctCountView:
         path: str,
         group_cols: list[str],
         value_col: str,
+        filter: str | None = None,
     ) -> None:
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self._inner = IncrementalAggView(
-            table, path, [*group_cols, value_col], value_col, aggs=("count",)
+            table, path, [*group_cols, value_col], value_col,
+            aggs=("count",), filter=filter,
         )
 
     def full_build(self) -> int:
@@ -1384,6 +1417,7 @@ class IncrementalQuantileView:
         group_cols: list[str],
         value_col: str,
         quantiles: tuple[float, ...] = (0.5, 0.99),
+        filter: str | None = None,
     ) -> None:
         if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
             raise ValueError(
@@ -1392,7 +1426,9 @@ class IncrementalQuantileView:
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.quantiles = tuple(quantiles)
-        self._inner = _HdrBucketedAggView(table, path, group_cols, value_col)
+        self._inner = _HdrBucketedAggView(
+            table, path, group_cols, value_col, filter=filter
+        )
 
     def full_build(self) -> int:
         return self._inner.full_build()
@@ -1448,17 +1484,19 @@ class _HdrBucketedAggView(IncrementalAggView):
     the state engine behind :class:`IncrementalQuantileView`."""
 
     def __init__(
-        self, table: Table, path: str, group_cols: list[str], value_col: str
+        self, table: Table, path: str, group_cols: list[str], value_col: str,
+        filter: str | None = None,
     ) -> None:
         super().__init__(
             table, path, [*group_cols, "_hdr_bucket"], value_col,
-            aggs=("count",),
+            aggs=("count",), filter=filter,
         )
         self._value_src = value_col
 
     def _prepare(self, src: DataFrame) -> DataFrame:
         from vectordb_spark.operators.sketch import hdr_bucket_lb_sql
 
+        src = super()._prepare(src)
         bucket_sql, _ = hdr_bucket_lb_sql("_hdr_x")
         x = F.col(self._value_src).cast("bigint")
         return (
@@ -1506,6 +1544,7 @@ class IncrementalRollupView(IncrementalAggView):
         value_col: str,
         aggs: tuple[str, ...] = ("count", "sum"),
         retention_ns: int | None = None,
+        filter: str | None = None,
     ) -> None:
         if int(bucket_ns) <= 0:
             raise ValueError(f"bucket_ns must be positive, got {bucket_ns!r}")
@@ -1518,10 +1557,12 @@ class IncrementalRollupView(IncrementalAggView):
         self.bucket_ns = int(bucket_ns)
         self.retention_ns = None if retention_ns is None else int(retention_ns)
         super().__init__(
-            table, path, [self.BUCKET_COL, *group_cols], value_col, aggs=aggs
+            table, path, [self.BUCKET_COL, *group_cols], value_col,
+            aggs=aggs, filter=filter,
         )
 
     def _prepare(self, src: DataFrame) -> DataFrame:
+        src = super()._prepare(src)
         t = F.col(self.time_col).cast("bigint")
         return src.withColumn(
             self.BUCKET_COL, t - F.pmod(t, F.lit(self.bucket_ns))

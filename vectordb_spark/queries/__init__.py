@@ -355,6 +355,13 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     bucket retraction-balance, rank-excluded); oracle recomputes
 #     nearest-rank bucket lower bounds through the SAME integer
 #     ladder from raw parquet.
+#   mv_filtered_refresh — PARTIAL view maintenance: the view is
+#     defined over a σ(table) in the table's OWN filter-expression
+#     language (the reference grammar, compiled once, applied to
+#     full-build scan / signed changefeed / rescan alike); lifecycle
+#     includes upserts crossing the filter boundary BOTH ways
+#     (retract-only / add-only, no special casing); the oracle
+#     replays the plan and applies the same WHERE from scratch.
 #   mv_rollup_refresh — incremental TIME-BUCKETED rollup maintenance
 #     (IncrementalRollupView: the TimescaleDB continuous-aggregate /
 #     hypertable-rollup class; day bucket derived from the epoch-ns
@@ -409,6 +416,12 @@ ORACLE_WINDOW: tuple[str, ...] = (
 #     quantifier-collapse class keeps tpch_q20's twice-correlated
 #     EXISTS in-window, and q21's literal-quantifier oracle proof
 #     stays vetted + selfcheckable on demand)
+#   mv_filtered_refresh             ← t6_knn_postfilter_distance
+#     (G r1–, the window's longest-green core row; @distance
+#     post-filtering stays pytest-pinned in test_table_api and the
+#     facets-over-search path keeps a5 in-window — and the filtered
+#     view gate drives the SAME expression compiler end-to-end, now
+#     against the changefeed instead of a scan)
 #   mv_rollup_refresh               ← stream_late_window_upsert
 #     (G r5–, the window's longest-green streaming row; watermark +
 #     out-of-order machinery stays in-window via
@@ -645,6 +658,7 @@ WINDOW_VETTED: frozenset[str] = frozenset(
         "mv_quantile_refresh",
         "mv_stats_refresh",
         "mv_rollup_refresh",
+        "mv_filtered_refresh",
     }
 )
 

@@ -1659,6 +1659,109 @@ def mv_stats_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------------------------ partial (filtered) view
+
+_MV_FILTERED_ORACLE = """
+WITH mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+ordered AS (
+    SELECT doc_id FROM documents, mid WHERE doc_id <= m
+    ORDER BY doc_id LIMIT 6
+),
+dels AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3),
+upds AS (SELECT doc_id FROM ordered ORDER BY doc_id LIMIT 3 OFFSET 3),
+xid AS (SELECT MIN(doc_id) AS d FROM upds),
+final AS (
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id = (SELECT d FROM xid) THEN 7
+                WHEN d.doc_id IN (SELECT doc_id FROM upds)
+                THEN d.n_chars + 1000 ELSE d.n_chars END AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dels)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE) AS sum_chars
+FROM final
+WHERE n_chars >= 200 AND lang <> 'de'
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("mv_filtered_refresh", oracle=_MV_FILTERED_ORACLE)
+def mv_filtered_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL materialized-view maintenance — the view is defined
+    over a σ(table) in the TABLE'S OWN filter-expression language (the
+    reference grammar, expr/: comparisons + AND + <> here — the
+    grammar's own quirk that NOT cannot be an AND operand included),
+    compiled once and applied to every frame the
+    delta algebra sees: full-build scan, signed changefeed, dirty
+    rescan. Selection commutes with signed-multiset semantics, so the
+    classic partial-view hazard — an upsert whose images straddle the
+    boundary — needs no special casing: the in-filter image
+    contributes, the out-of-filter image doesn't (retract-only /
+    add-only). Lifecycle: view built at v1 under
+    ``n_chars >= 200 AND lang <> 'de'``; the full mutation plan
+    runs (bulk append, 3 deletes, 3 upserts that shift rows INTO the
+    filter) and ONE refresh merges the filtered changefeed; then the
+    smallest upserted doc CROSSES OUT (n_chars → 7) and a second
+    refresh must retract it from its group while n_rows elsewhere
+    stand. The oracle replays the plan from raw parquet and applies
+    the same WHERE from scratch. 100 TB shape: the filter PRUNES the
+    changefeed before the shuffle (and the base scan it replaces
+    entirely) — a partial view over a 1% slice pays 1% of the merge,
+    which is the point of declaring the filter in the view instead of
+    filtering at read time. Reference parity: the same grammar drives
+    scan filters (P2–P7) and, via this class, standing views."""
+    from vectordb_spark.operators.matview import IncrementalAggView
+
+    work = tempfile.mkdtemp(prefix="vdb_mv_flt_")
+    t, v1 = build_cdc_gate_table(spark, sf_dir, work)
+    mv = IncrementalAggView(
+        t, os.path.join(work, "mv"), ["lang"], "n_chars",
+        filter="n_chars >= 200 AND lang <> 'de'",
+    )
+    # build the filtered state AT v1 through the table's history, then
+    # advance the rest of the lifecycle with one incremental merge
+    mv._commit(mv._agg(mv._prepare(t.df(version=v1))), v1)
+    mv.refresh(force_incremental=True)
+    # cross OUT of the filter: the smallest UPSERTED doc (the same
+    # deterministic selection the oracle's `upds`/`xid` CTEs make)
+    # drops from n_chars+1000 to 7 — its pre-image retracts, its
+    # post-image contributes nothing
+    from vectordb_spark.sources.readers import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    x_id = [
+        r[0]
+        for r in d.where(F.col("doc_id") <= mid)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(6)
+        .collect()
+    ][3]
+    lang = t.df().where(F.col("doc_id") == x_id).select("lang").first()[0]
+    t.insert(
+        [{"doc_id": x_id, "lang": lang, "n_chars": 7, "Emb": [0.0, 0.0]}],
+        upsert=True,
+    )
+    mv.refresh(force_incremental=True)
+    out = (
+        mv.df()
+        .select(
+            "lang",
+            F.col("n_rows").alias("n_docs"),
+            F.col("_sum_dec").cast("double").alias("sum_chars"),
+        )
+        .orderBy("lang")
+        .localCheckpoint()
+    )
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 # ------------------- incremental time-bucketed rollup (hypertable)
 
 _DAY_NS = 86_400_000_000_000
