@@ -586,3 +586,52 @@ def test_pq_fit_hash_sample_string_ids_under_ansi(spark):
         assert old.codebook != fwd.codebook
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi0)
+
+
+def test_encode_arrow_map_passthrough_and_nulls(spark):
+    """r12 optimization: encode_arrow_map (the mapInArrow encode that
+    PQIndex.codes(impl="np") now routes through) must append codes
+    bit-identical to encode_expr while passing every other column
+    through aligned — the flatten/reshape path would silently
+    misalign rows if it mishandled batch slicing — and must refuse
+    NULL vectors rather than drop them (flatten() skips null slots)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import vectordb_spark.operators.pq as PQ
+
+    dim = 320
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), f"lab{i % 3}", [float(x) for x in rng.uniform(-0.5, 0.5, size=dim)])
+        for i in range(137)  # non-multiple of any batch size
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    cb = PQ.seeded_codebook(dim)
+    grid_s, _ = PQ.grid_exprs("embedding")
+    want = {
+        r["vec_id"]: (r["label"], list(r["c"]))
+        for r in df.withColumn("_g", F.expr(grid_s))
+        .select("vec_id", "label", F.expr(PQ.encode_expr("_g", cb)).alias("c"))
+        .collect()
+    }
+    out = PQ.encode_arrow_map(df, "embedding", cb, "_pq_codes")
+    assert out.columns == ["vec_id", "label", "embedding", "_pq_codes"]
+    got = {
+        r["vec_id"]: (r["label"], list(r["_pq_codes"]))
+        for r in out.select("vec_id", "label", "_pq_codes").collect()
+    }
+    assert got == want
+
+    nulled = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 5, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        PQ.encode_arrow_map(nulled, "embedding", cb).collect()
+    assert "NULL vectors" in str(ei.value)

@@ -180,7 +180,6 @@ def encode_np_udf(codebook: list[list[list[int]]]):
     from pyspark.sql.types import ArrayType, LongType
 
     CB = np.asarray(codebook, dtype=np.int64)  # (m, k, sub)
-    m, _, sub = CB.shape
 
     # Distances via the GEMM expansion |s−c|² = |s|² − 2·s·c + |c|²:
     # one BLAS matmul per subspace over (batch, sub)×(sub, k) instead
@@ -199,18 +198,7 @@ def encode_np_udf(codebook: list[list[list[int]]]):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(v.to_numpy()).astype(np.float64)
-        G = np.floor(X * QMUL + 0.5)               # exact integer doubles
-        codes = np.empty((len(X), m), dtype=np.int64)
-        for mi in range(m):
-            S = G[:, mi * sub : (mi + 1) * sub]    # (n, sub)
-            sc = S @ CBf[mi].T                     # (n, k) exact ints
-            s2 = (S * S).sum(axis=1)               # (n,) exact ints
-            d = (
-                s2[:, None].astype(np.int64)
-                - 2 * sc.astype(np.int64)
-                + c2[mi][None, :]
-            )
-            codes[:, mi] = d.argmin(axis=1) + 1    # first-min, 1-based
+        codes = _encode_batch_np(X, CB, CBf, c2)
         return pd.Series(list(codes))
 
     # no pd.Series type hints: this module uses future-annotations
@@ -218,6 +206,87 @@ def encode_np_udf(codebook: list[list[list[int]]]):
     # function's locals — pass the eval type explicitly instead
     _encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return F.pandas_udf(_encode, ArrayType(LongType()))
+
+
+def _encode_batch_np(X, CB, CBf, c2):
+    """Vectorized GEMM encode of one (n, dim) float64 batch → (n, m)
+    int64 code matrix. Shared by the pandas-UDF and mapInArrow paths;
+    bit-identical to :func:`encode_expr` (same argmin over the same
+    exact-integer distances — see :func:`encode_np_udf`'s exactness
+    note)."""
+    import numpy as np
+
+    m, _, sub = CB.shape
+    G = np.floor(X * QMUL + 0.5)
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for mi in range(m):
+        S = G[:, mi * sub : (mi + 1) * sub]
+        sc = S @ CBf[mi].T
+        s2 = (S * S).sum(axis=1)
+        d = (
+            s2[:, None].astype(np.int64)
+            - 2 * sc.astype(np.int64)
+            + c2[mi][None, :]
+        )
+        codes[:, mi] = d.argmin(axis=1) + 1
+    return codes
+
+
+def encode_arrow_map(df, vec_col: str, codebook: list[list[list[int]]],
+                     out_col: str = "_pq_codes"):
+    """mapInArrow encode: appends ``out_col`` (array<bigint> codes)
+    computing the SAME codes as :func:`encode_np_udf` / `encode_expr`,
+    but moving vectors across the Python boundary as FLAT Arrow
+    buffers instead of the pandas conversion (which materializes one
+    numpy object per row and re-stacks them — measured r12 at
+    100k×960-d warm: 4.1 s pandas-UDF vs 1.6 s mapInArrow for the
+    identical noop-sunk plan, with the synth-only baseline at 1.8 s;
+    guide §4.1/§4.2). All of ``df``'s columns pass through the
+    boundary, so callers should project to the columns they need
+    first — the build-time call sites carry (id, vector) only."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    CB = np.asarray(codebook, dtype=np.int64)
+    m = CB.shape[0]
+    CBf = CB.astype(np.float64)
+    c2 = (CB * CB).sum(axis=2)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.LongType()), False)]
+    )
+    names = [f.name for f in df.schema.fields] + [out_col]
+
+    def _enc(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = b.column(b.schema.get_field_index(vec_col))
+            if col.null_count:
+                raise ValueError(
+                    f"encode_arrow_map: NULL vectors in {vec_col!r}"
+                )
+            # flatten() honors slice offsets; vectors are fixed-dim so
+            # the flat buffer reshapes to (n, dim) with zero per-row
+            # Python objects
+            X = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, -1)
+            )
+            codes = _encode_batch_np(X, CB, CBf, c2)
+            offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            codes_arr = pa.ListArray.from_arrays(
+                offs, pa.array(codes.reshape(-1))
+            )
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [codes_arr], names=names
+            )
+
+    return df.mapInArrow(_enc, schema)
 
 
 def adc_from_codes_expr(codes_col: str, table: list[list[int]]) -> str:
@@ -419,9 +488,11 @@ class PQIndex:
             dim = len(self.codebook) * len(self.codebook[0][0])
             impl = "np" if dim >= 256 else "expr"
         if impl == "np":
-            return df.withColumn(
-                out_col, encode_np_udf(self.codebook)(F.col(vec_col))
-            )
+            # mapInArrow over the flat vector buffers — same codes as
+            # the pandas-UDF path bit-for-bit, ~2.6× faster at wide
+            # dims (see encode_arrow_map); all current call sites pass
+            # narrow (id, vector[, label]) frames
+            return encode_arrow_map(df, vec_col, self.codebook, out_col)
         grid_s, _ = grid_exprs(vec_col)
         return df.withColumn("_pq_grid", F.expr(grid_s)).withColumn(
             out_col, F.expr(encode_expr("_pq_grid", self.codebook))

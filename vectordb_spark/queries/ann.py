@@ -1562,13 +1562,14 @@ def ann_gist960_adc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("embedding", F.expr(_G960_VEC_SQL_SPARK))
     )
     # build-time path: grid → stored codes (what a table column holds).
-    # Arrow-batched numpy encode — at 960-d the interpreted HOF-lambda
-    # Column encode measured 2.7× slower (5.2 vs 1.9 s warm at 2000
-    # rows, operators/pq.py encode_np_udf's measured decision); codes
-    # are bit-identical, so the oracle is untouched.
-    coded = corpus.withColumn(
-        "_codes", PQ.encode_np_udf(cb)(F.col("embedding"))
-    )
+    # mapInArrow numpy encode — at 960-d the interpreted HOF-lambda
+    # Column encode measured 2.7× slower than the Arrow-batched numpy
+    # path (operators/pq.py encode_np_udf's r11 decision), and the
+    # mapInArrow form moves the vectors as flat Arrow buffers instead
+    # of per-row pandas objects (r12: 4.1 → 1.6 s warm at 100k×960-d,
+    # guide §4.1); codes are bit-identical either way, so the oracle
+    # is untouched.
+    coded = PQ.encode_arrow_map(corpus, "embedding", cb, "_codes")
     approx = (
         coded.withColumn(
             "adc_dist", F.expr(PQ.adc_from_codes_expr("_codes", table))

@@ -697,14 +697,19 @@ def phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("dl"),
         F.expr(tf_expr).alias("tf"),
     )
+    # ONE global aggregate computes corpus stats AND the phrase df
+    # (count of tf>0 docs) — previously two separate branches each
+    # re-ran the scan + tokenize + position filter (3 full passes per
+    # query incl. the matching branch; guide §2.4); now 2 passes and
+    # ONE broadcast build instead of two.
     stats = hits.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("s")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("s"),
+        F.count_if(F.col("tf") > 0).alias("df"),
     )
     m = hits.where(F.col("tf") > 0)
-    dfreq = m.agg(F.count(F.lit(1)).alias("df"))
     return (
-        m.crossJoin(F.broadcast(dfreq))
-        .crossJoin(F.broadcast(stats))
+        m.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             F.col("tf").alias("phrase_tf"),

@@ -472,10 +472,21 @@ def curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_stops >= 2)
         & (rep <= 0.5)
     ).select("doc_id", "lang", "n_chars", "text")
-    keepers = kept.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # keep-first = row_number()==1 over the text-hash class, ONE window
+    # over ONE exchange on md5(text) — the previous groupBy(md5) +
+    # left-semi-join shape evaluated the whole scan + quality battery
+    # TWICE (once per join branch) and paid two exchanges (hash agg +
+    # semi join). Same keeper set: min(doc_id) per hash class ≡ the
+    # rank-1 row ordered by doc_id (guide §2.4 — two operations keyed
+    # the same way share one exchange).
+    from pyspark.sql import Window as _W
+
+    _kw = _W.partitionBy(F.md5("text")).orderBy("doc_id")
+    final = (
+        kept.withColumn("_rn", F.row_number().over(_kw))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    final = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
     bucket = F.expr(f"({_H_S}) % 100")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")

@@ -479,8 +479,6 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-probe argmin window over the tiny scored set. At 100 TB the
     vocab distinct is the only data-sized stage; everything after is
     vocabulary-sized."""
-    from pyspark.sql import Window as W
-
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split(F.col("text"), " ", -1)).alias("token"))
@@ -494,11 +492,19 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.levenshtein("probe", "token").cast("long").alias("dist"),
     )
-    w = W.partitionBy("probe").orderBy("dist", "token")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("probe", F.col("token").alias("best_token"), "dist")
+    # per-probe argmin as MIN over (dist, token) structs: struct
+    # comparison is lexicographic, so min(struct) ≡ the row_number()=1
+    # row of ORDER BY dist, token — but the aggregate gets map-side
+    # partial aggregation (each partition reduces to ≤ |probes| rows
+    # before the exchange), where the previous window shuffled ALL
+    # |probes|×|vocab| scored rows into ≤ |probes| window partitions
+    # and sorted them there — a guaranteed skew funnel at any scale
+    # (guide §2.3/§2.5). Output identical.
+    best = scored.groupBy("probe").agg(
+        F.min(F.struct("dist", "token")).alias("b")
+    )
+    return best.select(
+        "probe", F.col("b.token").alias("best_token"), F.col("b.dist")
     )
 
 
