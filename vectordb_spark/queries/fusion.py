@@ -518,14 +518,22 @@ def semantic_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, qvs, bbs = _maxsim_parts()
     w = _MAXSIM_W
     d = load_table(spark, sf_dir, "documents", rebalance=True)
+    # posexplode_outer + output filter (r12): plain posexplode's
+    # inferred size>0/notnull pre-filter inlines the transform-HOF
+    # chunk build below the projection and evaluates it two extra
+    # times per row (see decontam_ngram_overlap's mechanism note).
+    # Every doc yields ≥1 chunk and chunk strings are never NULL, so
+    # the filter removes nothing — it exists to keep the outer
+    # variant's (NULL, NULL) rows out if the chunk expression ever
+    # changes.
     chunks = d.select(
         "doc_id",
         F.expr(
-            f"posexplode(transform(sequence(0, "
+            f"posexplode_outer(transform(sequence(0, "
             f"CAST(ceil(size(split(text, ' '))/{w}.0) AS INT) - 1), "
             f"i -> array_join(slice(split(text, ' '), i*{w}+1, {w}), ' ')))"
         ).alias("chunk_id", "chunk_text"),
-    )
+    ).where(F.col("chunk_text").isNotNull())
     emb = e.embed_df(chunks, "chunk_text", out="v").withColumn(
         "aa", F.expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)")
     )

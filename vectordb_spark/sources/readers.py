@@ -49,6 +49,21 @@ def ts_us(df: DataFrame, col: str = "ts"):
     return F.expr(f"{col} div 1000")
 
 
+# LOGICAL-PLAN memo for load_table — caches the DataFrame *plan*
+# object per (session, dir, table, rebalance), NOT any data: every
+# action on the returned frame still scans the parquet files. What it
+# saves is the per-call driver work of spark.read.parquet (path
+# listing + footer schema inference + plan construction — measured
+# r12: ~65 ms per call warm, and the bench harness re-loads each
+# query's tables on every sample: ~10 s of pure driver overhead per
+# bench pass; guide §5 "the driver should do almost no data work").
+# Keyed on the session object id so a new session (selfcheck builds
+# one per run) never sees another session's plans; bounded so
+# long-lived servers can't grow it unboundedly.
+_PLAN_MEMO: dict[tuple[int, str, str, str, bool], DataFrame] = {}
+_PLAN_MEMO_MAX = 256
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, rebalance: bool = False
 ) -> DataFrame:
@@ -76,6 +91,12 @@ def load_table(
     # DuckDB oracle sees naive UTC — pin it so a non-UTC driver
     # session can't drift
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # applicationId in the key guards against CPython id() reuse after
+    # a session is stopped and a new one allocated at the same address
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name, rebalance)
+    cached = _PLAN_MEMO.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
         # TIMESTAMP_NTZ → TIMESTAMP cast applies the session TZ (pinned
@@ -89,6 +110,9 @@ def load_table(
         cores = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < cores:
             df = df.repartition(cores)
+    if len(_PLAN_MEMO) >= _PLAN_MEMO_MAX:
+        _PLAN_MEMO.clear()
+    _PLAN_MEMO[key] = df
     return df
 
 
