@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from vectordb_spark.operators import dedup as D
 from vectordb_spark.queries import query
+from vectordb_spark.queries._explode import explode_nonnull
 from vectordb_spark.sources.readers import load_table
 
 # ---------------------------------------------------------------- minhash
@@ -74,17 +75,14 @@ def _capped_bands(d: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
 
     hashes = d.select("doc_id", F.array_distinct(F.expr(_SHS_S)).alias("shs"))
     sigs = hashes.select("doc_id", "shs", F.expr(_SIG_S).alias("sig"))
-    # explode_outer + output filter (r12): plain explode's inferred
+    # explode_nonnull (r12; helper r13): plain explode's inferred
     # size>0/notnull pre-filter pushes below the sig/shs projections,
     # inlining the md5+minhash HOF chain into an interpreted Filter
     # (see decontam_ngram_overlap's note for the mechanism and
     # measurement). Band keys are never NULL (integer mixing of a
-    # fixed-size signature) → identical row set.
-    bands = (
-        sigs.select(
-            "doc_id", "shs", F.explode_outer(F.expr(_BK_S)).alias("band_key")
-        )
-        .where(F.col("band_key").isNotNull())
+    # fixed-size signature) → identical row set (_explode.py contract).
+    bands = explode_nonnull(
+        sigs, F.expr(_BK_S), "band_key", keep=("doc_id", "shs")
     )
     band_n = F.count(F.lit(1)).over(W.partitionBy("band_key"))
     return (
@@ -532,18 +530,15 @@ def dedup_substring_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     output pairs; never all-pairs."""
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = d.select("doc_id", F.split("text", " ", -1).alias("w"))
-    # explode_outer + output-column filter, not explode: the inferred
-    # size>0/notnull pre-filter would inline the interpreted
-    # fingerprint HOF chain below this projection and evaluate it two
-    # extra times per row (see decontam_ngram_overlap's note; same
-    # InferFiltersFromGenerate mechanism). Fingerprint hashes are
-    # never NULL, so dropping the NULL rows of empty-gram docs leaves
-    # the row set identical.
-    fps = (
-        toks.select("doc_id", F.explode_outer(F.expr(_FPS_S)).alias("fp"))
-        .where(F.col("fp").isNotNull())
-        .dropDuplicates(["doc_id", "fp"])
-    )
+    # explode_nonnull, not explode: the inferred size>0/notnull
+    # pre-filter would inline the interpreted fingerprint HOF chain
+    # below this projection and evaluate it two extra times per row
+    # (see decontam_ngram_overlap's note; same InferFiltersFromGenerate
+    # mechanism). Fingerprint hashes are never NULL → identical row set
+    # (_explode.py contract).
+    fps = explode_nonnull(
+        toks, F.expr(_FPS_S), "fp", keep=("doc_id",)
+    ).dropDuplicates(["doc_id", "fp"])
     from pyspark.sql import Window as W
 
     fp_n = F.count(F.lit(1)).over(W.partitionBy("fp"))

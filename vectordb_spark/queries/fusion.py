@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from vectordb_spark.plans import oracle as O
 from vectordb_spark.queries import query
+from vectordb_spark.queries._explode import explode_nonnull
 from vectordb_spark.sources.readers import load_table
 
 _QV = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
@@ -518,22 +519,23 @@ def semantic_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, qvs, bbs = _maxsim_parts()
     w = _MAXSIM_W
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    # posexplode_outer + output filter (r12): plain posexplode's
+    # explode_nonnull positional form (r12): plain posexplode's
     # inferred size>0/notnull pre-filter inlines the transform-HOF
     # chunk build below the projection and evaluates it two extra
     # times per row (see decontam_ngram_overlap's mechanism note).
     # Every doc yields ≥1 chunk and chunk strings are never NULL, so
-    # the filter removes nothing — it exists to keep the outer
-    # variant's (NULL, NULL) rows out if the chunk expression ever
-    # changes.
-    chunks = d.select(
-        "doc_id",
+    # the filter removes nothing (_explode.py contract).
+    chunks = explode_nonnull(
+        d,
         F.expr(
-            f"posexplode_outer(transform(sequence(0, "
+            f"transform(sequence(0, "
             f"CAST(ceil(size(split(text, ' '))/{w}.0) AS INT) - 1), "
-            f"i -> array_join(slice(split(text, ' '), i*{w}+1, {w}), ' ')))"
-        ).alias("chunk_id", "chunk_text"),
-    ).where(F.col("chunk_text").isNotNull())
+            f"i -> array_join(slice(split(text, ' '), i*{w}+1, {w}), ' '))"
+        ),
+        "chunk_text",
+        keep=("doc_id",),
+        pos_alias="chunk_id",
+    )
     emb = e.embed_df(chunks, "chunk_text", out="v").withColumn(
         "aa", F.expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)")
     )

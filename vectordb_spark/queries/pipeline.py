@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from vectordb_spark.operators import dedup as D
 from vectordb_spark.operators.asof import asof_join
 from vectordb_spark.queries import query
+from vectordb_spark.queries._explode import explode_nonnull
 from vectordb_spark.sources.readers import load_table
 
 # ------------------------------------------------------------ as-of join
@@ -127,29 +128,22 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     g = d.select("doc_id", F.array_distinct(F.expr(_SHS_S)).alias("g"))
-    # explode_outer, NOT explode (r12, guide §2.4/§7.2): plain explode
-    # triggers InferFiltersFromGenerate, which pushes a
+    # explode_nonnull, NOT explode (r12, guide §2.4/§7.2): plain
+    # explode triggers InferFiltersFromGenerate, which pushes a
     # `size(g) > 0 AND isnotnull(g)` filter below this projection —
     # inlining the whole interpreted md5-HOF shingle pipeline into the
     # Filter and evaluating it two extra times per row (measured on
     # this branch: 1.78 s → 0.19 s noop-sunk at sf0.1, rows identical).
-    # The outer variant emits one (h = NULL) row per empty-gram doc,
-    # which the cheap post-filter on the OUTPUT column removes; gram
-    # hashes themselves are never NULL, so the row sets are equal.
-    bench = (
-        g.where(F.col("doc_id") % 25 == 0)
-        .select(F.explode_outer("g").alias("h"))
-        .where(F.col("h").isNotNull())
-        .distinct()
-    )
-    corpus = (
-        g.where(F.col("doc_id") % 25 != 0)
-        .select(
-            "doc_id",
-            F.size("g").cast("long").alias("n_grams"),
-            F.explode_outer("g").alias("h"),
-        )
-        .where(F.col("h").isNotNull())
+    # Gram hashes are never NULL → identical row set (_explode.py
+    # contract).
+    bench = explode_nonnull(
+        g.where(F.col("doc_id") % 25 == 0), "g", "h"
+    ).distinct()
+    corpus = explode_nonnull(
+        g.where(F.col("doc_id") % 25 != 0),
+        "g",
+        "h",
+        keep=("doc_id", F.size("g").cast("long").alias("n_grams")),
     )
     hits = corpus.join(F.broadcast(bench), "h").groupBy("doc_id", "n_grams").agg(
         F.count(F.lit(1)).alias("n_hit")

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_spark.queries import query
+from vectordb_spark.queries._explode import explode_nonnull
 from vectordb_spark.sources.readers import load_table
 
 
@@ -288,14 +289,14 @@ def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j -> concat_ws(' ', slice(split(text, ' '), j, 2)))"
         )
     )
-    # explode_outer + output filter (r12): plain explode's inferred
-    # size>0/notnull filter inlines the transform-HOF bigram build
-    # below the projection and evaluates it two extra times per row
+    # explode_nonnull (r12): plain explode's inferred size>0/notnull
+    # filter inlines the transform-HOF bigram build below the
+    # projection and evaluates it two extra times per row
     # (decontam_ngram_overlap's note has the mechanism + measurement).
-    # Bigram strings are never NULL → identical row set.
+    # Bigram strings are never NULL → identical row set (_explode.py
+    # contract).
     counts = (
-        d.select("lang", F.explode_outer(bigrams).alias("bigram"))
-        .where(F.col("bigram").isNotNull())
+        explode_nonnull(d, bigrams, "bigram", keep=("lang",))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -639,22 +640,19 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     see text_repetition_ngrams)."""
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = d.select("doc_id", F.split(F.col("text"), " ", -1).alias("w"))
-    # explode_outer + output filter (r12): plain explode's inferred
-    # size>0/notnull pre-filter inlines the zip_with-HOF gram build
-    # below the projection — two extra interpreted evaluations per row
-    # (see decontam_ngram_overlap). concat of tokens is never NULL →
-    # identical row set.
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode_outer(
-                F.expr(
-                    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
-                    "(x, y) -> concat(x, ' ', y))"
-                )
-            ).alias("g"),
-        )
-        .where(F.col("g").isNotNull())
+    # explode_nonnull (r12): plain explode's inferred size>0/notnull
+    # pre-filter inlines the zip_with-HOF gram build below the
+    # projection — two extra interpreted evaluations per row (see
+    # decontam_ngram_overlap). concat of tokens is never NULL →
+    # identical row set (_explode.py contract).
+    grams = explode_nonnull(
+        toks,
+        F.expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+            "(x, y) -> concat(x, ' ', y))"
+        ),
+        "g",
+        keep=("doc_id",),
     )
     model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("freq"))
     return (
@@ -716,24 +714,22 @@ def text_boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame
     out entirely — the intended semantics."""
     d = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = d.select("doc_id", F.split("text", " ", -1).alias("w"))
-    # posexplode_outer + output filter (r12): the inferred
+    # explode_nonnull positional form (r12): the inferred
     # size>0/notnull pre-filter of plain posexplode inlines the
     # transform-HOF span build below the projection — two extra
     # interpreted evaluations per row (see decontam_ngram_overlap).
-    # Every doc has ≥1 span (ceil ≥ 1 for size ≥ 0 arrays... size 0
-    # gives 0 spans) and span strings are never NULL, so filtering
-    # the NULL rows of span-less docs leaves the row set identical.
-    spans = (
-        toks.select(
-            "doc_id",
-            F.posexplode_outer(
-                F.expr(
-                    f"transform(sequence(0, CAST(ceil(size(w) / {_BP_SPAN}.0) AS INT) - 1), "
-                    f"j -> array_join(slice(w, j * {_BP_SPAN} + 1, {_BP_SPAN}), ' '))"
-                )
-            ).alias("pos", "span"),
-        )
-        .where(F.col("span").isNotNull())
+    # Span strings are never NULL, so filtering the NULL rows of
+    # span-less docs leaves the row set identical (_explode.py
+    # contract).
+    spans = explode_nonnull(
+        toks,
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(w) / {_BP_SPAN}.0) AS INT) - 1), "
+            f"j -> array_join(slice(w, j * {_BP_SPAN} + 1, {_BP_SPAN}), ' '))"
+        ),
+        "span",
+        keep=("doc_id",),
+        pos_alias="pos",
     )
     ok = (
         spans.groupBy("span")
@@ -804,28 +800,26 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket docs by nll_q / n_bigrams (mean nats × 1e6); the exp() for
     true perplexity is presentation, not pipeline."""
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    # posexplode_outer + output filter (r12): plain posexplode's
+    # explode_nonnull positional form (r12): plain posexplode's
     # inferred size>0/notnull pre-filter inlines the transform-HOF
     # bigram-struct build below the projection — two extra interpreted
     # evaluations per row (see decontam_ngram_overlap). The struct
     # elements are never NULL, so dropping the NULL rows of
-    # single-token docs leaves the row set identical.
-    bg = (
-        d.select(
-            "doc_id",
-            F.posexplode_outer(
-                F.expr(
-                    "CASE WHEN size(split(text, ' ', -1)) >= 2 THEN "
-                    "transform(sequence(1, size(split(text, ' ', -1)) - 1), "
-                    "i -> struct(element_at(split(text, ' ', -1), i) AS w1, "
-                    "element_at(split(text, ' ', -1), i + 1) AS w2)) "
-                    "ELSE array() END"
-                )
-            ).alias("_pos", "p"),
-        )
-        .where(F.col("p").isNotNull())
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
+    # single-token docs leaves the row set identical (_explode.py
+    # contract).
+    bg = explode_nonnull(
+        d,
+        F.expr(
+            "CASE WHEN size(split(text, ' ', -1)) >= 2 THEN "
+            "transform(sequence(1, size(split(text, ' ', -1)) - 1), "
+            "i -> struct(element_at(split(text, ' ', -1), i) AS w1, "
+            "element_at(split(text, ' ', -1), i + 1) AS w2)) "
+            "ELSE array() END"
+        ),
+        "p",
+        keep=("doc_id",),
+        pos_alias="_pos",
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     lm = c12.join(c1, "w1").select(
