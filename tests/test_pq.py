@@ -630,8 +630,8 @@ def test_encode_arrow_map_passthrough_and_nulls(spark):
         F.when(F.col("vec_id") == 5, F.lit(None)).otherwise(F.col("embedding")),
     )
     import pytest
-    from py4j.protocol import Py4JJavaError
 
-    with pytest.raises(Exception) as ei:
+    # match the wrapped error text precisely (ADVICE r12): a different
+    # failure that merely mentions NULLs must not satisfy this test
+    with pytest.raises(Exception, match="encode_arrow_map: NULL vectors"):
         PQ.encode_arrow_map(nulled, "embedding", cb).collect()
-    assert "NULL vectors" in str(ei.value)

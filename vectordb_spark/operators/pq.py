@@ -270,13 +270,23 @@ def encode_arrow_map(df, vec_col: str, codebook: list[list[list[int]]],
                 )
             # flatten() honors slice offsets; vectors are fixed-dim so
             # the flat buffer reshapes to (n, dim) with zero per-row
-            # Python objects
-            X = (
+            # Python objects. dim comes from the codebook, NOT from
+            # reshape(n, -1): ragged vector lengths whose total happens
+            # to divide n would silently misalign every following row
+            # (ADVICE r12) — the explicit width makes that fail loudly.
+            dim = CB.shape[0] * CB.shape[2]
+            flat = (
                 col.flatten()
                 .to_numpy(zero_copy_only=False)
                 .astype(np.float64, copy=False)
-                .reshape(n, -1)
             )
+            if len(flat) != n * dim:
+                raise ValueError(
+                    f"encode_arrow_map: expected {n}x{dim} elements in "
+                    f"{vec_col!r}, got {len(flat)} — ragged or "
+                    "wrong-dimension vectors"
+                )
+            X = flat.reshape(n, dim)
             codes = _encode_batch_np(X, CB, CBf, c2)
             offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
             codes_arr = pa.ListArray.from_arrays(
