@@ -9,6 +9,7 @@ web_controller.hpp:613-622, a stub there — real here).
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,8 +61,24 @@ def ts_us(df: DataFrame, col: str = "ts"):
 # Keyed on the session object id so a new session (selfcheck builds
 # one per run) never sees another session's plans; bounded so
 # long-lived servers can't grow it unboundedly.
-_PLAN_MEMO: dict[tuple[int, str, str, str, bool], DataFrame] = {}
+#
+# STATIC-DATASET CONTRACT (ADVICE r12): the memoized plan captures the
+# parquet file listing at first read, so files added to / rewritten
+# under the same (sf_dir, table) within one session are invisible to
+# later load_table calls (and deleted files fail the scan). The
+# testdata dirs this loader serves are immutable by design; a caller
+# that mutates a directory mid-session must call
+# invalidate_plan_memo() (or use a fresh path — the engine's own
+# Table/index writers version their directories, so they never hit
+# this). Eviction is LRU (move-to-end on hit, evict oldest on insert).
+_PLAN_MEMO: OrderedDict[tuple[int, str, str, str, bool], DataFrame] = OrderedDict()
 _PLAN_MEMO_MAX = 256
+
+
+def invalidate_plan_memo() -> None:
+    """Drop every memoized load_table plan — required after mutating a
+    previously loaded table directory in place (see contract above)."""
+    _PLAN_MEMO.clear()
 
 
 def load_table(
@@ -96,6 +113,7 @@ def load_table(
     key = (id(spark), spark.sparkContext.applicationId, sf_dir, name, rebalance)
     cached = _PLAN_MEMO.get(key)
     if cached is not None:
+        _PLAN_MEMO.move_to_end(key)
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
@@ -111,7 +129,7 @@ def load_table(
         if df.rdd.getNumPartitions() < cores:
             df = df.repartition(cores)
     if len(_PLAN_MEMO) >= _PLAN_MEMO_MAX:
-        _PLAN_MEMO.clear()
+        _PLAN_MEMO.popitem(last=False)  # LRU eviction (VERDICT r12 #6)
     _PLAN_MEMO[key] = df
     return df
 
