@@ -581,6 +581,66 @@ def _run_once(qs, name: str, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _loadavg() -> float:
+    """1-minute load average — contention telemetry (VERDICT r12 #1:
+    this VM throttles in multi-second bursts; without a contention
+    marker in the artifact, a throttled run is indistinguishable from
+    a plan regression). Reported only, never used for timing."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):  # non-Linux or unreadable
+        return -1.0
+
+
+# Opt-in scaling probe (VERDICT r12 #5): at sf0.1 most headline queries
+# are dominated by the ~0.13 s per-query floor + planning, so per-query
+# low-core/high-core ratios land ≈1 and say nothing about the plans'
+# scalability. With SPARK_GRAFT_BENCH_SCALE=<mult> set, the bench ALSO
+# times these compute-heavy documents-only queries against an in-session
+# synthetic corpus (documents × mult, id-shifted copies; generation is
+# untimed setup) and records them under "scale_probe" in the detail
+# JSON. Comparing that block across a c8 and a c32 run measures real
+# core scaling. The headline path is untouched: probe timings never
+# enter `value`/`queries`, and nothing runs unless the env var is set.
+_SCALE_PROBE = [
+    "dedup_cluster_components",
+    "dedup_keep_best",
+    "decontam_ngram_overlap",
+    "media_wav_rms_features",
+    "semantic_maxsim_search",
+]
+
+
+def _scale_probe(spark, qs, sf_dir: str, mult: int) -> dict:
+    from pyspark.sql import functions as F
+
+    work = _mkworkdir("vdb_bench_scale_")
+    big_dir = os.path.join(work, "sf_scaled")
+    os.makedirs(big_dir, exist_ok=True)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # id-shifted copies: every copy keeps the text distribution but gets
+    # distinct doc_ids (shift preserves int64 range at any testdata SF)
+    big = (
+        d.select("*", F.explode(F.expr(f"sequence(0, {mult - 1})")).alias("_c"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_c") * F.lit(10_000_000))
+        .drop("_c")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    big.write.mode("overwrite").parquet(os.path.join(big_dir, "documents.parquet"))
+    probe: dict[str, float] = {}
+    for name in _SCALE_PROBE:
+        if name not in qs:
+            continue
+        spark.sparkContext.setJobDescription(f"scale_probe:{name}")
+        t0 = time.time()
+        len(qs[name](spark, big_dir).collect())
+        probe[name] = round(time.time() - t0, 4)
+        spark.sparkContext.setJobDescription(None)
+    probe["_multiplier"] = mult
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # min-of-N per query: this VM's CPU is bursty and a single run can
@@ -590,6 +650,8 @@ def main() -> None:
     # poisons at most one sample of each query instead of every sample
     # of one query, so the per-query min survives it.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    loadavg_start = _loadavg()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     spark = get_spark("bench")
     qs = dict(all_queries())
     # bench-only entry (not a gate query: no sf table has a 960-d
@@ -612,6 +674,7 @@ def main() -> None:
     # a single AnalysisException produced rc=1 and no JSON line at all).
     # Record the error once, skip its remaining samples, keep going.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     # Sample schedule (r7): pass 1 is INTERLEAVED round-robin over all
     # queries (a multi-second throttle burst poisons at most one sample
@@ -637,6 +700,7 @@ def main() -> None:
             # good sample.
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             return
+        samples.setdefault(name, []).append(dt)
         if name not in timings or dt < timings[name]:
             timings[name] = dt
 
@@ -648,6 +712,7 @@ def main() -> None:
     timings = {n: round(t, 4) for n, t in timings.items()}
     total = round(sum(timings.values()), 4)
     lifecycle_total = round(sum(_BUILD_TIMES.values()), 4)
+    loadavg_end = _loadavg()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
@@ -662,9 +727,20 @@ def main() -> None:
         "lifecycle": dict(sorted(_BUILD_TIMES.items())),
         "lifecycle_value": lifecycle_total,
         "sf": float(sf) if sf else sf_dir,
+        # contention telemetry (additions only — VERDICT r12 #1): every
+        # sample per query, so a post-hoc reader can separate a throttle
+        # burst (one wild outlier, tight min) from a plan regression
+        # (uniformly slower samples)
+        "cpus": cpus,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "samples": {n: [round(t, 4) for t in s] for n, s in samples.items()},
     }
     if errors:
         detail["errors"] = errors
+    scale_mult = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0"))
+    if scale_mult > 1:
+        detail["scale_probe"] = _scale_probe(spark, qs, sf_dir, scale_mult)
     # The driver keeps only a ~2000-char stdout tail; with ~90 headline
     # queries the full per-query map stopped fitting in r3 and BENCH_r{3,5,6}
     # all recorded "parsed": null. Full detail goes to an artifact file;
@@ -690,6 +766,18 @@ def main() -> None:
         "lifecycle_value": lifecycle_total,
         "n_lifecycle": len(_BUILD_TIMES),
         "queries": slowest,
+        # contention telemetry (VERDICT r12 #1, additions only): cpus +
+        # loadavg bracket + per-query [min, max] sample spread for the
+        # slowest 10 — a throttled run shows max >> min on untouched
+        # queries; a regression shows min itself moved
+        "cpus": cpus,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "spread": {
+            n: [round(min(samples[n]), 2), round(max(samples[n]), 2)]
+            for n in slowest
+            if n in samples
+        },
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)
