@@ -254,7 +254,7 @@ class IVFIndex:
         The filter is plain int64 arithmetic, so a SQL oracle replays
         the training subset bit-exactly — sampling costs nothing in
         auditability, unlike ``build``'s MLlib ``.sample()``."""
-        from vectordb_spark.functions.distance import l2_squared, vector_literal
+        from vectordb_spark.functions.distance import l2_squared
 
         k = self.k
         if (train_mod is None) != (train_keep is None):
@@ -272,9 +272,22 @@ class IVFIndex:
         dim = len(seeds[0])
 
         def _assign(cents) -> Column:
-            dists = F.array(
-                *[l2_squared(F.col(vec_col), vector_literal(c)) for c in cents]
-            )
+            # Centroids as ONE 2-D array literal (r13, guide §5 "very
+            # large query plans"): the previous form built k fresh
+            # CreateArray(dim double literals) trees per round, so every
+            # Lloyd round re-analyzed and janino-recompiled a
+            # value-bearing k·dim-leaf expression. A nested F.lit lands
+            # in the generated code as a references[] object — the tree
+            # shape (and the compiled plan) is identical for every
+            # round, only the referenced array changes. Arithmetic is
+            # unchanged: the same l2_squared zip_with/aggregate fold
+            # runs per centroid element, so distances, the
+            # first-position-of-min tie-break, and every trained
+            # centroid are bit-identical (profiled + asserted in
+            # scripts/profile_lloyd_r13.py; pinned by the trained-gate
+            # oracles and tests/test_ann.py replay tests).
+            cc = F.lit([[float(x) for x in c] for c in cents])
+            dists = F.transform(cc, lambda c: l2_squared(F.col(vec_col), c))
             return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
         cents = seeds
@@ -297,17 +310,19 @@ class IVFIndex:
         # rounding — the same correctly-rounded value the old
         # CAST(decimal AS DOUBLE) produced, so trained centroids (and
         # every oracle replay) are bit-unchanged.
+        # the 2·dim+1 sum aggregates are centroid-independent — build
+        # the Column list once, not once per round (r13)
+        aggs = []
+        for p in range(dim):
+            e = F.element_at(F.col(vec_col), p + 1)
+            g = F.floor(e.cast("double") * F.lit(1e12) + F.lit(0.5)).cast(
+                "bigint"
+            )
+            hi = F.shiftright(g, 20)
+            aggs.append(F.sum(hi).alias(f"h{p}"))
+            aggs.append(F.sum(g - hi * F.lit(1 << 20)).alias(f"l{p}"))
+        aggs.append(F.count(F.lit(1)).alias("n"))
         for _ in range(rounds):
-            aggs = []
-            for p in range(dim):
-                e = F.element_at(F.col(vec_col), p + 1)
-                g = F.floor(e.cast("double") * F.lit(1e12) + F.lit(0.5)).cast(
-                    "bigint"
-                )
-                hi = F.shiftright(g, 20)
-                aggs.append(F.sum(hi).alias(f"h{p}"))
-                aggs.append(F.sum(g - hi * F.lit(1 << 20)).alias(f"l{p}"))
-            aggs.append(F.count(F.lit(1)).alias("n"))
             rows = (
                 train_df.groupBy(_assign(cents).alias("_cluster"))
                 .agg(*aggs)

@@ -786,40 +786,56 @@ class ResidualPQIndex(PQIndex):
         ex_base = g.select(F.posexplode(subs).alias("_mi", "_sv"))
         import math as _math
 
+        # the `sub`+1 sum aggregates are codebook-independent — build
+        # the Column list once, not once per round (r13)
+        aggs = [
+            F.sum(F.element_at(F.col("_sv"), p + 1)).alias(f"s{p}")
+            for p in range(sub)
+        ]
+        aggs.append(F.count(F.lit(1)).alias("n"))
+
+        def _assign_code(cb_now):
+            # Codebook as ONE 3-D array literal indexed by _mi (r13):
+            # the previous form spliced all M·K codeword arrays into a
+            # CASE-per-subspace SQL STRING, re-parsed, re-analyzed and
+            # janino-recompiled every round (M·K value-bearing array()
+            # trees, the int-L2 fold inlined twice per branch). A
+            # nested F.lit is a references[] object in generated code,
+            # so the expression shape — and the compiled plan — is
+            # identical across rounds; element_at on the exploded _mi
+            # replaces the CASE. Arithmetic is unchanged: the same
+            # zip_with/aggregate integer L2 per codeword and the same
+            # 1-based first-occurrence argmin, all exact 64-bit ops →
+            # codes and trained codebooks are bit-identical (pinned by
+            # tests/test_pq.py replay tests and the trained-IVF_PQ
+            # gate oracle).
+            cbl = F.lit([[[int(v) for v in code] for code in s] for s in cb_now])
+            cb_mi = F.element_at(cbl, F.col("_mi") + 1)
+            dists = F.transform(
+                cb_mi,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        c, F.col("_sv"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            return F.array_position(dists, F.array_min(dists)).cast("int")
+
         for _ in range(rounds):
-            # one CASE per subspace: k literal int-L2 folds + argmin.
             # Means run as `sub` wide LONG aggregates over element_at
             # projections — NOT a second posexplode, which invited
-            # Catalyst to re-evaluate the CASE per exploded value (the
-            # same inlining the coarse trainer hit, operators/ann.py
-            # build_lloyd round-9 note). Grid values are |g| ≲ 1e3 at
-            # QMUL=200, so plain long sums are overflow-safe; the
-            # half-up integer mean is computed driver-side with the
-            # identical double arithmetic the old JVM expression used
-            # (one correctly-rounded float(sum)/n + 0.5, floor).
-            assign_sql = "CASE _mi " + " ".join(
-                "WHEN {} THEN CAST({} AS INT)".format(
-                    mi,
-                    (lambda s_cb: (
-                        f"array_position(transform({s_cb}, "
-                        f"c -> {_spark_int_l2('c', '_sv')}), "
-                        f"array_min(transform({s_cb}, "
-                        f"c -> {_spark_int_l2('c', '_sv')})))"
-                    ))(
-                        "array("
-                        + ", ".join(_spark_arr(c) for c in cb[mi])
-                        + ")"
-                    ),
-                )
-                for mi in range(self.m)
-            ) + " END"
-            aggs = [
-                F.sum(F.element_at(F.col("_sv"), p + 1)).alias(f"s{p}")
-                for p in range(sub)
-            ]
-            aggs.append(F.count(F.lit(1)).alias("n"))
+            # Catalyst to re-evaluate the assignment per exploded value
+            # (the same inlining the coarse trainer hit, operators/
+            # ann.py build_lloyd round-9 note). Grid values are
+            # |g| ≲ 1e3 at QMUL=200, so plain long sums are
+            # overflow-safe; the half-up integer mean is computed
+            # driver-side with the identical double arithmetic the old
+            # JVM expression used (one correctly-rounded
+            # float(sum)/n + 0.5, floor).
             rows = (
-                ex_base.withColumn("_code", F.expr(assign_sql))
+                ex_base.withColumn("_code", _assign_code(cb))
                 .groupBy("_mi", "_code")
                 .agg(*aggs)
                 .collect()
