@@ -304,3 +304,59 @@ class TestSqlMockEmbedderTriParity:
         out = t.query(query_text="the quick brown fox", limit=2)
         ids = [r["ID"] for r in out["result"]]
         assert set(ids) == {1, 3}  # exact text match embeds identically
+
+
+class TestEmbedDotsArrowParity:
+    """The Arrow-batch kernel (embed_dots_df, r13) must produce the
+    exact aa / per-query ab the interpreted HOF-fold path produced —
+    including NULL text (NULL aa/ab, like aggregate over a NULL array),
+    empty text (zero vector → aa=0), non-ASCII (stripped by the shared
+    JVM normalize), and multi-query dot batches."""
+
+    TEXTS = TestSqlMockEmbedderTriParity.TEXTS + [None, "   ", "x"]
+
+    def test_kernel_vs_hof_folds(self, spark):
+        from pyspark.sql import functions as F
+
+        from vectordb_spark.embedding import SqlMockEmbedder
+
+        e = SqlMockEmbedder(dimension=16)
+        qvs = [
+            [int(x) for x in e._one("fast key order sort")],
+            [int(x) for x in e._one("stream batch window merge")],
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "id INT, text STRING"
+        ).repartition(3)  # exercise >1 Arrow batch boundary handling
+        got = {
+            r.id: (r.aa, r.ab0, r.ab1)
+            for r in e.embed_dots_df(
+                df, "text", qvs, keep=("id",)
+            ).collect()
+        }
+        qarrs = [
+            "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in qv) + ")"
+            for qv in qvs
+        ]
+        want = {
+            r.id: (r.aa, r.ab0, r.ab1)
+            for r in e.embed_df(df, "text", out="v")
+            .select(
+                "id",
+                F.expr(
+                    "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)"
+                ).alias("aa"),
+                *[
+                    F.expr(
+                        f"aggregate(zip_with(v, {qa}, (x, y) -> x*y), "
+                        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                    ).alias(f"ab{i}")
+                    for i, qa in enumerate(qarrs)
+                ],
+            )
+            .collect()
+        }
+        assert got == want
+        # NULL text → zero vector (the HOF chain's CASE guard routes a
+        # NULL code array to the empty-hashes branch), NOT NULL aa/ab
+        assert got[len(self.TEXTS) - 3] == (0, 0, 0)

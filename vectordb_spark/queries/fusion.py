@@ -180,23 +180,21 @@ def semantic_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = SqlMockEmbedder(dimension=16)
     qv = [int(x) for x in e._one(_SEM_QUERY_TEXT)]
     bb = sum(x * x for x in qv)
-    qarr = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in qv) + ")"
     # rebalance: documents.parquet is one file → one task; the embed
-    # stage is interpreted (HOF exprs don't codegen) so it must spread
-    # across cores — at cluster scale the scan has many splits anyway
+    # kernel must spread across cores — at cluster scale the scan has
+    # many splits anyway
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    embedded = e.embed_df(
-        d.select("doc_id", "lang", "text"), "text", out="v"
-    ).select("doc_id", "lang", "v")
-    scored = embedded.select(
-        "doc_id",
-        "lang",
-        F.expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)").alias("aa"),
-        F.expr(
-            f"aggregate(zip_with(v, {qarr}, (x, y) -> x*y), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        ).alias("ab"),
-    )
+    # r13 (guide §4.2): the interpreted HOF hash/bucket/dot stages —
+    # ~10.5 core-seconds at sf0.1, the dominant parallel compute of
+    # this query — now run as ONE numpy pass per Arrow batch
+    # (SqlMockEmbedder.embed_dots_df; normalization stays the same JVM
+    # expression). aa/ab are exact int64 either way → bit-identical
+    # distances; noop-sunk warm min 0.70 → 0.56 s at 32 cores,
+    # 1.41 → 0.52 s at 8 (compute was the scaling term).
+    scored = e.embed_dots_df(
+        d.select("doc_id", "lang", "text"), "text", [qv],
+        keep=("doc_id", "lang"),
+    ).withColumnRenamed("ab0", "ab")
     # NO WHERE clause: a filter on aa would be predicate-pushed below
     # the staged embedding projections, transitively inlining the whole
     # (interpreted, non-codegen) higher-order-function expression into
@@ -536,20 +534,20 @@ def semantic_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep=("doc_id",),
         pos_alias="chunk_id",
     )
-    emb = e.embed_df(chunks, "chunk_text", out="v").withColumn(
-        "aa", F.expr("aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + x*x)")
-    )
+    # r13 (guide §4.2): per-chunk aa + the three phrase dots now come
+    # from ONE numpy pass per Arrow batch (embed_dots_df — chunking
+    # stays a JVM generator, normalization the same JVM expression);
+    # only (doc_id, aa, ab0..ab2) cross back instead of the dim-wide
+    # integer vector. Exact int64 both ways → identical cosines;
+    # noop-sunk warm min 0.83 → 0.68 s at 32 cores, 1.81 → 0.48 s at 8
+    # (compute was the scaling term).
+    emb = e.embed_dots_df(chunks, "chunk_text", qvs, keep=("doc_id",))
     cos_cols = []
-    for k, (qv, bb) in enumerate(zip(qvs, bbs)):
-        qarr = "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in qv) + ")"
-        ab = F.expr(
-            f"aggregate(zip_with(v, {qarr}, (x, y) -> x*y), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
+    for k, bb in enumerate(bbs):
         cos_cols.append(
             F.when(F.col("aa") == 0, F.lit(None).cast("double"))
             .otherwise(
-                ab.cast("double")
+                F.col(f"ab{k}").cast("double")
                 / (F.sqrt(F.col("aa").cast("double")) * F.sqrt(F.lit(float(bb))))
             )
             .alias(f"cos{k}")
