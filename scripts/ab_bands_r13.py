@@ -1,4 +1,9 @@
-"""Paired interleaved A/B for the r12 `_capped_bands` explode_outer
+"""HISTORICAL (r13): this harness predates the light-bands rewrite
+of _capped_bands (which now takes the hashes frame and no longer
+carries shs); its recorded conclusion stands but it no longer runs
+against current signatures without adaptation.
+
+Paired interleaved A/B for the r12 `_capped_bands` explode_outer
 change (VERDICT r12 "Next round" item 1): settle whether the bands
 rewrite regressed dedup_cluster_components / dedup_keep_best.
 

@@ -1,4 +1,9 @@
-"""Stage-isolated A/B of the `_capped_bands` explode form (VERDICT r12
+"""HISTORICAL (r13): this harness predates the light-bands rewrite
+of _capped_bands (which now takes the hashes frame and no longer
+carries shs); its recorded conclusion stands but it no longer runs
+against current signatures without adaptation.
+
+Stage-isolated A/B of the `_capped_bands` explode form (VERDICT r12
 item 1): noop-sink ONLY the bands subplan (hash → sig → explode →
 window cap) old-vs-new, interleaved, plus a plan dump of each variant
 so the InferFiltersFromGenerate claim is checkable for THIS site.

@@ -162,12 +162,12 @@ def test_minhash_band_cap_bounds_degenerate_corpus(spark):
     # a boilerplate-heavy corpus (one text repeated N times) must NOT
     # produce O(N²) LSH candidates: every band is degenerate, the cap
     # drops them all, and candidate generation stays linear
-    from vectordb_spark.queries.dedup import _capped_bands
+    from vectordb_spark.queries.dedup import _capped_bands, _doc_hashes
 
     n = 500
     rows = [(i, "lorem ipsum boiler plate text repeated everywhere") for i in range(n)]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    bands = _capped_bands(d, cap=50)
+    bands = _capped_bands(_doc_hashes(d), cap=50)
     a, b = bands.alias("a"), bands.alias("b")
     cands = a.join(
         b,
@@ -181,7 +181,7 @@ def test_minhash_band_cap_bounds_degenerate_corpus(spark):
             for i in range(20)]
     rows += [(100 + i, "near duplicate text body alpha beta gamma") for i in range(5)]
     d2 = spark.createDataFrame(rows, "doc_id long, text string")
-    bands2 = _capped_bands(d2, cap=50)
+    bands2 = _capped_bands(_doc_hashes(d2), cap=50)
     a2, b2 = bands2.alias("a"), bands2.alias("b")
     pairs = (
         a2.join(

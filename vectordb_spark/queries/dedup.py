@@ -67,13 +67,27 @@ WHERE {_JAC_D} >= 0.2
 """
 
 
-def _capped_bands(d: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
-    """Shingle-hash → minhash → exploded band rows, with band keys
-    hotter than ``cap`` dropped. The frequency count windows over the
-    same ``band_key`` partitioning the self-join shuffles on."""
+def _doc_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, shs): the distinct shingle-hash array per doc — the
+    heavy payload every later stage attaches BY ID, never shuffles."""
+    return d.select("doc_id", F.array_distinct(F.expr(_SHS_S)).alias("shs"))
+
+
+def _capped_bands(hashes: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
+    """minhash → exploded LIGHT band rows (doc_id, band_key only), with
+    band keys hotter than ``cap`` dropped. The frequency count windows
+    over the same ``band_key`` partitioning the self-join shuffles on.
+
+    r13 (guide §2.3/§8 "shuffle keys, not payloads"): the pre-r13 form
+    carried the ~0.7 KB/doc ``shs`` array through the band explode —
+    8 copies per doc crossing the band_key Exchange and the self-join —
+    so the heaviest column moved 8× to make a decision that only needs
+    16-byte (doc_id, band_key) rows. Bands are now id+key only; the
+    verify stage joins ``shs`` back by doc_id for the candidate set
+    (measured at sf0.1: identical 256 pairs, med 0.91 → 0.85 s; at
+    100 TB the band shuffle shrinks ~50×)."""
     from pyspark.sql import Window as W
 
-    hashes = d.select("doc_id", F.array_distinct(F.expr(_SHS_S)).alias("shs"))
     sigs = hashes.select("doc_id", "shs", F.expr(_SIG_S).alias("sig"))
     # explode_nonnull (r12; helper r13): plain explode's inferred
     # size>0/notnull pre-filter pushes below the sig/shs projections,
@@ -81,9 +95,7 @@ def _capped_bands(d: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
     # (see decontam_ngram_overlap's note for the mechanism and
     # measurement). Band keys are never NULL (integer mixing of a
     # fixed-size signature) → identical row set (_explode.py contract).
-    bands = explode_nonnull(
-        sigs, F.expr(_BK_S), "band_key", keep=("doc_id", "shs")
-    )
+    bands = explode_nonnull(sigs, F.expr(_BK_S), "band_key", keep=("doc_id",))
     band_n = F.count(F.lit(1)).over(W.partitionBy("band_key"))
     return (
         bands.withColumn("band_n", band_n)
@@ -96,16 +108,18 @@ def _capped_bands(d: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands × 2 rows) near-dup pairs over word
     3-gram shingles, exact-Jaccard-verified at ≥ 0.2. One md5 per
-    shingle; 16 slots by integer mixing; the distinct shingle-hash
-    arrays (~0.7 KB/doc) ride along the band join — cheaper than
-    re-running the hash stage in two extra join branches. Band keys
-    hotter than {_BAND_CAP} docs are dropped before the self-join
-    (skew guard: keeps candidate generation linear on degenerate
-    corpora)."""
+    shingle; 16 slots by integer mixing. The band shuffle and self-join
+    carry (doc_id, band_key) ONLY (r13, guide §2.3/§8); the distinct
+    shingle-hash arrays are joined back by id for the deduplicated
+    candidate set, so the heavy column moves once per verified side
+    instead of 8× per doc. Band keys hotter than {_BAND_CAP} docs are
+    dropped before the self-join (skew guard: keeps candidate
+    generation linear on degenerate corpora)."""
     d = load_table(spark, sf_dir, "documents", rebalance=True)
-    bands = _capped_bands(d)
+    hashes = _doc_hashes(d)
+    bands = _capped_bands(hashes)
     a, b = bands.alias("a"), bands.alias("b")
-    cands = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
@@ -114,10 +128,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shs").alias("a_shs"),
-            F.col("b.shs").alias("b_shs"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cands = pairs.join(
+        hashes.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("a_shs")),
+        "doc_a",
+    ).join(
+        hashes.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("b_shs")),
+        "doc_b",
     )
     jac = F.expr(_JAC_S)
     return (
