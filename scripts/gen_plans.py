@@ -126,13 +126,13 @@ SHOWCASE = {
         "fan-out — candidates, never all-pairs."
     ),
     "semantic_text_search": (
-        "E1/E2 embed→KNN in ONE scan: the SQL-expressible embedder runs "
-        "as staged projections (normalize → code points → trigram "
-        "hashes → bucket counts) so each interpreted higher-order "
-        "expression evaluates once per row — note exactly one "
-        "regexp_replace in the whole plan and NO Filter node (a filter "
-        "on the embed output would be predicate-pushed below the "
-        "stages and re-inline the chain); top-K is "
+        "E1/E2 embed→KNN in ONE scan: normalization is a JVM "
+        "projection (exactly one regexp_replace in the plan), then ONE "
+        "MapInArrow node computes the exact integer self-dot and query "
+        "dot per Arrow batch in numpy (r13 — the interpreted "
+        "higher-order folds this replaced were ~10.5 core-seconds, the "
+        "dominant parallel compute at bench scale); an explicit "
+        "Project feeds the opaque op so pruning survives, and top-K is "
         "TakeOrderedAndProject, never a global sort."
     ),
     "bm25_topk": (
